@@ -1,0 +1,143 @@
+"""Typed schema registry + table loaders.
+
+The reference (SURVEY §1.3) had implicit/inferred schemas everywhere
+("N/A" strings for nulls, pandas dtype inference). The engine declares
+every schema explicitly: typed nulls, no inference in production paths.
+
+Two table families:
+
+- RELATIONAL: the driver-provided TPC-H-ish parquet tables
+  (/root/testdata/sf*/..., see TESTDATA.md). Parquet carries its own
+  schema; we still declare the expected StructTypes for validation.
+
+- DOMAIN: the reference's own data model (channels / channel_quality /
+  videos / segments / ledger — SURVEY §1.1, FIXTURES.md §A), used by
+  the plans/ pipelines and their tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Relational tables (driver-provided parquet)
+# --------------------------------------------------------------------------
+
+RELATIONAL_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver parquet table. Parquet scans get predicate
+    pushdown + column pruning from Catalyst automatically.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default; read it as a long (legacy conf) and convert
+    to a microsecond timestamp (exactly DuckDB's truncation)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in RELATIONAL_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every relational table as a temp view for spark.sql()."""
+    for name in RELATIONAL_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# Domain tables (the reference's data model; FIXTURES.md §A)
+# --------------------------------------------------------------------------
+
+# channels CSV: yt_channel_list_result_merge.ipynb:L42 column list;
+# "N/A" → typed nulls (SURVEY §1.3).
+CHANNELS = T.StructType(
+    [
+        T.StructField("title", T.StringType(), True),
+        T.StructField("id", T.StringType(), False),
+        T.StructField("n_videos", T.LongType(), True),
+        T.StructField("n_views", T.LongType(), True),
+        T.StructField("n_subs", T.LongType(), True),
+        T.StructField("custom_url", T.StringType(), True),
+        T.StructField("email", T.StringType(), True),
+        T.StructField("url", T.StringType(), False),
+    ]
+)
+
+# channel_quality JSONL: filter_channel.py:49-54 writer shape
+# {url, snrss: [float], acss: [[{label, score}]]}.
+AC_PREDICTION = T.StructType(
+    [
+        T.StructField("label", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+
+CHANNEL_QUALITY = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("snrss", T.ArrayType(T.DoubleType()), True),
+        T.StructField("acss", T.ArrayType(T.ArrayType(AC_PREDICTION)), True),
+    ]
+)
+
+# videos: yt_get_playlist_ids output (yt_download.py:14-28) + probe
+# metadata; position drives the per-channel top-N window (SURVEY W1).
+VIDEOS = T.StructType(
+    [
+        T.StructField("channel_id", T.StringType(), False),
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("position", T.IntegerType(), False),
+        T.StructField("duration_sec", T.LongType(), True),
+        T.StructField("error_class", T.StringType(), True),
+    ]
+)
+
+# ingest ledger: data_pipeline.py:27-439 hard-coded id set → a proper
+# dimension table, broadcast anti-joined (SURVEY J3/T1).
+VIDEO_LEDGER = T.StructType([T.StructField("video_id", T.StringType(), False)])
+
+# segments: audio_vad.py:48-65 producer / data_pipeline.py:658-676
+# consumer; sample offsets @16 kHz; audio payload optional.
+SEGMENTS = T.StructType(
+    [
+        T.StructField("channel_id", T.StringType(), False),
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("seg_idx", T.StringType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+        T.StructField("snr", T.DoubleType(), True),
+        T.StructField("speech_prob", T.DoubleType(), True),
+        T.StructField("audio", T.BinaryType(), True),
+    ]
+)
+
+DOMAIN_SCHEMAS: dict[str, T.StructType] = {
+    "channels": CHANNELS,
+    "channel_quality": CHANNEL_QUALITY,
+    "videos": VIDEOS,
+    "video_ledger": VIDEO_LEDGER,
+    "segments": SEGMENTS,
+}

@@ -1,0 +1,98 @@
+"""Text-analysis kernels for training-data curation: tokenization,
+quality scoring, language-ID heuristic, fingerprinting, shingling.
+
+All pure Catalyst expressions (split / transform / filter / aggregate
+/ md5) — no Python in the hot path, so the operators run inside
+whole-stage codegen and scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic whitespace tokenizer. The corpus is single-space
+# separated; for messier corpora swap the delimiter for a regex —
+# split() takes one.
+TOKEN_SEP = " "
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, TOKEN_SEP)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """Lexical diversity: |distinct tokens| / |tokens| — low values
+    flag boilerplate/spam in web-scale corpora."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def mean_token_length(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return total / F.size(t)
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    t = tokens(text)
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return n_stop / F.size(t)
+
+
+# Marker-token language tables for the n-gram/stopword language-ID
+# heuristic. Real corpora would carry per-language character n-gram
+# profiles; the mechanism (score per language = marker hit-rate,
+# argmax wins) is identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "y", "que"],
+}
+
+
+def lang_marker_score(text: Column, markers: list[str]) -> Column:
+    """Fraction of tokens that are markers of a given language."""
+    t = tokens(text)
+    return F.size(F.filter(t, lambda x: x.isin(*markers))) / F.size(t)
+
+
+ROLLING_HASH_MOD = 1_000_003
+ROLLING_HASH_BASE = 31
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash over characters:
+    h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) mod 1000003).
+
+    Kept modular at every step so it is ANSI-overflow-safe and
+    reproducible in any engine (the DuckDB oracle computes the same
+    fold with list_reduce). Used for cheap document fingerprinting;
+    md5 is the collision-resistant alternative."""
+    return F.aggregate(
+        F.split(text, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_HASH_BASE + F.ascii(c)) % ROLLING_HASH_MOD,
+    )
+
+
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-token shingles (word n-grams) of a document —
+    the unit for Jaccard/MinHash near-dup detection. Built with
+    transform(sequence(...)) over the token array; returns
+    array<string>, empty if the document has fewer than k tokens."""
+    t = tokens(text)
+    n = F.size(t)
+    return F.when(n >= k, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+        )
+    )).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,45 @@
+"""Vector kernels for embedding-similarity search.
+
+Dot products / norms / cosine over array<float> columns as Catalyst
+HOFs (zip_with + aggregate), computed in double precision so results
+are engine-portable. For very high dimensions or large batch scoring
+a vectorized pandas_udf (numpy matmul over Arrow batches) is the
+faster path; at 64 dims the expression form stays JVM-side and avoids
+the Python boundary entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def array_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (double precision)."""
+    return array_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(a: Column, dims: list[int]) -> Column:
+    """Random-hyperplane-style LSH bucket id from the signs of fixed
+    coordinates: bucket = Σ 2ᵏ·[a[dims[k]] > 0]. With axis-aligned
+    planes this is deterministic and reproducible in plain SQL, while
+    keeping the real LSH plumbing (bucket key → co-partitioned
+    search)."""
+    bucket = F.lit(0)
+    for k, d in enumerate(dims):
+        bucket = bucket + F.when(F.element_at(a, d + 1) > 0, F.lit(1 << k)).otherwise(
+            F.lit(0)
+        )
+    return bucket

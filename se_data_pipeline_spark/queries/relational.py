@@ -1,0 +1,446 @@
+"""Relational core: scans, filters, joins, aggregation, windows,
+set ops, dedup, top-k (SURVEY §2.3–§2.8).
+
+Each query is a DataFrame program (Catalyst plans it — predicate
+pushdown, column pruning, broadcast selection all come free) plus a
+DuckDB oracle in plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.catalog import load_table
+from se_data_pipeline_spark.queries import query
+
+
+# --------------------------------------------------------------------------
+# Aggregation over a filtered scan (reference A5 group sums / P3 filter;
+# the shape of TPC-H Q1). Pushdown: the shipdate predicate reaches the
+# parquet scan; only 7 of 11 lineitem columns are read.
+# --------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                          AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                                     AS avg_price,
+           ROUND(AVG(l_discount), 6)                                          AS avg_disc,
+           COUNT(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate over a pushed-down time filter.
+
+    Reference parity: per-group running sums/counters
+    (data_pipeline.py:562-568,677-678) restated as one shuffle-once
+    hash aggregate with map-side partial aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way equi-join + agg + deterministic top-k (reference J1 + O1/O3:
+# join, sort desc, head-N). customer is small → broadcast side.
+# --------------------------------------------------------------------------
+@query(
+    "top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join → agg → top-k (TakeOrderedAndProject, not full sort).
+
+    Reference parity: inner join J1 (yt_channel_list_quality_merge
+    cell 5) + sort/limit O1/O3 (cell 6, head-N). The small filtered
+    dimension (customer) is broadcast so the fact-side join is
+    shuffle-free; `orderBy().limit()` compiles to a true top-k.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "inner"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "inner",
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# 6-way join through the full star (region→nation→{customer,supplier}→
+# orders→lineitem), dimension sides broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema multi-join (TPC-H Q5 shape): every dimension is
+    broadcast; only the orders↔lineitem fact join can shuffle, and AQE
+    usually broadcasts the filtered orders side too."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dims = (
+        nation.join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        ).join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CASE-bucket derived column (reference P9 budget tiers,
+# data_pipeline.py:520-531) + per-tier aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "acctbal_tiers",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0    THEN 'debt'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer
+    GROUP BY tier
+    """,
+)
+def acctbal_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained when/otherwise bucketing (the reference's n_subs budget
+    tiers) followed by a grouped aggregate with a distinct-agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        cust.withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti-join (reference J2/J3: ledger dedup / notfound set) — broadcast
+# left_anti, the scale-safe restatement of `id in python_set`.
+# --------------------------------------------------------------------------
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_nationkey
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join = NOT EXISTS; Catalyst broadcasts the distinct
+    key set when it is small (exactly the reference's in-memory ledger
+    set, data_pipeline.py:576, but shuffle-safe at 100 TB)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+# --------------------------------------------------------------------------
+# Semi-join + count (reference J4/J5: membership + overlap count).
+# --------------------------------------------------------------------------
+@query(
+    "nation_customers_with_orders",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def nation_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join = EXISTS, then grouped count (J5's overlap
+    count, distributed)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-group top-N window (reference W1: first-N videos per channel by
+# playlist position).
+# --------------------------------------------------------------------------
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (partitionBy key, orderBy value desc) ≤ N —
+    the reference's per-channel video budget slice (W1/O4), one
+    shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Running total window (reference W3: cumulative downloaded duration
+# per channel in playlist order).
+# --------------------------------------------------------------------------
+@query(
+    "running_order_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per key in time order (W3). The frame is
+    rows-based with a unique (date, key) order so both engines compute
+    identical prefixes."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (reference U1/U2/U3).
+# --------------------------------------------------------------------------
+@query(
+    "nations_customers_except_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nations_customers_except_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct difference) — reference U2 notfound-set."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(supp)
+
+
+@query(
+    "nations_customers_intersect_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def nations_customers_intersect_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERSECT — reference U3 ledger∩playlist overlap."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+@query(
+    "union_distinct_nationkeys",
+    oracle="""
+    SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier)
+    GROUP BY nationkey
+    """,
+)
+def union_distinct_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + grouped count — reference U1 schema-aligned
+    concat of shards before dedup (multi-file CSV merge, S2/A1)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return (
+        cust.unionByName(supp).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic subset dedup (reference A2 drop_duplicates(subset=…) —
+# made deterministic with an explicit keep-first order).
+# --------------------------------------------------------------------------
+@query(
+    "first_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset dedup with a defined survivor (earliest by date, then
+    key) — the deterministic restatement of pandas
+    drop_duplicates(subset), which keeps an arbitrary row."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Full-row distinct after union (reference A1: concat shards then
+# drop_duplicates()).
+# --------------------------------------------------------------------------
+@query(
+    "distinct_after_union",
+    oracle="""
+    SELECT DISTINCT n_nationkey, n_name, n_regionkey FROM (
+      SELECT * FROM nation WHERE n_regionkey < 3
+      UNION ALL
+      SELECT * FROM nation WHERE n_regionkey >= 1)
+    """,
+)
+def distinct_after_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping shard union → full-row distinct (A1/U1). The
+    overlap (regionkeys 1-2 appear twice) proves dedup actually ran."""
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.filter(F.col("n_regionkey") < 3)
+    b = nation.filter(F.col("n_regionkey") >= 1)
+    return a.unionByName(b).dropDuplicates()

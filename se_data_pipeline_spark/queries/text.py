@@ -1,0 +1,373 @@
+"""Text-analysis & deduplication queries over the `documents` table —
+the training-data-pipeline operator family (SURVEY M8 north star):
+token stats, quality scoring, language-ID heuristic, fingerprinting,
+exact dedup, n-gram Jaccard near-dup, MinHash-LSH candidates.
+
+Everything is Catalyst-expression based (split/transform/aggregate/
+md5); the DuckDB oracles recompute the same semantics in SQL so the
+driver can hash-compare results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.catalog import load_table
+from se_data_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    distinct_token_ratio,
+    lang_marker_score,
+    mean_token_length,
+    rolling_hash,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from se_data_pipeline_spark.queries import query
+
+# Shared SQL fragment: tokenized documents (DuckDB side).
+_SQL_TOKS = "SELECT doc_id, string_split(text, ' ') AS toks FROM documents"
+
+
+# --------------------------------------------------------------------------
+# Token statistics (token counting — whitespace tokenizer).
+# --------------------------------------------------------------------------
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER)                          AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER)           AS n_distinct,
+           ROUND(CAST(list_sum([length(t) for t in toks]) AS DOUBLE)
+                 / len(toks), 6)                               AS mean_token_len,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / len(toks), 6)                               AS distinct_ratio
+    FROM ({_SQL_TOKS})
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + lexical-diversity stats, all HOF
+    expressions over the token array (no UDF, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("n_distinct"),
+        F.round(mean_token_length(F.col("text")), 6).alias("mean_token_len"),
+        F.round(distinct_token_ratio(F.col("text")), 6).alias("distinct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length/diversity/stopword mix) — the curation
+# filter a 100 TB text pipeline runs before training.
+# --------------------------------------------------------------------------
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               + 0.3 * least(1.0, len(toks) / 150.0)
+               + 0.3 * (CAST(len(list_filter(toks,
+                     t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                        / len(toks)), 6) AS quality
+    FROM ({_SQL_TOKS})
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: lexical diversity + length saturation
+    + stopword hit-rate (the reference's probe-score shape A8, applied
+    to text curation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    quality = (
+        0.4 * distinct_token_ratio(text)
+        + 0.3 * F.least(F.lit(1.0), token_count(text) / 150.0)
+        + 0.3 * lang_marker_score(text, ["the", "a", "of", "and", "to"])
+    )
+    return docs.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic: marker-token hit-rates per language, ordered
+# argmax. (The corpus is synthetic; the mechanism is the deliverable.)
+# --------------------------------------------------------------------------
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to')))
+             AS DOUBLE) / len(toks)  AS s_en,
+        CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist')))
+             AS DOUBLE) / len(toks)  AS s_de,
+        CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des')))
+             AS DOUBLE) / len(toks)  AS s_fr,
+        CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','que')))
+             AS DOUBLE) / len(toks)  AS s_es
+      FROM ({_SQL_TOKS}))
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_pred,
+           ROUND(greatest(s_en, s_de, s_fr, s_es), 6) AS lang_score
+    FROM scored
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID: per-language marker hit-rate,
+    deterministic ordered argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        *[
+            lang_marker_score(text, markers).alias(f"s_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}
+    lang_pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en"
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id",
+        lang_pred.alias("lang_pred"),
+        F.round(F.greatest(*s.values()), 6).alias("lang_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: md5 (collision-resistant) + polynomial
+# rolling hash (cheap, oracle-reproducible).
+# --------------------------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           CAST(list_reduce(
+             list_prepend(0, [ascii(c) for c in string_split(text, '')]),
+             (acc, c) -> (acc * 31 + c) % 1000003) AS BIGINT) AS fp_roll
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup fingerprints: md5 + rolling hash, both computed
+    JVM-side. The rolling hash stays modular at each step (ANSI-safe,
+    engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_md5"),
+        rolling_hash(F.col("text")).alias("fp_roll"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact deduplication: hash-groupBy on content fingerprint, canonical
+# survivor = min doc_id (deterministic).
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS fp, COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a hash aggregate on md5(text): one shuffle on
+    the fingerprint, survivor = min(doc_id). At 100 TB this is the
+    cheapest dedup pass and runs before any near-dup machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs: 5-token shingles, inverted-index
+# self-join, exact Jaccard on candidates.
+# --------------------------------------------------------------------------
+_JACCARD_THRESHOLD = 0.8
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)]) AS s
+      FROM ({_SQL_TOKS})),
+    e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           ROUND(p.n_common * 1.0 / (ca.n + cb.n - p.n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN cnt ca ON ca.doc_id = p.doc_a
+    JOIN cnt cb ON cb.doc_id = p.doc_b
+    WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: explode distinct 5-token shingles into an
+    inverted index, self-join on shingle (only docs sharing a shingle
+    ever meet — Jaccard 0 pairs never materialize), count
+    intersections, compute exact Jaccard, threshold.
+
+    Scale: the shingle join shuffles on the shingle string. Hot
+    shingles fan out quadratically — at 100 TB, run
+    minhash_lsh_candidates first and exact-verify only candidates
+    (that query feeds this one); AQE skew-join handles residual hot
+    keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 5).alias("s")
+    )
+    cnt = sh.select("doc_id", F.size("s").alias("n"))
+    e = sh.select("doc_id", F.explode("s").alias("sh"))
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding: k=16 hash permutations over shingle rolling
+# hashes, 4 bands × 4 rows; docs sharing any band signature are
+# candidate near-dups. Fully deterministic → oracle-checkable.
+# --------------------------------------------------------------------------
+_MINHASH_K = 16
+_MINHASH_BAND_ROWS = 4
+_MH_P = 1_000_003
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)]) AS s
+      FROM ({_SQL_TOKS})),
+    e AS (
+      SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(0, [ascii(c) for c in string_split(x.sh, '')]),
+               (acc, c) -> (acc * 31 + c) % {_MH_P}) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(s) AS sh FROM sh) x),
+    perms AS (SELECT unnest(range({_MINHASH_K})) AS perm),
+    mins AS (
+      SELECT e.doc_id, p.perm,
+             MIN((CAST(2 * p.perm + 1 AS BIGINT) * e.h
+                  + 31 * p.perm + 7) % {_MH_P}) AS mh
+      FROM e CROSS JOIN perms p
+      GROUP BY e.doc_id, p.perm),
+    bands AS (
+      SELECT doc_id, CAST(perm // {_MINHASH_BAND_ROWS} AS BIGINT) AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm) AS sig
+      FROM mins GROUP BY doc_id, band)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate generation:
+    shingle → rolling-hash → k universal-hash permutations
+    (a_i·h + b_i mod p) → per-doc per-perm min (the MinHash signature)
+    → band signatures (4 rows/band) → docs sharing any band bucket.
+
+    Scale: signatures are 16 longs/doc regardless of document size,
+    so the candidate join shuffles tiny rows; the quadratic blowup of
+    the naive shingle self-join never happens. This is the 100 TB
+    front-end for ngram_jaccard_pairs' exact verification.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("sh"))
+    hashed = sh.select("doc_id", rolling_hash(F.col("sh")).alias("h"))
+    perms = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("perm"),
+    )
+    mins = (
+        perms.withColumn(
+            "ph",
+            ((2 * F.col("perm") + 1).cast("long") * F.col("h")
+             + 31 * F.col("perm") + 7) % _MH_P,
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("ph").alias("mh"))
+    )
+    bands = (
+        mins.withColumn(
+            "band", F.floor(F.col("perm") / _MINHASH_BAND_ROWS)
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("perm", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                "-",
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )

@@ -1,0 +1,138 @@
+"""Embedding-similarity queries over the `embeddings` table
+(array<float> × 64): brute-force cosine top-k, LSH-bucketed ANN, and
+per-label centroids (the IVF coarse-quantizer training step).
+SURVEY M8 north star — similarity search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.catalog import load_table
+from se_data_pipeline_spark.functions.vectors import cosine, sign_bucket
+from se_data_pipeline_spark.queries import query
+
+# Query vector = the embedding of the smallest vec_id (deterministic).
+_SQL_QVEC = "SELECT embedding AS q FROM embeddings ORDER BY vec_id LIMIT 1"
+
+# Double-precision cosine in DuckDB SQL (list comprehension; DuckDB's
+# native list_cosine_similarity computes in float32 — not
+# oracle-stable against Spark's double math).
+_SQL_COS = """
+  list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.q[i+1] AS DOUBLE)
+            for i in range(64)])
+  / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                    for x in e.embedding]))
+     * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in q.q])))
+"""
+
+
+@query(
+    "embedding_knn_brute",
+    oracle=f"""
+    WITH q AS ({_SQL_QVEC})
+    SELECT e.vec_id, e.label, ROUND({_SQL_COS}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    ORDER BY {_SQL_COS} DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def embedding_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vector, score
+    every row with a JVM-side zip_with/aggregate expression, take
+    top-20 with a deterministic tie-break.
+
+    Scale: `orderBy().limit(k)` compiles to TakeOrderedAndProject —
+    each partition keeps only its local top-k, the driver merges
+    per-partition heads; no global sort, no collect. This is the
+    exact-recall baseline the LSH variant is measured against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    sim = cosine(F.col("embedding"), F.col("q"))
+    return (
+        emb.crossJoin(F.broadcast(qvec))
+        .select("vec_id", "label", sim.alias("raw_sim"))
+        .orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", "label", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "embedding_knn_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT *,
+             (CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[14] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[28] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[42] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    q AS (SELECT q.embedding AS q, b2.bucket AS qbucket
+          FROM (SELECT embedding, vec_id FROM embeddings
+                ORDER BY vec_id LIMIT 1) q
+          JOIN b b2 ON b2.vec_id = q.vec_id)
+    SELECT e.vec_id, e.bucket, ROUND({_SQL_COS}, 6) AS cos_sim
+    FROM b e CROSS JOIN q
+    WHERE e.bucket = q.qbucket
+    ORDER BY {_SQL_COS} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: hyperplane sign bits (dims 0/13/27/41) form a
+    16-way bucket key; search only the query's bucket.
+
+    Scale: the bucket key is the partition key — at 100 TB the table
+    is written partitioned/bucketed by it, so a query touches 1/16th
+    of the data with partition pruning, and multi-probe widens recall
+    by visiting neighbor buckets. The scoring inside the bucket is the
+    same TakeOrderedAndProject top-k as the brute-force baseline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", sign_bucket(F.col("embedding"), [0, 13, 27, 41])
+    )
+    qrow = (
+        bucketed.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("q"), F.col("bucket").alias("qbucket"))
+    )
+    sim = cosine(F.col("embedding"), F.col("q"))
+    return (
+        bucketed.join(
+            F.broadcast(qrow), F.col("bucket") == F.col("qbucket"), "inner"
+        )
+        .select("vec_id", "bucket", sim.alias("raw_sim"))
+        .orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "bucket", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, CAST(pos - 1 AS INTEGER) AS dim,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of every dimension — the coarse-quantizer
+    (IVF) training step: posexplode the vector, average per
+    (label, dim). One shuffle on a (label, dim) key that is tiny and
+    perfectly balanced regardless of table size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
