@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Per-query time = full plan execution to a driver-side count-style
+action (collect of final, already-small results), after one untimed
+warmup query to exclude JVM/codegen startup from every measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from se_data_pipeline_spark.queries import all_queries
+from se_data_pipeline_spark.session import DEFAULT_SF_DIR, get_spark
+
+# Headline set: the scale-sensitive queries (big shuffles, joins,
+# windows, dedup, similarity) — not the trivially small ones.
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "regional_revenue",
+    "top_orders_per_customer",
+    "running_order_total",
+    "order_quantity_stats",
+    "supplier_quality_rank",
+    "customer_order_document",
+    "dedup_exact_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "embedding_knn_brute",
+    "events_hourly_tumbling",
+    "user_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    # sf parsed from dir name ("sf0.1" → 0.1)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # untimed warmup: JVM + codegen + parquet footer caches
+    qs["pricing_summary"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
