@@ -1,0 +1,128 @@
+"""Unit tests for the Catalyst-expression kernel library
+(se_data_pipeline_spark.functions): text, arrays, vectors.
+
+Each test builds a tiny in-memory frame and checks exact values —
+these kernels are deterministic expressions, so exact equality holds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.functions.arrays import (
+    array_count_above,
+    array_mean,
+    speech_prob,
+    weighted_label_score,
+)
+from se_data_pipeline_spark.functions.text import (
+    ROLLING_HASH_BASE,
+    ROLLING_HASH_MOD,
+    distinct_token_ratio,
+    mean_token_length,
+    rolling_hash,
+    stopword_ratio,
+    token_count,
+    word_shingles,
+)
+from se_data_pipeline_spark.functions.vectors import cosine, dot, norm, sign_bucket
+
+
+def one(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+# ---------------------------------------------------------------- text
+
+
+def test_token_count_and_mean_length(spark):
+    df = spark.createDataFrame([Row(text="ab cd efg")])
+    assert one(df, token_count(F.col("text"))) == 3
+    assert one(df, mean_token_length(F.col("text"))) == pytest.approx(7 / 3)
+
+
+def test_distinct_token_ratio(spark):
+    df = spark.createDataFrame([Row(text="a b a b a")])
+    assert one(df, distinct_token_ratio(F.col("text"))) == pytest.approx(2 / 5)
+
+
+def test_stopword_ratio(spark):
+    df = spark.createDataFrame([Row(text="the cat and the dog")])
+    assert one(df, stopword_ratio(F.col("text"), ["the", "and"])) == pytest.approx(3 / 5)
+
+
+def test_rolling_hash_matches_python_fold(spark):
+    s = "hello world"
+    expected = 0
+    for ch in s:
+        expected = (expected * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+    df = spark.createDataFrame([Row(text=s)])
+    assert one(df, rolling_hash(F.col("text"))) == expected
+
+
+def test_word_shingles_basic_and_short(spark):
+    df = spark.createDataFrame([Row(text="a b c d e f")])
+    got = one(df, word_shingles(F.col("text"), 5))
+    assert sorted(got) == ["a b c d e", "b c d e f"]
+    short = spark.createDataFrame([Row(text="a b c")])
+    assert one(short, word_shingles(F.col("text"), 5)) == []
+
+
+def test_word_shingles_distinct(spark):
+    df = spark.createDataFrame([Row(text="x y x y x y")])  # repeating shingles
+    got = one(df, word_shingles(F.col("text"), 2))
+    assert sorted(got) == ["x y", "y x"]
+
+
+# -------------------------------------------------------------- arrays
+
+
+def test_array_count_above(spark):
+    df = spark.createDataFrame([Row(xs=[1.0, 25.0, 20.0, 30.5])])
+    assert one(df, array_count_above(F.col("xs"), 20.0)) == 2  # strict >
+
+
+def test_array_mean_and_empty(spark):
+    df = spark.createDataFrame([Row(xs=[2.0, 4.0])])
+    assert one(df, array_mean(F.col("xs"))) == pytest.approx(3.0)
+    empty = df.select(F.array().cast("array<double>").alias("xs"))
+    assert one(empty, array_mean(F.col("xs"))) is None  # null, not NaN
+
+
+def test_weighted_label_score_and_speech_prob(spark):
+    preds = [
+        Row(label="Speech", score=0.6),
+        Row(label="Music", score=0.3),
+        Row(label="Silence", score=0.1),
+    ]
+    df = spark.createDataFrame([Row(preds=preds)])
+    got = one(df, weighted_label_score(F.col("preds"), ["Speech"], ["Music"]))
+    assert got == pytest.approx(0.6 - 0.3)
+    # the reference's live label sets (audio_ac.py:53-79)
+    assert one(df, speech_prob(F.col("preds"))) == pytest.approx(0.3)
+
+
+# ------------------------------------------------------------- vectors
+
+
+def test_dot_norm_cosine(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0, 2.0], b=[2.0, 0.0, 1.0])])
+    assert one(df, dot(F.col("a"), F.col("b"))) == pytest.approx(4.0)
+    assert one(df, norm(F.col("a"))) == pytest.approx(3.0)
+    expected = 4.0 / (3.0 * math.sqrt(5.0))
+    assert one(df, cosine(F.col("a"), F.col("b"))) == pytest.approx(expected)
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([Row(a=[0.3, -0.4, 1.2])])
+    assert one(df, cosine(F.col("a"), F.col("a"))) == pytest.approx(1.0)
+
+
+def test_sign_bucket(spark):
+    df = spark.createDataFrame([Row(a=[1.0, -1.0, 0.5, -0.2])])
+    # dims 0..3 → bits 1,0,1,0 → 1 + 4 = 5
+    assert one(df, sign_bucket(F.col("a"), [0, 1, 2, 3])) == 5
