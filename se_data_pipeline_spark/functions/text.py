@@ -83,6 +83,48 @@ def rolling_hash(text: Column) -> Column:
     )
 
 
+def token_hashes(text: Column) -> Column:
+    """Rolling hash of each token: transform(tokens, t -> char-fold).
+    Nested HOF — runs entirely JVM-side, one pass over the text."""
+    return F.transform(
+        tokens(text),
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * ROLLING_HASH_BASE + F.ascii(c)) % ROLLING_HASH_MOD,
+        ),
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint: per-token rolling hashes, then for each bit
+    position sum +1/-1 over tokens by whether that hash bit is set; the
+    sign of each sum becomes the fingerprint bit. Near-identical
+    documents land on equal (or Hamming-close) fingerprints.
+
+    The bit loop is unrolled Python-side into `bits` array aggregates —
+    still one row-local expression tree, no UDF, no shuffle. Token
+    hashes stay < 2^20 (mod 1000003) so 16 fingerprint bits are all
+    informative."""
+    hs = token_hashes(text)
+
+    def bit_vote(k: int):
+        # separate factory so the merge lambda stays 2-ary (PySpark
+        # derives the HOF arity from the lambda signature)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for k in range(bits):
+        bit_sum = F.aggregate(hs, F.lit(0), bit_vote(k))
+        out = out + F.when(bit_sum > 0, F.lit(1 << k)).otherwise(0)
+    return out
+
+
 def word_shingles(text: Column, k: int = 5) -> Column:
     """Distinct k-token shingles (word n-grams) of a document —
     the unit for Jaccard/MinHash near-dup detection. Built with

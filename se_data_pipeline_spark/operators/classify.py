@@ -1,0 +1,146 @@
+"""Batched audio classification (SURVEY D3/D4): the reference runs an
+HF audio-classification pipeline over all segments of a video under a
+GPU semaphore (audio_ac.py:35-50, mp.py:5). Here the classifier is a
+pluggable backend behind one mapInPandas operator:
+
+- FakeAcClassifier: deterministic signal-feature rules (energy +
+  zero-crossing rate) → {label, score} lists; drives tests and the
+  correctness harness.
+- HfAstClassifier: stub for the real MIT/ast-finetuned-audioset model
+  — requires torch/transformers (not in this container); on a real
+  cluster it becomes the executor-singleton with
+  spark.task.resource.gpu.amount instead of a semaphore.
+
+The speech-probability reduction over the predictions is NOT a UDF —
+it is the Catalyst expression functions.arrays.speech_prob (F12/D4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Protocol
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from se_data_pipeline_spark.operators.audio import decode_wav
+
+AC_LABELS = [
+    "Speech",
+    "Narration, monologue",
+    "Female speech, woman speaking",
+    "Male speech, man speaking",
+    "Conversation",
+    "Music",
+    "Sound effect",
+    "Silence",
+]
+
+
+class AcBackend(Protocol):
+    def predict_batch(self, clips: list[np.ndarray], sr: int) -> list[list[dict]]:
+        """One prediction list [{label, score}, ...] per clip."""
+        ...
+
+
+class FakeAcClassifier:
+    """Deterministic rule-based classifier: scores derive from frame
+    energy and zero-crossing rate, so identical bytes → identical
+    predictions on every run (what oracle-style tests need).
+    Heuristic: strong + mid-ZCR → speech-ish labels; strong +
+    high-ZCR → music/noise; weak → silence."""
+
+    top_k = 3
+
+    def predict_batch(self, clips: list[np.ndarray], sr: int) -> list[list[dict]]:
+        out = []
+        for x in clips:
+            if len(x) == 0:
+                out.append([{"label": "Silence", "score": 1.0}])
+                continue
+            energy = float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+            zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+            loud = min(energy * 20.0, 1.0)
+            speechness = loud * float(np.exp(-((zcr - 0.1) ** 2) / 0.02))
+            musicness = loud * float(np.exp(-((zcr - 0.45) ** 2) / 0.08))
+            preds = [
+                {"label": "Speech", "score": round(speechness, 6)},
+                {"label": "Music", "score": round(musicness, 6)},
+                {"label": "Silence", "score": round(1.0 - loud, 6)},
+            ]
+            preds.sort(key=lambda p: (-p["score"], p["label"]))
+            out.append(preds[: self.top_k])
+        return out
+
+
+class HfAstClassifier:
+    """Real backend stub (audio_ac.py:35-40 loads
+    MIT/ast-finetuned-audioset-10-10-0.4593 eagerly; we gate it)."""
+
+    def __init__(self) -> None:
+        try:
+            import torch  # noqa: F401
+            import transformers  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "HfAstClassifier requires torch+transformers; use "
+                "FakeAcClassifier in environments without them"
+            ) from e
+
+    def predict_batch(self, clips, sr):  # pragma: no cover
+        raise NotImplementedError("wire the HF audio-classification pipeline here")
+
+
+_PRED_SCHEMA_SUFFIX = "preds array<struct<label string, score double>>"
+
+# Executor-side singleton cache: one backend instance per (executor,
+# backend-class) — the Spark analog of the reference's module-level
+# model global (audio_ac.py:35-40).
+_BACKEND_SINGLETON: dict[str, AcBackend] = {}
+
+
+def classify_segments(
+    segments: DataFrame,
+    backend_factory=FakeAcClassifier,
+    audio_col: str = "audio",
+) -> DataFrame:
+    """Append a `preds` column (array<struct<label,score>>) to segment
+    rows by running the backend over decoded audio in Arrow batches.
+
+    Batching: one predict_batch call per Arrow batch (the reference
+    batched per video, audio_ac.py:43) — tune
+    spark.sql.execution.arrow.maxRecordsPerBatch to the accelerator's
+    optimal batch size. The backend is constructed lazily once per
+    executor process, not per batch.
+    """
+    out_schema = ", ".join(
+        [f"{name} {dt.simpleString()}" for name, dt in zip(segments.schema.names, [f.dataType for f in segments.schema.fields])]
+        + [_PRED_SCHEMA_SUFFIX]
+    )
+    cols = list(segments.columns)
+    key = f"{backend_factory.__module__}.{backend_factory.__qualname__}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = _BACKEND_SINGLETON.get(key)
+        if backend is None:
+            backend = _BACKEND_SINGLETON.setdefault(key, backend_factory())
+        for pdf in batches:
+            clips, srs = [], []
+            for data in pdf[audio_col]:
+                if data is None:
+                    clips.append(np.zeros(0, dtype=np.float32))
+                    srs.append(16_000)
+                else:
+                    x, sr = decode_wav(bytes(data))
+                    clips.append(x)
+                    srs.append(sr)
+            sr = srs[0] if srs else 16_000
+            preds = backend.predict_batch(clips, sr)
+            pdf = pdf.copy()
+            pdf["preds"] = [
+                [(p["label"], float(p["score"])) for p in plist] for plist in preds
+            ]
+            yield pdf[cols + ["preds"]]
+
+    return segments.mapInPandas(run, out_schema)

@@ -72,6 +72,7 @@ def _load_all() -> None:
     from se_data_pipeline_spark.queries import (  # noqa: F401
         arrays,
         events,
+        multimodal,
         relational,
         text,
         vectors,

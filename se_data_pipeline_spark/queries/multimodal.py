@@ -1,0 +1,132 @@
+"""Multimodal-column plumbing (SURVEY M8 / prompt: image/audio/video
+as opaque binary + typed metadata).
+
+The container has no codec libraries, so *decode* is a deterministic
+fake (byte-level math) or an explicit NotImplementedError stub
+(operators/multimodal.py) — but the Spark-side plumbing is real:
+BinaryType columns, Arrow-batched mapInPandas with an explicit output
+schema, per-batch vectorized numpy, and results that an independent
+DuckDB oracle reproduces byte-for-byte (the corpus is ASCII, so
+ascii(char) == byte value).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.catalog import load_table
+from se_data_pipeline_spark.queries import query
+
+_CHECKSUM_MOD = 1_000_003
+
+_PAYLOAD_STATS_SCHEMA = (
+    "doc_id long, n_bytes int, checksum long, mean_byte double, std_byte double"
+)
+
+
+def _payload_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched kernel: per-row byte stats from the binary
+    payload. Sums are exact integers (bytes ≤ 255, docs ≤ 1 KB), so
+    the float math afterwards is bit-identical to the SQL oracle."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            s1 = sum(b)
+            s2 = sum(x * x for x in b)
+            mean = s1 / n
+            var = max(s2 / n - mean * mean, 0.0)
+            rows.append(
+                (
+                    doc_id,
+                    n,
+                    s1 % _CHECKSUM_MOD,
+                    round(mean, 6),
+                    round(var**0.5, 6),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_bytes", "checksum", "mean_byte", "std_byte"]
+        )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, [ascii(c) for c in string_split(text, '')] AS bs
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(bs) AS INTEGER)                       AS n_bytes,
+           CAST(list_sum(bs) % {_CHECKSUM_MOD} AS BIGINT) AS checksum,
+           ROUND(CAST(list_sum(bs) AS DOUBLE) / len(bs), 6) AS mean_byte,
+           ROUND(sqrt(greatest(
+             CAST(list_sum([x * x for x in bs]) AS DOUBLE) / len(bs)
+             - (CAST(list_sum(bs) AS DOUBLE) / len(bs))
+               * (CAST(list_sum(bs) AS DOUBLE) / len(bs)), 0.0)), 6) AS std_byte
+    FROM b
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column analysis through the real multimodal path:
+    text → BinaryType payload (stand-in for image/audio bytes) →
+    Arrow-batched mapInPandas with a declared output schema → typed
+    per-item metadata (size, checksum, intensity moments).
+
+    Scale: mapInPandas streams Arrow batches executor-side — no
+    collect, no per-row Python calls; batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so executor memory
+    is payload-size-aware. This is exactly the decode/feature shape a
+    100 TB image/audio pipeline runs, with the codec swapped in.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_payload_stats_batches, _PAYLOAD_STATS_SCHEMA)
+
+
+_FEATURE_SCHEMA = "doc_id long, n_frames int, feature array<double>"
+_FRAME_BYTES = 32
+
+
+def _frame_feature_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Frame-sampling + feature extraction over an opaque payload:
+    split bytes into fixed-size "frames" (the video-frame analog),
+    take every frame's mean intensity as a 4-bucket profile. A real
+    pipeline swaps the byte math for a decoder; the batching, schema
+    and partition behavior stay identical."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = np.frombuffer(bytes(payload), dtype=np.uint8)
+            n_frames = max(len(b) // _FRAME_BYTES, 1)
+            frames = b[: n_frames * _FRAME_BYTES].reshape(n_frames, -1)
+            means = frames.mean(axis=1)
+            # 4-bucket temporal profile: mean intensity per quarter
+            quarters = np.array_split(means, 4)
+            feature = [float(round(q.mean(), 6)) if len(q) else 0.0 for q in quarters]
+            out.append((doc_id, n_frames, feature))
+        yield pd.DataFrame(out, columns=["doc_id", "n_frames", "feature"])
+
+
+@query("multimodal_frame_features", oracle=None)
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + per-frame feature extraction (video analog) as
+    vectorized numpy over Arrow batches; returns a typed
+    array<double> feature column ready for the similarity-search
+    operators. No SQL oracle (array output + codec-shaped kernel) —
+    driver records the rows-only check; unit tests pin exact values.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_frame_feature_batches, _FEATURE_SCHEMA)

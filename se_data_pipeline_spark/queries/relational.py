@@ -425,6 +425,128 @@ def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Scalar-function suite (reference F1-F8, P7, P10, P11): string
+# hygiene, padding, URL build/parse, regex extraction, math.
+# --------------------------------------------------------------------------
+@query(
+    "customer_scalar_profile",
+    oracle="""
+    SELECT c_custkey,
+           lower(trim(c_name))                                  AS name_lower,
+           lpad(CAST(c_custkey AS VARCHAR), 9, '0')             AS custkey_pad,
+           printf('https://example.com/customer/%09d', c_custkey) AS url,
+           string_split(printf('https://example.com/customer/%09d', c_custkey),
+                        '/')[-1]                                AS url_key,
+           regexp_extract(c_name, '#([0-9]+)$', 1)              AS name_digits,
+           contains(c_mktsegment, 'BUILD')                      AS is_building,
+           (length(trim(c_name)) = 18)                          AS is_18,
+           ROUND(log10(abs(c_acctbal) + 1), 6)                  AS log_bal,
+           CAST(floor(c_acctbal) AS BIGINT)                     AS bal_floor,
+           CAST(ceil(c_acctbal) AS BIGINT)                      AS bal_ceil,
+           ROUND(pow(c_nationkey, 2), 1)                        AS nation_sq
+    FROM customer
+    """,
+)
+def customer_scalar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar-function surface in one projection:
+    trim/lower (F1), zero-pad (F3), URL construction via format_string
+    (F4/P10), split+element_at URL parse (F2), regex extraction
+    (P11), substring membership (F5), id-shape length predicate (P7),
+    log10/pow (F7), floor/ceil (F6). All row-local codegen'd
+    expressions — zero shuffles, the scan is the whole plan."""
+    cust = load_table(spark, sf_dir, "customer")
+    url = F.format_string("https://example.com/customer/%09d", F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.lower(F.trim(F.col("c_name"))).alias("name_lower"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("custkey_pad"),
+        url.alias("url"),
+        F.element_at(F.split(url, "/"), -1).alias("url_key"),
+        F.regexp_extract(F.col("c_name"), r"#([0-9]+)$", 1).alias("name_digits"),
+        F.col("c_mktsegment").contains("BUILD").alias("is_building"),
+        (F.length(F.trim(F.col("c_name"))) == 18).alias("is_18"),
+        F.round(F.log10(F.abs(F.col("c_acctbal")) + 1), 6).alias("log_bal"),
+        F.floor("c_acctbal").alias("bal_floor"),
+        F.ceil("c_acctbal").alias("bal_ceil"),
+        F.round(F.pow(F.col("c_nationkey"), 2), 1).alias("nation_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Derived trim-rule struct + periodic batch key (reference P8 + W4):
+# the duration-dependent (ss,to) cut plan and the every-30-rows
+# checkpoint batch id.
+# --------------------------------------------------------------------------
+@query(
+    "order_trim_batches",
+    oracle="""
+    SELECT o_orderkey, o_custkey, dur,
+           CASE WHEN dur < 180 THEN 0 WHEN dur > 2042 THEN 120 ELSE 60 END
+             AS trim_ss,
+           CASE WHEN dur < 180 THEN dur WHEN dur > 2042 THEN dur - 120
+                ELSE dur - 60 END AS trim_to,
+           CAST((ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                 - 1) // 30 AS BIGINT) AS batch_key
+    FROM (SELECT o_orderkey, o_custkey,
+                 CAST(floor(o_totalprice) AS BIGINT) % 3000 AS dur
+          FROM orders)
+    """,
+)
+def order_trim_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's duration trim rule (data_pipeline.py:609-619,
+    P8) as a when/otherwise-derived (ss,to) plan column, plus the
+    every-30-rows upload batch key (data_pipeline.py:682, W4) as
+    floor((row_number-1)/30) — the batch boundary becomes a groupable
+    key instead of imperative loop state."""
+    orders = load_table(spark, sf_dir, "orders")
+    # floor-then-mod on both sides: DuckDB's double→bigint cast
+    # rounds-to-nearest while Spark truncates, so the cast alone is
+    # not engine-portable.
+    dur = (F.floor("o_totalprice") % 3000).alias("dur")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    d = F.col("dur")
+    return (
+        orders.select("o_orderkey", "o_custkey", dur)
+        .withColumn(
+            "trim_ss",
+            F.when(d < 180, 0).when(d > 2042, 120).otherwise(60).cast("long"),
+        )
+        .withColumn(
+            "trim_to",
+            F.when(d < 180, d).when(d > 2042, d - 120).otherwise(d - 60),
+        )
+        .withColumn(
+            "batch_key", F.floor((F.row_number().over(w) - 1) / 30)
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP hierarchical aggregate (Catalyst freebie the reference lacks;
+# SURVEY §2.5 note).
+# --------------------------------------------------------------------------
+@query(
+    "lineitem_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup(flag, status): per-group, per-flag subtotal and grand
+    total in one pass — one shuffle, map-side partial aggregation for
+    every grouping set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Full-row distinct after union (reference A1: concat shards then
 # drop_duplicates()).
 # --------------------------------------------------------------------------

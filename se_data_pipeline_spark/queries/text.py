@@ -16,10 +16,12 @@ from pyspark.sql import functions as F
 from se_data_pipeline_spark.catalog import load_table
 from se_data_pipeline_spark.functions.text import (
     LANG_MARKERS,
+    SIMHASH_BITS,
     distinct_token_ratio,
     lang_marker_score,
     mean_token_length,
     rolling_hash,
+    simhash,
     token_count,
     tokens,
     word_shingles,
@@ -196,6 +198,51 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
             F.min("doc_id").alias("canonical_doc_id"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup: 16-bit sign-of-bit-sums fingerprint over token
+# rolling hashes; equal fingerprints = Hamming-0 near-dup groups.
+# --------------------------------------------------------------------------
+_SIMHASH_SQL = " + ".join(
+    f"(CASE WHEN list_sum([CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END"
+    f" for h in hs]) > 0 THEN {1 << k} ELSE 0 END)"
+    for k in range(SIMHASH_BITS)
+)
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             [CAST(list_reduce(
+                list_prepend(0, [ascii(c) for c in string_split(t, '')]),
+                (acc, c) -> (acc * 31 + c) % 1000003) AS BIGINT)
+              for t in string_split(text, ' ')] AS hs
+      FROM documents),
+    fp AS (SELECT doc_id, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash FROM hs)
+    SELECT doc_id, simhash,
+           COUNT(*) OVER (PARTITION BY simhash) AS n_same
+    FROM fp
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprinting (near-dup dedup family #3): per-token
+    rolling hashes → signed bit-count per position → sign bits form
+    the fingerprint; docs sharing a fingerprint are near-dup
+    candidates (Hamming radius 0; band the bits for radius > 0).
+
+    Scale: the fingerprint is one long per document computed row-local
+    in the scan stage; the only shuffle is the tiny group on the
+    16-bit key. This is the cheapest near-dup pass after exact-hash.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    return fp.withColumn(
+        "n_same", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
     )
 
 

@@ -112,6 +112,67 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEAR_DUP_COS = 0.45
+
+# pairwise double-precision cosine between aliased rows a/b.
+_SQL_COS_AB = """
+  list_sum([CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)
+            for i in range(64)])
+  / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in a.embedding]))
+     * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in b.embedding])))
+"""
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT *,
+             (CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[14] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[28] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[42] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_SQL_COS_AB}, 6) AS cos_sim
+    FROM b a JOIN b b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS_AB} >= {_NEAR_DUP_COS}
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (dedup family #5): LSH
+    sign-buckets co-partition the vectors, the self-join runs only
+    inside each bucket, and exact cosine thresholds the candidates.
+
+    Scale: the bucket key bounds the quadratic term to per-bucket
+    cardinalities (add hyperplanes to shrink buckets as the table
+    grows); the join shuffles on the bucket key, so skew maps to
+    bucket-size skew, which AQE splits.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", sign_bucket(F.col("embedding"), [0, 13, 27, 41])
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("raw_sim"),
+        )
+        .filter(F.col("raw_sim") >= _NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
 @query(
     "embedding_label_centroids",
     oracle="""

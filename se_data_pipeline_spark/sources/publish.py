@@ -1,0 +1,161 @@
+"""Checkpointed publish sink (SURVEY K7/T2/T3/T7): the reference
+uploads to HF Hub every 30 videos with 10×60 s retries under a global
+lock (hf.py:7-48, data_pipeline.py:682-696). Restated as an
+exactly-once batch publisher:
+
+- batches are identified by a deterministic batch id;
+- a publish ledger records committed ids — re-publishing a committed
+  batch is a no-op (idempotence replaces the reference's
+  at-least-once retry loop);
+- retries with backoff wrap ONLY the external call;
+- single-writer: the commit runs driver-side (the foreachBatch
+  contract), not per-executor — the semaphore/lock disappears.
+
+The external transport is pluggable: LocalDirPublisher ships batches
+to a directory (testable); HfHubPublisher is the real-world stub.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Protocol
+
+
+class PublishTransport(Protocol):
+    def upload(self, batch_id: str, payload: bytes) -> None: ...
+
+
+class LocalDirPublisher:
+    """Filesystem transport — the test double for HF Hub upload."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def upload(self, batch_id: str, payload: bytes) -> None:
+        tmp = os.path.join(self.root, f".{batch_id}.tmp")
+        final = os.path.join(self.root, f"{batch_id}.json")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, final)  # atomic publish
+
+
+class FlakyTransport:
+    """Deterministic failure-injection wrapper for retry tests."""
+
+    def __init__(self, inner: PublishTransport, fail_first_n: int):
+        self.inner = inner
+        self.remaining_failures = fail_first_n
+        self.attempts = 0
+
+    def upload(self, batch_id: str, payload: bytes) -> None:
+        self.attempts += 1
+        if self.remaining_failures > 0:
+            self.remaining_failures -= 1
+            raise ConnectionError("injected transport failure")
+        self.inner.upload(batch_id, payload)
+
+
+class HfHubPublisher:
+    """Real transport stub (hf.py:27-48 upload_folder + branch
+    handling). Requires huggingface_hub + network."""
+
+    def __init__(self, repo_id: str, branch: str = "main"):
+        try:
+            import huggingface_hub  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "HfHubPublisher requires huggingface_hub; use "
+                "LocalDirPublisher for local/test runs"
+            ) from e
+        self.repo_id, self.branch = repo_id, branch
+
+    def upload(self, batch_id: str, payload: bytes) -> None:  # pragma: no cover
+        raise NotImplementedError("wire huggingface_hub.upload_file here")
+
+
+def retry(
+    fn: Callable[[], None],
+    attempts: int = 10,
+    backoff_s: float = 60.0,
+    sleep=time.sleep,
+) -> None:
+    """T3: the reference's hf_retry_decorator(10, 60) (hf.py:7-24,35)
+    — bounded attempts, fixed backoff, re-raises the final error."""
+    for i in range(attempts):
+        try:
+            fn()
+            return
+        except Exception:
+            if i == attempts - 1:
+                raise
+            sleep(backoff_s)
+
+
+class CheckpointedPublisher:
+    """Exactly-once publisher: ledger of committed batch ids + retry
+    around the transport. Drop-in foreachBatch target:
+
+        q = df.writeStream.foreachBatch(
+                lambda batch_df, bid: pub.publish(str(bid),
+                    batch_df.toJSON().collect())).start()
+
+    In batch mode, call publish() per batch-key group (the W4
+    floor(position/30) key). The ledger lives next to the outputs; on
+    a cluster it sits in the checkpoint location, giving the
+    exactly-once upgrade over the reference's at-least-once retries
+    (SURVEY §7.4)."""
+
+    def __init__(
+        self,
+        transport: PublishTransport,
+        ledger_path: str,
+        attempts: int = 10,
+        backoff_s: float = 0.0,
+        sleep=time.sleep,
+    ):
+        self.transport = transport
+        self.ledger_path = ledger_path
+        self.attempts = attempts
+        self.backoff_s = backoff_s
+        self._sleep = sleep
+        self._committed: set[str] | None = None
+
+    def committed(self) -> set[str]:
+        if self._committed is None:
+            try:
+                with open(self.ledger_path) as f:
+                    self._committed = {line.strip() for line in f if line.strip()}
+            except FileNotFoundError:
+                self._committed = set()
+        return self._committed
+
+    def publish(self, batch_id: str, records: list[str]) -> bool:
+        """Publish one batch; returns False if already committed
+        (idempotent replay — exactly-once per batch id)."""
+        if batch_id in self.committed():
+            return False
+        payload = ("\n".join(records)).encode()
+        retry(
+            lambda: self.transport.upload(batch_id, payload),
+            attempts=self.attempts,
+            backoff_s=self.backoff_s,
+            sleep=self._sleep,
+        )
+        # commit AFTER the upload succeeds (ledger append is atomic
+        # enough for a single driver-side writer — the T7 single-writer
+        # contract)
+        with open(self.ledger_path, "a") as f:
+            f.write(batch_id + "\n")
+        self.committed().add(batch_id)
+        return True
+
+
+def publish_metadata_json(obj: dict) -> bytes:
+    """K2: canonical JSON serialization for metadata documents —
+    sorted keys so re-publishing identical content is byte-identical
+    (numpy coercion is unnecessary: columns are typed end-to-end,
+    unlike data_pipeline.py:730-741)."""
+    return json.dumps(obj, sort_keys=True, separators=(",", ":")).encode()

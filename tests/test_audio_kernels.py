@@ -1,0 +1,211 @@
+"""Kernel tests (SURVEY §5c): synthetic signals with known structure
+drive the WAV codec, blind SNR estimator, energy VAD, segment-split
+mapInPandas, trim kernel, and the fake classifier + speech-prob
+reduction — the full D1→D2→D3→D4→P5 segment pipeline without any
+external model."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.functions.arrays import speech_prob
+from se_data_pipeline_spark.operators.audio import (
+    EnergyVad,
+    decode_wav,
+    encode_wav,
+    estimate_snr,
+    resample_linear,
+    snr_from_wav,
+    trim_bounds,
+    trim_wav,
+    vad_split_segments,
+)
+from se_data_pipeline_spark.operators.classify import (
+    FakeAcClassifier,
+    classify_segments,
+)
+
+SR = 16_000
+RNG = np.random.default_rng(42)
+
+
+def tone(freq: float, dur_s: float, sr: int = SR, amp: float = 0.5) -> np.ndarray:
+    t = np.arange(int(dur_s * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def tone_with_noise(snr_db: float, dur_s: float = 2.0) -> np.ndarray:
+    """Bursty tone + white noise at a known SNR (signal present in
+    half the frames, like speech)."""
+    sig = tone(440, dur_s)
+    # silence half the signal in 0.25 s blocks → speech-like bursts
+    block = int(0.25 * SR)
+    for i in range(0, len(sig), 2 * block):
+        sig[i : i + block] = 0.0
+    p_sig = np.mean(sig[sig != 0] ** 2)
+    p_noise = p_sig / (10 ** (snr_db / 10))
+    noise = RNG.normal(0.0, np.sqrt(p_noise), len(sig)).astype(np.float32)
+    return sig + noise
+
+
+# ---------------------------------------------------------------- codec
+
+
+def test_wav_roundtrip():
+    x = tone(440, 0.5)
+    y, sr = decode_wav(encode_wav(x, SR))
+    assert sr == SR
+    assert len(y) == len(x)
+    assert np.abs(y - x).max() < 1e-3  # 16-bit quantization
+
+
+def test_resample_length_and_content():
+    x = tone(440, 1.0, sr=48_000)
+    y = resample_linear(x, 48_000, 16_000)
+    assert abs(len(y) - 16_000) <= 1
+    # energy roughly preserved for a band-limited tone
+    assert np.sqrt(np.mean(y**2)) == pytest.approx(np.sqrt(np.mean(x**2)), rel=0.05)
+
+
+# ------------------------------------------------------------ blind SNR
+
+
+def test_snr_estimates_are_monotonic_and_calibrated():
+    est = {db: estimate_snr(tone_with_noise(db)) for db in (0, 10, 20, 40)}
+    assert est[0] < est[10] < est[20] < est[40]
+    for db in (10, 20):
+        assert est[db] == pytest.approx(db, abs=6.0)
+
+
+def test_snr_edge_cases():
+    assert estimate_snr(np.zeros(SR, dtype=np.float32)) == -20.0
+    assert estimate_snr(np.zeros(10, dtype=np.float32)) == -20.0
+
+
+def test_snr_udf_matches_local(spark):
+    x = tone_with_noise(20)
+    df = spark.createDataFrame([Row(audio=bytearray(encode_wav(x, SR)))])
+    got = df.select(snr_from_wav("audio").alias("snr")).collect()[0]["snr"]
+    y, _ = decode_wav(encode_wav(x, SR))
+    assert got == pytest.approx(estimate_snr(y), abs=1e-9)
+
+
+# ----------------------------------------------------------------- VAD
+
+
+def _bursty_signal(n_bursts: int = 3, burst_s: float = 1.0, gap_s: float = 1.0):
+    parts = []
+    for _ in range(n_bursts):
+        parts.append(tone(300, burst_s))
+        parts.append(np.zeros(int(gap_s * SR), dtype=np.float32))
+    return np.concatenate(parts)
+
+
+def test_energy_vad_finds_bursts():
+    x = _bursty_signal(3)
+    spans = EnergyVad().speech_spans(x, SR)
+    assert len(spans) == 3
+    for i, (s, e) in enumerate(spans):
+        expected_start = i * 2 * SR
+        assert abs(s - expected_start) < SR * 0.1
+        assert (e - s) / SR == pytest.approx(1.0, abs=0.15)
+
+
+def test_energy_vad_splits_overlong_spans():
+    x = tone(300, 40.0)  # continuous 40 s tone
+    spans = EnergyVad().speech_spans(x, SR)
+    assert all((e - s) / SR <= 15.0 + 1e-6 for s, e in spans)
+    assert sum(e - s for s, e in spans) >= 39 * SR
+
+
+def test_vad_split_segments_dataframe(spark):
+    x = _bursty_signal(2)
+    rec = spark.createDataFrame(
+        [Row(channel_id="ch1", video_id="vidA", audio=bytearray(encode_wav(x, SR)))]
+    )
+    segs = vad_split_segments(rec).collect()
+    assert len(segs) == 2
+    assert [s["seg_idx"] for s in segs] == ["vidA_00000000", "vidA_00000001"]
+    for s in segs:
+        assert s["end"] > s["start"]
+        audio, sr = decode_wav(bytes(s["audio"]))
+        assert sr == SR
+        # slice length matches the span (within pad/rounding)
+        assert len(audio) == pytest.approx(s["end"] - s["start"], abs=2)
+
+
+def test_vad_split_rescales_48k_to_16k_offsets(spark):
+    """Timestamps are 16 kHz-based; slicing happens at the original
+    rate (the reference's ×(sr/16000) rescale, audio_vad.py:48-57)."""
+    x48 = tone(300, 1.0, sr=48_000)
+    pad = np.zeros(48_000, dtype=np.float32)
+    sig = np.concatenate([pad, x48, pad])
+    rec = spark.createDataFrame(
+        [Row(channel_id="c", video_id="v", audio=bytearray(encode_wav(sig, 48_000)))]
+    )
+    segs = vad_split_segments(rec).collect()
+    assert len(segs) == 1
+    s = segs[0]
+    assert s["start"] == pytest.approx(16_000, abs=1600)  # 16 kHz units
+    audio, sr = decode_wav(bytes(s["audio"]))
+    assert sr == 48_000  # original rate preserved
+    assert len(audio) == pytest.approx(48_000, abs=4800)
+
+
+# ---------------------------------------------------------------- trim
+
+
+def test_trim_wav_udf(spark):
+    x = tone(440, 3.0)
+    df = spark.createDataFrame(
+        [Row(audio=bytearray(encode_wav(x, SR)), ss=1.0, to=2.0)]
+    )
+    out = df.select(trim_wav("audio", "ss", "to").alias("cut")).collect()[0]["cut"]
+    y, sr = decode_wav(bytes(out))
+    assert len(y) == SR
+
+
+def test_trim_bounds_rule(spark):
+    df = spark.createDataFrame([Row(d=100), Row(d=1000), Row(d=3000)])
+    rows = df.select(trim_bounds(F.col("d")).alias("t")).collect()
+    assert (rows[0]["t"]["ss"], rows[0]["t"]["to"]) == (0, 100)
+    assert (rows[1]["t"]["ss"], rows[1]["t"]["to"]) == (60, 940)
+    assert (rows[2]["t"]["ss"], rows[2]["t"]["to"]) == (120, 2880)
+
+
+# ------------------------------------------------- classify + selection
+
+
+def test_fake_classifier_is_deterministic_and_sane():
+    clf = FakeAcClassifier()
+    speech_like = tone(300, 1.0)  # low ZCR, loud
+    silence = np.zeros(SR, dtype=np.float32)
+    p1 = clf.predict_batch([speech_like, silence], SR)
+    p2 = clf.predict_batch([speech_like, silence], SR)
+    assert p1 == p2
+    top_speech = p1[0][0]
+    assert top_speech["label"] == "Speech" and top_speech["score"] > 0.5
+    assert p1[1][0]["label"] == "Silence"
+
+
+def test_segment_pipeline_end_to_end(spark):
+    """D1→D2→D3→D4→P5: recording → segments → snr → preds →
+    speech_prob → selection filter."""
+    x = _bursty_signal(2)
+    rec = spark.createDataFrame(
+        [Row(channel_id="c", video_id="v", audio=bytearray(encode_wav(x, SR)))]
+    )
+    segs = vad_split_segments(rec)
+    scored = classify_segments(segs.withColumn("snr", snr_from_wav("audio")))
+    final = scored.withColumn("speech_prob", speech_prob(F.col("preds"))).withColumn(
+        "selected", (F.col("snr") >= 20) & (F.col("speech_prob") >= 0.5)
+    )
+    rows = final.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["snr"] is not None
+        assert r["speech_prob"] > 0.5  # clean tone bursts → speech-like
+        assert r["selected"]  # clean signal passes both gates

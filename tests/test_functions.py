@@ -25,8 +25,10 @@ from se_data_pipeline_spark.functions.text import (
     distinct_token_ratio,
     mean_token_length,
     rolling_hash,
+    simhash,
     stopword_ratio,
     token_count,
+    token_hashes,
     word_shingles,
 )
 from se_data_pipeline_spark.functions.vectors import cosine, dot, norm, sign_bucket
@@ -76,6 +78,42 @@ def test_word_shingles_distinct(spark):
     df = spark.createDataFrame([Row(text="x y x y x y")])  # repeating shingles
     got = one(df, word_shingles(F.col("text"), 2))
     assert sorted(got) == ["x y", "y x"]
+
+
+def _py_token_hash(tok: str) -> int:
+    h = 0
+    for ch in tok:
+        h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+    return h
+
+
+def _py_simhash(text: str, bits: int = 16) -> int:
+    hashes = [_py_token_hash(t) for t in text.split(" ")]
+    out = 0
+    for k in range(bits):
+        vote = sum(1 if (h >> k) & 1 else -1 for h in hashes)
+        if vote > 0:
+            out |= 1 << k
+    return out
+
+
+def test_token_hashes_match_python(spark):
+    s = "the quick brown fox"
+    df = spark.createDataFrame([Row(text=s)])
+    assert one(df, token_hashes(F.col("text"))) == [
+        _py_token_hash(t) for t in s.split(" ")
+    ]
+
+
+def test_simhash_matches_python_and_is_similarity_preserving(spark):
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = a + " today"  # near-dup: one extra token
+    c = "completely different words about spark catalyst physical plans"
+    df = spark.createDataFrame([Row(text=t) for t in (a, b, c)])
+    got = [r["v"] for r in df.select(simhash(F.col("text")).alias("v")).collect()]
+    assert got == [_py_simhash(t) for t in (a, b, c)]
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(got[0], got[1]) < ham(got[0], got[2])
 
 
 # -------------------------------------------------------------- arrays

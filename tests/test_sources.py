@@ -1,0 +1,130 @@
+"""Source/sink tests: typed file scans with N/A-null handling
+(sources/files.py) and the checkpointed exactly-once publisher
+(sources/publish.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from se_data_pipeline_spark.plans import fixtures
+from se_data_pipeline_spark.sources.files import (
+    read_channels_csv,
+    read_quality_jsonl,
+    read_url_lines,
+    write_csv,
+    write_json,
+)
+from se_data_pipeline_spark.sources.publish import (
+    CheckpointedPublisher,
+    FlakyTransport,
+    LocalDirPublisher,
+    publish_metadata_json,
+)
+
+
+def test_channels_csv_roundtrip_with_na(spark, tmp_path):
+    """CSV written with 'N/A' markers comes back with typed nulls and
+    long-typed numerics (SURVEY §1.3)."""
+    p = tmp_path / "channels.csv"
+    with open(p, "w") as f:
+        f.write("title,id,n_videos,n_views,n_subs,custom_url,email,url\n")
+        f.write("Chan A,UC1,10,1000,50000,@a,a@x.com,https://yt/UC1\n")
+        f.write("Chan B,UC2,N/A,N/A,12000,,N/A,https://yt/UC2\n")
+    df = read_channels_csv(spark, str(p))
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["UC1"]["n_videos"] == 10
+    assert rows["UC2"]["n_videos"] is None
+    assert rows["UC2"]["email"] is None
+    assert dict(df.dtypes)["n_subs"] == "bigint"
+
+
+def test_multi_file_csv_union(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    for i in range(3):
+        with open(d / f"part{i}.csv", "w") as f:
+            f.write("title,id,n_videos,n_views,n_subs,custom_url,email,url\n")
+            f.write(f"C{i},UC{i},1,1,20000,,,https://yt/UC{i}\n")
+    df = read_channels_csv(spark, str(d))
+    assert df.count() == 3
+
+
+def test_quality_jsonl_schema(spark, tmp_path):
+    p = tmp_path / "quality.jsonl"
+    rec = {
+        "url": "https://yt/UC1",
+        "snrss": [21.5, 3.0],
+        "acss": [[{"label": "Speech", "score": 0.9}], []],
+    }
+    with open(p, "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    df = read_quality_jsonl(spark, str(p))
+    row = df.collect()[0]
+    assert row["snrss"] == [21.5, 3.0]
+    assert row["acss"][0][0]["label"] == "Speech"
+
+
+def test_url_lines_trimmed(spark, tmp_path):
+    p = tmp_path / "urls.txt"
+    p.write_text("  https://a \n\nhttps://b\n")
+    assert [r["url"] for r in read_url_lines(spark, str(p)).collect()] == [
+        "https://a",
+        "https://b",
+    ]
+
+
+def test_csv_and_json_sinks(spark, tmp_path):
+    df = fixtures.channels_df(spark).limit(5)
+    out_csv = str(tmp_path / "out_csv")
+    write_csv(df, out_csv, single_file=True)
+    files = [f for f in os.listdir(out_csv) if f.endswith(".csv")]
+    assert len(files) == 1
+    out_json = str(tmp_path / "out_json")
+    write_json(df, out_json)
+    back = spark.read.json(out_json)
+    assert back.count() == 5
+
+
+# ------------------------------------------------------------ publisher
+
+
+def test_publisher_idempotent_and_retrying(tmp_path):
+    root = str(tmp_path / "pub")
+    flaky = FlakyTransport(LocalDirPublisher(root), fail_first_n=2)
+    pub = CheckpointedPublisher(
+        flaky, str(tmp_path / "ledger.txt"), attempts=5, backoff_s=0.0,
+        sleep=lambda s: None,
+    )
+    assert pub.publish("batch-000", ['{"a":1}']) is True
+    assert flaky.attempts == 3  # 2 failures + 1 success
+    # replay is a no-op (exactly-once per batch id)
+    assert pub.publish("batch-000", ['{"a":1}']) is False
+    assert flaky.attempts == 3
+    assert os.path.exists(os.path.join(root, "batch-000.json"))
+
+    # a fresh publisher instance reloads the ledger from disk
+    pub2 = CheckpointedPublisher(
+        LocalDirPublisher(root), str(tmp_path / "ledger.txt")
+    )
+    assert pub2.publish("batch-000", ["x"]) is False
+
+
+def test_publisher_raises_after_exhausted_retries(tmp_path):
+    flaky = FlakyTransport(LocalDirPublisher(str(tmp_path / "p")), fail_first_n=99)
+    pub = CheckpointedPublisher(
+        flaky, str(tmp_path / "ledger.txt"), attempts=3, backoff_s=0.0,
+        sleep=lambda s: None,
+    )
+    with pytest.raises(ConnectionError):
+        pub.publish("b1", ["x"])
+    # nothing committed
+    assert pub.committed() == set()
+
+
+def test_publish_metadata_json_is_canonical():
+    a = publish_metadata_json({"b": 1, "a": [1, 2]})
+    b = publish_metadata_json({"a": [1, 2], "b": 1})
+    assert a == b == b'{"a":[1,2],"b":1}'
