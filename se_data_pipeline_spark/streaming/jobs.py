@@ -1,0 +1,109 @@
+"""Streaming jobs over the `events` table (SURVEY §2.11): watermarked
+tumbling/sliding windows, session windows, stateful dedup, and the
+foreachBatch publish sink that upgrades the reference's
+at-least-once upload loop (T2/T3) to exactly-once.
+
+Batch/streaming parity: each streaming aggregation here is the same
+logical plan as its batch twin in queries/events.py — Spark's unified
+engine guarantee. Tests run them with trigger(availableNow=True) over
+the driver parquet and compare against the batch results.
+
+Scale: state stores hold only open windows/keys (watermark evicts the
+rest); dropDuplicates state is bounded by the watermark horizon. On a
+cluster, set spark.sql.streaming.stateStore.providerClass to RocksDB
+for large keyspaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.sources.publish import CheckpointedPublisher
+
+EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events parquet (the
+    nanos-as-long + timestamp_micros conversion matches
+    catalog.load_table exactly)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_tumbling(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour counts — the streaming twin of
+    queries/events.events_hourly_tumbling. Late rows beyond the
+    watermark are dropped; state holds only open windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session_window sessionization (the batch twin derives
+    sessions with lag/cumsum — queries/events.user_sessions)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T1: stateful exactly-once-per-key dedup — the streaming form of
+    the ingest-ledger anti-join. State is evicted past the watermark,
+    so memory is bounded by the lateness horizon, not history."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def publish_batches(
+    df: DataFrame,
+    publisher: CheckpointedPublisher,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """T2/K7: the periodic-flush upload as a foreachBatch sink. The
+    micro-batch id is the batch key (the reference's `v_idx % 30`
+    cadence becomes trigger cadence); CheckpointedPublisher makes
+    replayed batches no-ops, so end-to-end it is exactly-once —
+    the §7.4 upgrade over retry-only uploading."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        records = [r for r in batch_df.toJSON().collect()]
+        publisher.publish(f"batch-{batch_id:09d}", records)
+
+    writer = (
+        df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,92 @@
+"""Streaming tests (SURVEY M7): each streaming job runs to completion
+with trigger(availableNow=True) over the sf0.001 events parquet and
+must agree with its batch twin — Spark's unified-engine guarantee,
+checked end-to-end. The publish sink proves exactly-once across a
+restart."""
+
+from __future__ import annotations
+
+import pytest
+
+from se_data_pipeline_spark.catalog import load_table
+from se_data_pipeline_spark.queries.events import events_hourly_tumbling
+from se_data_pipeline_spark.sources.publish import (
+    CheckpointedPublisher,
+    LocalDirPublisher,
+)
+from se_data_pipeline_spark.streaming.jobs import (
+    dedup_events,
+    hourly_tumbling,
+    publish_batches,
+    read_events_stream,
+    session_windows,
+)
+
+
+def _run_to_memory(spark, df, name: str, mode: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    _run_to_memory(spark, hourly_tumbling(stream), "t_tumbling", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_hourly_tumbling(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, s) in expected.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(s, abs=1e-6)
+
+
+def test_streaming_dedup_matches_distinct(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    _run_to_memory(spark, dedup_events(stream), "t_dedup", "append")
+    n_stream = spark.sql("SELECT COUNT(*) AS n FROM t_dedup").collect()[0]["n"]
+    ev = load_table(spark, sf_dir, "events")
+    assert n_stream == ev.select("event_id").distinct().count()
+
+
+def test_streaming_sessions_sane(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    _run_to_memory(spark, session_windows(stream), "t_sessions", "complete")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    assert len(rows) > 0
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+
+
+def test_streaming_publish_exactly_once(spark, sf_dir, tmp_path):
+    stream = read_events_stream(spark, sf_dir)
+    pub_dir = str(tmp_path / "published")
+    ledger = str(tmp_path / "ledger.txt")
+    ckpt = str(tmp_path / "ckpt")
+
+    pub = CheckpointedPublisher(LocalDirPublisher(pub_dir), ledger)
+    q = publish_batches(dedup_events(stream), pub, ckpt)
+    q.awaitTermination(120)
+    import os
+
+    published = sorted(os.listdir(pub_dir))
+    assert len(published) >= 1
+
+    # restart over the same checkpoint: no new batches, no re-uploads
+    pub2 = CheckpointedPublisher(LocalDirPublisher(pub_dir), ledger)
+    q2 = publish_batches(dedup_events(read_events_stream(spark, sf_dir)), pub2, ckpt)
+    q2.awaitTermination(120)
+    assert sorted(os.listdir(pub_dir)) == published
