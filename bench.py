@@ -31,9 +31,12 @@ HEADLINE = [
     "supplier_quality_rank",
     "customer_order_document",
     "dedup_exact_groups",
+    "dedup_simhash",
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
     "embedding_knn_brute",
+    "embedding_near_dup_pairs",
+    "multimodal_payload_stats",
     "events_hourly_tumbling",
     "user_sessions",
 ]

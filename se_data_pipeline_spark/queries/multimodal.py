@@ -34,13 +34,15 @@ def _payload_stats_batches(
     """Arrow-batched kernel: per-row byte stats from the binary
     payload. Sums are exact integers (bytes ≤ 255, docs ≤ 1 KB), so
     the float math afterwards is bit-identical to the SQL oracle."""
+    import numpy as np
+
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
+            b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
             n = len(b)
-            s1 = sum(b)
-            s2 = sum(x * x for x in b)
+            s1 = int(b.sum())
+            s2 = int((b * b).sum())
             mean = s1 / n
             var = max(s2 / n - mean * mean, 0.0)
             rows.append(

@@ -21,10 +21,11 @@ from se_data_pipeline_spark.functions.text import (
     lang_marker_score,
     mean_token_length,
     rolling_hash,
-    simhash,
+    simhash_udf,
     token_count,
     tokens,
-    word_shingles,
+    word_shingles,  # noqa: F401 — expression form kept for parity tests
+    word_shingles_udf,
 )
 from se_data_pipeline_spark.queries import query
 
@@ -234,13 +235,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (Hamming radius 0; band the bits for radius > 0).
 
     Scale: the fingerprint is one long per document computed row-local
-    in the scan stage; the only shuffle is the tiny group on the
-    16-bit key. This is the cheapest near-dup pass after exact-hash.
+    in the scan stage (vectorized Arrow-batched kernel — the pure
+    Catalyst expression form in functions.text.simhash computes the
+    same values but pays 16 interpreted aggregate passes per row);
+    the only shuffle is the tiny group on the 16-bit key. This is the
+    cheapest near-dup pass after exact-hash.
     """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    fp = docs.repartition(par).select(
+        "doc_id", simhash_udf()(F.col("text")).alias("simhash")
+    )
     return fp.withColumn(
         "n_same", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
     )
@@ -251,6 +258,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # self-join, exact Jaccard on candidates.
 # --------------------------------------------------------------------------
 _JACCARD_THRESHOLD = 0.8
+
+
+def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared inverted-index builder: (doc_id, n, sh) — one row per
+    distinct 5-token shingle, with the document's shingle count
+    carried alongside (so Jaccard needs no extra join back to the
+    documents). The scan is repartitioned first: the local fixture is
+    one parquet row-group (1 input split), and the shingling must
+    parallelize; on a real multi-file table this is a no-op cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    sh = docs.repartition(par).select(
+        "doc_id", word_shingles_udf(5)(F.col("text")).alias("s")
+    )
+    return sh.select(
+        "doc_id", F.size("s").alias("n"), F.explode("s").alias("sh")
+    )
 
 @query(
     "ngram_jaccard_pairs",
@@ -284,14 +308,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles fan out quadratically — at 100 TB, run
     minhash_lsh_candidates first and exact-verify only candidates
     (that query feeds this one); AQE skew-join handles residual hot
-    keys.
+    keys. Shingle counts ride along as join payload, so no second
+    pass over the documents is needed for the Jaccard denominator.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", word_shingles(F.col("text"), 5).alias("s")
-    )
-    cnt = sh.select("doc_id", F.size("s").alias("n"))
-    e = sh.select("doc_id", F.explode("s").alias("sh"))
+    e = _shingle_index(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
     pairs = (
@@ -301,24 +321,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        pairs.join(
-            F.broadcast(cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
-            "doc_b",
-        )
-        .filter(jac >= _JACCARD_THRESHOLD)
-        .select(
-            "doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")
-        )
+        pairs.filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -371,38 +384,58 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the candidate join shuffles tiny rows; the quadratic blowup of
     the naive shingle self-join never happens. This is the 100 TB
     front-end for ngram_jaccard_pairs' exact verification.
+
+    The signature is computed row-locally in one Arrow-batched numpy
+    pass (shingle-hash → k permutations → per-band min-signature).
+    The explode(shingles)×explode(k)→groupBy form shuffles ~800
+    mechanical rows per document for what is a per-row kernel — 5×
+    slower at sf0.1 and pure shuffle waste at 100 TB.
     """
+    import numpy as np
+    import pandas as pd
+
+    from se_data_pipeline_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        TOKEN_SEP,
+    )
+
+    ks = np.arange(_MINHASH_K, dtype=np.int64)
+
+    def sig_rows(batches):
+        for pdf in batches:
+            out_doc, out_band, out_sig = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(TOKEN_SEP)
+                if len(toks) < 5:
+                    continue
+                hs = []
+                for s in dict.fromkeys(
+                    TOKEN_SEP.join(toks[i : i + 5]) for i in range(len(toks) - 4)
+                ):
+                    h = 0
+                    for ch in s:
+                        h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+                    hs.append(h)
+                arr = np.asarray(hs, dtype=np.int64)
+                # (n_shingles, k) universal hashes, min over shingles
+                ph = ((2 * ks + 1) * arr[:, None] + 31 * ks + 7) % _MH_P
+                mh = ph.min(axis=0)
+                for band in range(_MINHASH_K // _MINHASH_BAND_ROWS):
+                    lo = band * _MINHASH_BAND_ROWS
+                    out_doc.append(doc_id)
+                    out_band.append(band)
+                    out_sig.append(
+                        "-".join(str(v) for v in mh[lo : lo + _MINHASH_BAND_ROWS])
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "band": out_band, "sig": out_sig}
+            )
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("sh"))
-    hashed = sh.select("doc_id", rolling_hash(F.col("sh")).alias("h"))
-    perms = hashed.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(_MINHASH_K - 1))).alias("perm"),
-    )
-    mins = (
-        perms.withColumn(
-            "ph",
-            ((2 * F.col("perm") + 1).cast("long") * F.col("h")
-             + 31 * F.col("perm") + 7) % _MH_P,
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("ph").alias("mh"))
-    )
-    bands = (
-        mins.withColumn(
-            "band", F.floor(F.col("perm") / _MINHASH_BAND_ROWS)
-        )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("perm", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
-                "-",
-            ).alias("sig")
-        )
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    bands = docs.repartition(par).mapInPandas(
+        sig_rows, "doc_id long, band long, sig string"
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -149,28 +149,60 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities (add hyperplanes to shrink buckets as the table
     grows); the join shuffles on the bucket key, so skew maps to
     bucket-size skew, which AQE splits.
+
+    Pairwise scoring runs as ONE mapInPandas pass over the joined
+    pair stream: vectorized numpy cosine, threshold, and rounding in
+    a single Arrow round-trip. (A scalar pandas_udf referenced by
+    both the filter and the projection gets extracted into TWO
+    ArrowEvalPython stages — the whole pair stream crosses the Python
+    boundary twice; and the pure-HOF cosine was 70× slower still,
+    interpreted per pair.)
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn(
-        "bucket", sign_bucket(F.col("embedding"), [0, 13, 27, 41])
+    # repartition: the local fixture is one input split; the pair
+    # scoring must parallelize (no-op cost on a real multi-file table)
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    bucketed = emb.repartition(par).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        sign_bucket(F.col("embedding"), [0, 13, 27, 41]).alias("bucket"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("raw_sim"),
-        )
-        .filter(F.col("raw_sim") >= _NEAR_DUP_COS)
-        .select("vec_a", "vec_b", F.round("raw_sim", 6).alias("cos_sim"))
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("a.v").alias("va"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("b.v").alias("vb"),
     )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ma = np.asarray(pdf["va"].tolist(), dtype=np.float64)
+            mb = np.asarray(pdf["vb"].tolist(), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", ma, mb) / (
+                np.sqrt(np.einsum("ij,ij->i", ma, ma))
+                * np.sqrt(np.einsum("ij,ij->i", mb, mb))
+            )
+            keep = cos >= _NEAR_DUP_COS
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"][keep],
+                    "vec_b": pdf["vec_b"][keep],
+                    "cos_sim": np.round(cos[keep], 6),
+                }
+            )
+
+    return pairs.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
 
 
 @query(

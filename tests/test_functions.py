@@ -74,6 +74,22 @@ def test_word_shingles_basic_and_short(spark):
     assert one(short, word_shingles(F.col("text"), 5)) == []
 
 
+def test_word_shingles_udf_matches_expression(spark):
+    from se_data_pipeline_spark.functions.text import word_shingles_udf
+
+    texts = ["a b c d e f g", "x y x y x y", "too short", "a b c d e"]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    expr = [
+        sorted(r["v"])
+        for r in df.select(word_shingles(F.col("text"), 5).alias("v")).collect()
+    ]
+    udf = [
+        sorted(r["v"])
+        for r in df.select(word_shingles_udf(5)(F.col("text")).alias("v")).collect()
+    ]
+    assert expr == udf
+
+
 def test_word_shingles_distinct(spark):
     df = spark.createDataFrame([Row(text="x y x y x y")])  # repeating shingles
     got = one(df, word_shingles(F.col("text"), 2))
@@ -103,6 +119,22 @@ def test_token_hashes_match_python(spark):
     assert one(df, token_hashes(F.col("text"))) == [
         _py_token_hash(t) for t in s.split(" ")
     ]
+
+
+def test_simhash_udf_matches_expression_form(spark):
+    from se_data_pipeline_spark.functions.text import simhash_udf
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b a b a",
+        "single",
+    ]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    expr_vals = [r["v"] for r in df.select(simhash(F.col("text")).alias("v")).collect()]
+    udf_vals = [
+        r["v"] for r in df.select(simhash_udf()(F.col("text")).alias("v")).collect()
+    ]
+    assert expr_vals == udf_vals == [_py_simhash(t) for t in texts]
 
 
 def test_simhash_matches_python_and_is_similarity_preserving(spark):
