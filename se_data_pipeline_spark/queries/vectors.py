@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
-from se_data_pipeline_spark.functions.vectors import cosine, sign_bucket
+from se_data_pipeline_spark.functions.vectors import sign_bucket
 from se_data_pipeline_spark.queries import query
 
 # Query vector = the embedding of the smallest vec_id (deterministic).
@@ -28,6 +28,37 @@ _SQL_COS = """
 """
 
 
+def _score_against_query(scored_input: DataFrame, extra_col: str):
+    """Shared ANN scorer: one mapInPandas pass computes the cosine of
+    every row vector against the (broadcast-joined) query vector —
+    vectorized numpy per Arrow batch, so the per-row cost at 100 TB
+    is a fused matmul, not an interpreted expression tree. Input
+    columns: vec_id, <extra_col>, v (row vector), q (query vector);
+    output adds raw_sim."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            q = np.asarray(pdf["q"].iloc[0], dtype=np.float64)
+            cos = (m @ q) / (np.sqrt(np.einsum("ij,ij->i", m, m)) * np.sqrt(q @ q))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    extra_col: pdf[extra_col],
+                    "raw_sim": cos,
+                }
+            )
+
+    dt = dict(scored_input.dtypes)[extra_col]
+    return scored_input.mapInPandas(
+        score, f"vec_id long, {extra_col} {dt}, raw_sim double"
+    )
+
+
 @query(
     "embedding_knn_brute",
     oracle=f"""
@@ -40,8 +71,8 @@ _SQL_COS = """
 )
 def embedding_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query vector, score
-    every row with a JVM-side zip_with/aggregate expression, take
-    top-20 with a deterministic tie-break.
+    every row in a vectorized Arrow-batched pass, take top-20 with a
+    deterministic tie-break.
 
     Scale: `orderBy().limit(k)` compiles to TakeOrderedAndProject —
     each partition keeps only its local top-k, the driver merges
@@ -49,11 +80,15 @@ def embedding_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-recall baseline the LSH variant is measured against.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    par = max(spark.sparkContext.defaultParallelism, 8)
     qvec = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
-    sim = cosine(F.col("embedding"), F.col("q"))
+    rows = (
+        emb.repartition(par)
+        .select("vec_id", "label", F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(qvec))
+    )
     return (
-        emb.crossJoin(F.broadcast(qvec))
-        .select("vec_id", "label", sim.alias("raw_sim"))
+        _score_against_query(rows, "label")
         .orderBy(F.desc("raw_sim"), F.asc("vec_id"))
         .limit(20)
         .select("vec_id", "label", F.round("raw_sim", 6).alias("cos_sim"))
@@ -92,7 +127,8 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     same TakeOrderedAndProject top-k as the brute-force baseline.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn(
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    bucketed = emb.repartition(par).withColumn(
         "bucket", sign_bucket(F.col("embedding"), [0, 13, 27, 41])
     )
     qrow = (
@@ -100,12 +136,11 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .select(F.col("embedding").alias("q"), F.col("bucket").alias("qbucket"))
     )
-    sim = cosine(F.col("embedding"), F.col("q"))
+    rows = bucketed.join(
+        F.broadcast(qrow), F.col("bucket") == F.col("qbucket"), "inner"
+    ).select("vec_id", "bucket", F.col("embedding").alias("v"), "q")
     return (
-        bucketed.join(
-            F.broadcast(qrow), F.col("bucket") == F.col("qbucket"), "inner"
-        )
-        .select("vec_id", "bucket", sim.alias("raw_sim"))
+        _score_against_query(rows, "bucket")
         .orderBy(F.desc("raw_sim"), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", "bucket", F.round("raw_sim", 6).alias("cos_sim"))
