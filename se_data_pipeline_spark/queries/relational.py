@@ -547,6 +547,33 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Approximate aggregates (HLL + quantile sketch): the 100 TB
+# cardinality/quantile path — exact distinct counts shuffle every key,
+# sketches shuffle constant-size state. Exact twins are oracle-checked
+# (acctbal_tiers n_nations); the sketch values are engine-specific, so
+# the driver records the rows-only check, and the accuracy contract
+# (±5% of exact) is pinned by a unit test.
+# --------------------------------------------------------------------------
+@query("supplier_distinct_parts_approx", oracle=None)
+def supplier_distinct_parts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) + approx quantiles per
+    supplier nation: constant memory per group regardless of key
+    cardinality — the scale substitute for COUNT(DISTINCT) at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("median_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
 # Full-row distinct after union (reference A1: concat shards then
 # drop_duplicates()).
 # --------------------------------------------------------------------------

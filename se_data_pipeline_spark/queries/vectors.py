@@ -147,6 +147,86 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_knn_ivf",
+    oracle=f"""
+    WITH q AS ({_SQL_QVEC}),
+    flat AS (SELECT label, unnest(embedding) AS v,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM embeddings),
+    c AS (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS ctr
+          FROM flat GROUP BY label, pos),
+    dist AS (SELECT c.label,
+                    SUM((c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))
+                        * (c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))) AS d2
+             FROM c CROSS JOIN q GROUP BY c.label),
+    cell AS (SELECT label FROM dist ORDER BY d2, label LIMIT 1)
+    SELECT e.vec_id, e.label, ROUND({_SQL_COS}, 6) AS cos_sim
+    FROM embeddings e
+    JOIN cell ON e.label = cell.label
+    CROSS JOIN q
+    ORDER BY {_SQL_COS} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: the coarse quantizer is the per-cell
+    centroid table (cells = labels here — the trained-codebook analog
+    of embedding_label_centroids); the query probes its nearest
+    centroid's cell only, then scores exactly inside it.
+
+    Scale: centroid distance runs over n_cells rows (tiny); the data
+    table is read with a cell-key filter — written partitioned by
+    cell id, that is partition pruning, so a query touches 1/n_cells
+    of 100 TB. nprobe>1 = relax the cell limit. Scoring is the shared
+    vectorized Arrow pass + TakeOrderedAndProject.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    qvec = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+
+    centroids = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("ctr"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "ctr"))),
+                lambda s: s["ctr"],
+            ).alias("centroid")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("centroid"),
+            F.col("q"),
+            lambda c, x: (c - x.cast("double")) * (c - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cell = (
+        centroids.crossJoin(F.broadcast(qvec))
+        .select("label", d2.alias("d2"))
+        .orderBy("d2", "label")
+        .limit(1)
+        .select("label")
+    )
+    rows = (
+        emb.repartition(par)
+        .join(F.broadcast(cell), "label")
+        .select("vec_id", "label", F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(qvec))
+    )
+    return (
+        _score_against_query(rows, "label")
+        .orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("raw_sim", 6).alias("cos_sim"))
+    )
+
+
 _NEAR_DUP_COS = 0.45
 
 # pairwise double-precision cosine between aliased rows a/b.

@@ -16,6 +16,7 @@ for large keyspaces.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,6 +82,63 @@ def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     the ingest-ledger anti-join. State is evicted past the watermark,
     so memory is bounded by the lateness horizon, not history."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def running_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals with a budget flag — the reference's loop-carried
+    per-channel accumulators (`_total_downloaded_duration`,
+    data_pipeline.py:562-568, SURVEY W3/T1) as managed, fault-tolerant
+    streaming state instead of Python locals.
+
+    State per key = (total, n); each micro-batch folds its rows in
+    vectorized pandas and emits the updated running state. At 100 TB
+    the state store shards by key across executors — use the RocksDB
+    provider for large keyspaces."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("n_events", LongType()),
+            StructField("over_budget", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("total", DoubleType()), StructField("n", LongType())]
+    )
+    budget = 100.0
+
+    def update(key, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_value": [total],
+                "n_events": [n],
+                "over_budget": [total > budget],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def publish_batches(

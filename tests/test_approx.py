@@ -1,0 +1,36 @@
+"""Accuracy contract for the sketch-based aggregates (no SQL oracle —
+HLL/quantile sketches are engine-specific): approx values must land
+within the configured error of the exact computation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.catalog import load_table
+from se_data_pipeline_spark.queries.relational import supplier_distinct_parts_approx
+
+
+def test_approx_distinct_within_error(spark, sf_dir):
+    got = {
+        r["s_nationkey"]: r for r in supplier_distinct_parts_approx(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    exact = {
+        r["s_nationkey"]: r
+        for r in (
+            li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_nationkey")
+            .agg(
+                F.countDistinct("l_partkey").alias("parts"),
+                F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        g = got[k]
+        assert abs(g["approx_parts"] - e["parts"]) <= max(0.05 * e["parts"], 2)
+        # percentile_approx with accuracy 10k is near-exact at this scale
+        assert abs(g["median_price"] - e["median"]) / e["median"] < 0.05

@@ -71,6 +71,36 @@ def test_streaming_sessions_sane(spark, sf_dir):
         assert r["session_end"] > r["session_start"]
 
 
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    """applyInPandasWithState folds per-user state across micro-
+    batches; the final emitted state per user must equal the batch
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import running_totals_stateful
+
+    stream = read_events_stream(spark, sf_dir)
+    _run_to_memory(spark, running_totals_stateful(stream), "t_state", "update")
+    # last emission per user = the one with the max n_events
+    rows = spark.sql(
+        """SELECT user_id, total_value, n_events FROM t_state a
+           WHERE n_events = (SELECT MAX(n_events) FROM t_state b
+                             WHERE b.user_id = a.user_id)"""
+    ).collect()
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["user_id"]: (r["total"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        t, n = exact[r["user_id"]]
+        assert r["n_events"] == n
+        assert r["total_value"] == pytest.approx(t)
+
+
 def test_streaming_publish_exactly_once(spark, sf_dir, tmp_path):
     stream = read_events_stream(spark, sf_dir)
     pub_dir = str(tmp_path / "published")
