@@ -35,7 +35,11 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
     "embedding_knn_brute",
+    "embedding_knn_lsh",
+    "embedding_knn_ivf",
     "embedding_near_dup_pairs",
+    "supplier_distinct_parts_approx",
+    "lineitem_rollup",
     "multimodal_payload_stats",
     "events_hourly_tumbling",
     "user_sessions",

@@ -40,6 +40,60 @@ RELATIONAL_TABLES = (
 )
 
 
+# Declared column contracts (name:type DDL) — the engine's typed view
+# of the driver tables. validate_table() checks a scan against these;
+# queries rely on exactly these names/types.
+RELATIONAL_SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp_ntz"
+    ),
+    "events": (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ),
+    "documents": (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ),
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+
+def validate_table(df: DataFrame, name: str) -> None:
+    """Assert a loaded table matches its declared contract — fail fast
+    at plan time instead of mid-query on a drifted input."""
+    expected = T._parse_datatype_string(RELATIONAL_SCHEMAS[name])
+    actual = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    )
+    declared = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in expected.fields]
+    )
+    if actual != declared:
+        raise ValueError(
+            f"table {name!r} drifted from contract:\n"
+            f"  declared: {declared.simpleString()}\n"
+            f"  actual:   {actual.simpleString()}"
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table. Parquet scans get predicate
     pushdown + column pruning from Catalyst automatically.
