@@ -547,6 +547,71 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Conditional aggregation over a part-dimension join (TPC-H Q14 shape):
+# CASE inside SUM — the share-of-total pattern.
+# --------------------------------------------------------------------------
+@query(
+    "brand_economy_share",
+    oracle="""
+    SELECT p.p_brand,
+           ROUND(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2) AS economy_revenue,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+           ROUND(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS economy_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_economy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregate (SUM over a CASE) per brand after a
+    broadcast dimension join — one shuffle on the 25-value brand key,
+    the share computed from two partial sums in the same pass (no
+    second scan for the denominator)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    economy = F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(economy, 2).alias("economy_revenue"),
+            F.round(total, 2).alias("total_revenue"),
+            F.round(economy / total, 6).alias("economy_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE multi-dimensional aggregate (sibling of lineitem_rollup).
+# --------------------------------------------------------------------------
+@query(
+    "orders_status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube(status, priority): all four grouping sets in one shuffle
+    with map-side partials — the full-matrix report the reference
+    would need four pandas passes for."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate aggregates (HLL + quantile sketch): the 100 TB
 # cardinality/quantile path — exact distinct counts shuffle every key,
 # sketches shuffle constant-size state. Exact twins are oracle-checked

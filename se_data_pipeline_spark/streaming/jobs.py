@@ -61,6 +61,22 @@ def hourly_tumbling(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def sliding_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked sliding window (2 h size / 1 h slide) — streaming
+    twin of queries/events.events_sliding_window. Window assignment
+    is row-local (each event emits into two windows); only the final
+    aggregate shuffles."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
 def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session_window sessionization (the batch twin derives
     sessions with lag/cumsum — queries/events.user_sessions)."""

@@ -14,12 +14,14 @@ from se_data_pipeline_spark.sources.publish import (
     CheckpointedPublisher,
     LocalDirPublisher,
 )
+from se_data_pipeline_spark.queries.events import events_sliding_window
 from se_data_pipeline_spark.streaming.jobs import (
     dedup_events,
     hourly_tumbling,
     publish_batches,
     read_events_stream,
     session_windows,
+    sliding_counts,
 )
 
 
@@ -45,6 +47,23 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     expected = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in events_hourly_tumbling(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (n, s) in expected.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(s, abs=1e-6)
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    _run_to_memory(spark, sliding_counts(stream), "t_sliding", "complete")
+    got = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_sliding").collect()
+    }
+    expected = {
+        r["window_start"]: (r["n_events"], r["sum_value"])
+        for r in events_sliding_window(spark, sf_dir).collect()
     }
     assert set(got) == set(expected)
     for k, (n, s) in expected.items():
