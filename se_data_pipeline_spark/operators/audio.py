@@ -218,8 +218,10 @@ class SileroVad:
 
 _SEGMENT_SCHEMA = (
     "channel_id string, video_id string, seg_idx string, "
-    "start long, end long, audio binary"
+    "start long, end long, audio binary, error_class string"
 )
+
+ERR_DECODE = "DECODE_ERROR"
 
 
 def vad_split_segments(
@@ -239,6 +241,12 @@ def vad_split_segments(
     how long the input recording is. The backend object is created
     once per executor (closure singleton), the silero analog of the
     module-level model load.
+
+    Error routing (fixes reference bug SURVEY §7.4(6): vad_split
+    swallowed exceptions and returned None, crashing the caller):
+    undecodable recordings produce ONE row with error_class set and
+    null audio; sources.acquire.split_dead_letter routes them to the
+    dead-letter sink while good segments (error_class null) continue.
     """
     vad = backend or EnergyVad()
 
@@ -249,8 +257,13 @@ def vad_split_segments(
                 pdf["channel_id"], pdf["video_id"], pdf["audio"]
             ):
                 if data is None:
+                    rows.append((ch, vid, None, None, None, None, ERR_DECODE))
                     continue
-                x, sr = decode_wav(bytes(data))
+                try:
+                    x, sr = decode_wav(bytes(data))
+                except Exception:
+                    rows.append((ch, vid, None, None, None, None, ERR_DECODE))
+                    continue
                 x16 = resample_linear(x, sr, vad_sr)
                 scale = sr / vad_sr
                 for i, (s16, e16) in enumerate(vad.speech_spans(x16, vad_sr)):
@@ -263,6 +276,7 @@ def vad_split_segments(
                             s16,
                             e16,
                             encode_wav(x[s:e], sr),
+                            None,
                         )
                     )
             yield pd.DataFrame(
@@ -274,6 +288,7 @@ def vad_split_segments(
                     "start",
                     "end",
                     "audio",
+                    "error_class",
                 ],
             )
 

@@ -203,6 +203,37 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deduplicated corpus materialization: the actual output of the dedup
+# pass — canonical survivors only.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_canonical_corpus",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id IN (
+      SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+    """,
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus a training run actually consumes: exact-dedup
+    survivors (min doc_id per content hash), selected with a
+    left-semi join against the canonical-id set. At 100 TB the
+    survivor set is written back partitioned and becomes the input to
+    the near-dup passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    canonical = (
+        docs.select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(canonical, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash near-dup: 16-bit sign-of-bit-sums fingerprint over token
 # rolling hashes; equal fingerprints = Hamming-0 near-dup groups.
 # --------------------------------------------------------------------------

@@ -155,6 +155,28 @@ def test_vad_split_rescales_48k_to_16k_offsets(spark):
     assert len(audio) == pytest.approx(48_000, abs=4800)
 
 
+def test_vad_split_routes_decode_errors_to_dead_letter(spark):
+    """SURVEY §7.4(6) fix: undecodable audio becomes a typed
+    dead-letter row instead of a swallowed exception."""
+    from se_data_pipeline_spark.operators.audio import ERR_DECODE
+    from se_data_pipeline_spark.sources.acquire import split_dead_letter
+
+    good = encode_wav(tone(300, 1.0), SR)
+    rec = spark.createDataFrame(
+        [
+            Row(channel_id="c", video_id="ok", audio=bytearray(good)),
+            Row(channel_id="c", video_id="bad", audio=bytearray(b"not a wav")),
+            Row(channel_id="c", video_id="none", audio=None),
+        ]
+    )
+    segs = vad_split_segments(rec)
+    ok, dead = split_dead_letter(segs)
+    assert {r["video_id"] for r in ok.collect()} == {"ok"}
+    dead_rows = dead.collect()
+    assert {r["video_id"] for r in dead_rows} == {"bad", "none"}
+    assert all(r["error_class"] == ERR_DECODE for r in dead_rows)
+
+
 # ---------------------------------------------------------------- trim
 
 
