@@ -61,11 +61,18 @@ def main() -> None:
     # untimed warmup: JVM + codegen + parquet footer caches
     qs["pricing_summary"](spark, sf_dir).collect()
 
+    # Two timed passes, min per query: a single pass conflates the
+    # plan's cost with transient host noise (VM CPU steal, a
+    # co-resident process) and first-run codegen compile; the min of
+    # two runs is the reproducible cost of the physical plan itself.
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in per_query or dt < per_query[name]:
+                per_query[name] = dt
 
     total = round(sum(per_query.values()), 3)
     print(
