@@ -43,6 +43,9 @@ HEADLINE = [
     "multimodal_payload_stats",
     "events_hourly_tumbling",
     "user_sessions",
+    "events_asof_enrichment",
+    "error_click_correlation",
+    "cheapest_supplier_per_part",
 ]
 
 

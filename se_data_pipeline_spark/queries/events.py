@@ -152,3 +152,121 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join: enrich each click with the user's most recent purchase
+# at-or-before it. Spark has no built-in ASOF; functions/joins.asof_join
+# supplies it as union + running window (single shuffle, linear).
+# DuckDB's native ASOF JOIN is the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "events_asof_enrichment",
+    oracle="""
+    SELECT c.event_id, c.user_id, p.value AS last_purchase_value,
+           (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000
+             AS secs_since_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def events_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ASOF backward join clicks→purchases per user. Clicks with
+    no prior purchase keep nulls. The operator's plan is one exchange
+    on user_id + one sort — no range-condition rescan."""
+    from se_data_pipeline_spark.functions.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks, purchases, on="user_id", right_cols=["ts", "value"]
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("value_asof").alias("last_purchase_value"),
+        F.expr("(unix_micros(ts) - unix_micros(ts_asof)) div 1000000").alias(
+            "secs_since_purchase"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Range join: clicks within the 5 minutes before each error (equi key
+# + time-band predicate).
+# --------------------------------------------------------------------------
+@query(
+    "error_click_correlation",
+    oracle="""
+    SELECT e.event_id, COUNT(c.event_id) AS n_clicks_5min
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts
+    GROUP BY e.event_id
+    """,
+)
+def error_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: equi on user_id (drives the shuffle — the
+    band predicate is evaluated post-match, so the join stays a hash
+    join, not a cartesian). Counts clicks in the 5 min before each
+    error. For a pure range join with no equi key, bucket both sides
+    by floor(ts / band) and probe adjacent buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").alias("e")
+    clicks = ev.filter(F.col("event_type") == "click").alias("c")
+    return (
+        errors.join(
+            clicks,
+            (F.col("c.user_id") == F.col("e.user_id"))
+            & F.col("c.ts").between(
+                F.col("e.ts") - F.expr("INTERVAL 5 MINUTES"), F.col("e.ts")
+            ),
+            "left",
+        )
+        .groupBy(F.col("e.event_id").alias("event_id"))
+        .agg(F.count(F.col("c.event_id")).alias("n_clicks_5min"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot: per-user event-type count matrix.
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "user_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list: without it Spark
+    runs an extra distinct-values job over the whole table before it
+    can even plan — at 100 TB that is a full scan just to learn the
+    column names. Missing combinations are coalesced to 0 to match
+    SQL's FILTER count."""
+    ev = load_table(spark, sf_dir, "events")
+    pv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )

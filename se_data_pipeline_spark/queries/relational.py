@@ -658,3 +658,125 @@ def distinct_after_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = nation.filter(F.col("n_regionkey") < 3)
     b = nation.filter(F.col("n_regionkey") >= 1)
     return a.unionByName(b).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS: the general form behind rollup/cube — exactly the
+# named grouping combinations, one shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_grouping_sets",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+    """,
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation, by segment, and in total — three grouping
+    sets in ONE aggregation pass (map-side partials included), where
+    the reference's pandas style would scan three times. Dimension
+    joins broadcast (customer/nation are small); the single shuffle is
+    the grouping-set aggregate."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"gs_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM gs_orders o
+        JOIN gs_customer c ON o.o_custkey = c.c_custkey
+        JOIN gs_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Min-by-key join (TPC-H Q2 flavor): for every part, the supplier
+# offering it cheapest.
+# --------------------------------------------------------------------------
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+    SELECT p.p_partkey AS partkey, p.p_name AS part_name,
+           s.s_name AS supplier_name, b.price
+    FROM (SELECT l_partkey, l_suppkey, price FROM (
+            SELECT l_partkey, l_suppkey, l_extendedprice AS price,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                      ORDER BY l_extendedprice, l_suppkey)
+                     AS rn
+            FROM lineitem) t
+          WHERE rn = 1) b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-min lookup done scale-right: a per-part row_number
+    window (one shuffle on partkey) instead of a correlated subquery
+    re-scanning lineitem per part, then broadcast joins to the part
+    and supplier dimensions for names. Deterministic tie-break on
+    (price, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("l_partkey").orderBy("price", "l_suppkey")
+    best = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_extendedprice").alias("price"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(
+            F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            "price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-subquery HAVING (TPC-H Q11 flavor): parts whose total traded
+# value concentrates above a global-average threshold.
+# --------------------------------------------------------------------------
+@query(
+    "part_value_concentration",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS partkey, SUM(l_extendedprice) AS part_value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT partkey, ROUND(part_value, 2) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT 1.5 * AVG(part_value) FROM pv)
+    """,
+)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate subquery as a broadcast: the global threshold
+    is a 1-row aggregate crossJoin-broadcast onto the per-part rollup
+    — the reference's A3 max-normalization pattern generalized. Two
+    aggregations, one of them over already-reduced data; no second
+    scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum("l_extendedprice").alias("part_value")
+    )
+    thr = pv.agg((F.avg("part_value") * 1.5).alias("thr"))
+    return (
+        pv.crossJoin(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select("partkey", F.round("part_value", 2).alias("part_value"))
+    )

@@ -482,3 +482,38 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: rebalance the corpus by language
+# with a multiplicative hash — reproducible across runs/engines,
+# unlike rand()-based sampling.
+# --------------------------------------------------------------------------
+@query(
+    "doc_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ((doc_id % 1000003) * 2654435761) % 1000 <
+          CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 600 ELSE 1000 END
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rebalancing (downsample high-resource en/zh,
+    keep the rest) via Knuth multiplicative hashing on doc_id: fully
+    deterministic, so the sample is stable across runs, engines, and
+    repartitions — sample(fraction) is not (it depends on partition
+    layout). The doc_id is reduced mod a prime first so the product
+    stays in int64 under ANSI overflow checking at any id scale. The
+    predicate pushes to the parquet scan; no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(1000003)) * F.lit(2654435761),
+        F.lit(1000),
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 300)
+        .when(F.col("lang") == "zh", 600)
+        .otherwise(1000)
+    )
+    return docs.filter(h < rate).select("doc_id", "lang", "n_chars")

@@ -196,3 +196,73 @@ def test_sign_bucket(spark):
     df = spark.createDataFrame([Row(a=[1.0, -1.0, 0.5, -0.2])])
     # dims 0..3 → bits 1,0,1,0 → 1 + 4 = 5
     assert one(df, sign_bucket(F.col("a"), [0, 1, 2, 3])) == 5
+
+
+# ---------------------------------------------------------------- asof_join
+
+
+def _asof_frames(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=dt(2024, 1, 1, 0, 10), lbl="a10"),
+            Row(k="a", ts=dt(2024, 1, 1, 0, 30), lbl="a30"),
+            Row(k="b", ts=dt(2024, 1, 1, 0, 5), lbl="b05"),
+            Row(k="c", ts=dt(2024, 1, 1, 0, 20), lbl="c20"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=dt(2024, 1, 1, 0, 10), px=1.0),
+            Row(k="a", ts=dt(2024, 1, 1, 0, 25), px=2.0),
+            Row(k="b", ts=dt(2024, 1, 1, 0, 7), px=3.0),
+        ]
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive_and_null(spark):
+    from se_data_pipeline_spark.functions.joins import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {
+        r["lbl"]: (r["px_asof"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    # a10 matches the EQUAL-timestamp right row (inclusive boundary);
+    # a30 takes the later 0:25 row; b05 precedes b's only row -> null;
+    # c has no right rows at all -> null.
+    assert out == {"a10": 1.0, "a30": 2.0, "b05": None, "c20": None}
+
+
+def test_asof_join_forward(spark):
+    from se_data_pipeline_spark.functions.joins import asof_join
+
+    left, right = _asof_frames(spark)
+    out = {
+        r["lbl"]: r["px_asof"]
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    # forward: earliest right at-or-after. a10 -> equal ts row (1.0),
+    # a30 -> nothing after -> null, b05 -> 0:07 row, c -> null.
+    assert out == {"a10": 1.0, "a30": None, "b05": 3.0, "c20": None}
+
+
+def test_asof_join_carries_matched_row_atomically(spark):
+    """Null columns in the matched right row must NOT fall back to an
+    older right row's value (the struct payload is carried whole)."""
+    from datetime import datetime as dt
+
+    from se_data_pipeline_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame([Row(k="a", ts=dt(2024, 1, 1, 0, 30))])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=dt(2024, 1, 1, 0, 10), px=7.0),
+            Row(k="a", ts=dt(2024, 1, 1, 0, 20), px=None),
+        ]
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["px_asof"] is None  # latest row's null, not 7.0
+    assert row["ts_asof"] == dt(2024, 1, 1, 0, 20)
