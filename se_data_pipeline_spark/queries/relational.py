@@ -631,7 +631,7 @@ def supplier_distinct_parts_approx(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("s_nationkey")
         .agg(
             F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("median_price"),
+            F.percentile_approx("l_extendedprice", 0.5, 2_000).alias("median_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("s_nationkey")

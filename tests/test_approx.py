@@ -32,5 +32,7 @@ def test_approx_distinct_within_error(spark, sf_dir):
     for k, e in exact.items():
         g = got[k]
         assert abs(g["approx_parts"] - e["parts"]) <= max(0.05 * e["parts"], 2)
-        # percentile_approx with accuracy 10k is near-exact at this scale
+        # percentile_approx accuracy=2000 -> rank error ~1/2000, far
+        # inside the 5% contract; 10k retained samples measured ~6x
+        # slower for no contract benefit
         assert abs(g["median_price"] - e["median"]) / e["median"] < 0.05
