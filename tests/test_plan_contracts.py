@@ -81,3 +81,47 @@ def test_anti_join_uses_broadcast(spark, sf_dir):
 
     plan = plan_of(customers_without_orders(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_asof_join_single_exchange(spark):
+    """asof_join's plan must contain exactly ONE shuffle (the window
+    partitioning) — the linear union+window form, not a quadratic
+    range-condition join. A theta-join formulation would show a
+    CartesianProduct / BroadcastNestedLoopJoin here."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import Row
+
+    from se_data_pipeline_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", ts=dt(2024, 1, 1), x=1)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", ts=dt(2024, 1, 1), px=1.0)]
+    )
+    plan = plan_of(asof_join(left, right, on="k"))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_dir):
+    """Hive-style partitionBy(lang) at write time => a lang-filtered
+    read lists only that partition's directory (partition pruning) —
+    the first-order 100 TB layout decision for per-language corpus
+    work."""
+    from se_data_pipeline_spark.catalog import load_table
+
+    out = str(tmp_path / "docs_by_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("lang") == "de")
+    plan = plan_of(df)
+    # partition filter recognized (not a data filter on a read column)
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters", 1)[1][:200]
+    got = df.count()
+    want = docs.filter(F.col("lang") == "de").count()
+    assert got == want
