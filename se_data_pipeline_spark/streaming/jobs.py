@@ -157,6 +157,49 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_attribution(stream: DataFrame, horizon: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    same user's clicks in the preceding `horizon`. Both sides carry
+    watermarks and the join condition is time-bounded, so each side's
+    buffered state is evicted once the other side's watermark passes
+    the interval — bounded memory regardless of stream length. An
+    unbounded-condition stream-stream join would keep ALL history in
+    state; the interval bound is what makes this run forever.
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
 def publish_batches(
     df: DataFrame,
     publisher: CheckpointedPublisher,

@@ -139,3 +139,48 @@ def test_streaming_publish_exactly_once(spark, sf_dir, tmp_path):
     q2 = publish_batches(dedup_events(read_events_stream(spark, sf_dir)), pub2, ckpt)
     q2.awaitTermination(120)
     assert sorted(os.listdir(pub_dir)) == published
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (purchase→click attribution) must
+    equal the same join done in batch — and its state stays bounded
+    because both sides are watermarked with a time-bound condition."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import (
+        click_purchase_attribution,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    _run_to_memory(
+        spark, click_purchase_attribution(stream), "t_attr", "append"
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    expected = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 10 minutes")
+            ),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
