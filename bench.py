@@ -46,6 +46,8 @@ HEADLINE = [
     "events_asof_enrichment",
     "error_click_correlation",
     "cheapest_supplier_per_part",
+    "corpus_curation_pipeline",
+    "embedding_knn_join",
 ]
 
 

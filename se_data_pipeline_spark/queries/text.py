@@ -517,3 +517,51 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1000)
     )
     return docs.filter(h < rate).select("doc_id", "lang", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# The end-to-end curation pass: exact-dedup survivors ∩ quality gates.
+# What actually feeds a training run.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    stats AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS diversity
+      FROM documents)
+    SELECT s.doc_id, s.lang, s.n_tokens, s.n_chars
+    FROM stats s JOIN survivors USING (doc_id)
+    WHERE s.n_chars BETWEEN 120 AND 2000
+      AND s.n_tokens >= 15
+      AND s.diversity >= 0.3
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation: exact-dedup survivor selection (left-semi
+    against min-doc_id-per-hash) AND length / token-count / lexical-
+    diversity gates, in one plan. The n_chars bound is a plain column
+    predicate — it pushes to the parquet scan and prunes rows BEFORE
+    the md5 shuffle; the HOF-based gates are row-local. One shuffle
+    total (the dedup groupBy) — the shape to keep at 100 TB, where
+    every extra pass over the corpus is hours."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(F.col("n_chars").between(120, 2000)).filter(
+        (token_count(F.col("text")) >= 15)
+        & (distinct_token_ratio(F.col("text")) >= 0.3)
+    )
+    canonical = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return gated.join(canonical, "doc_id", "left_semi").select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        "n_chars",
+    )

@@ -7,6 +7,7 @@ SURVEY M8 north star — similarity search.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
@@ -343,4 +344,96 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
+
+
+# pairwise cosine between candidate row c and query row q (DuckDB).
+_SQL_COS_QC = """
+  list_sum([CAST(c.embedding[i+1] AS DOUBLE) * CAST(q.qv[i+1] AS DOUBLE)
+            for i in range(64)])
+  / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in c.embedding]))
+     * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in q.qv])))
+"""
+
+
+@query(
+    "embedding_knn_join",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, {_SQL_COS_QC} AS cos
+      FROM c CROSS JOIN q)
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) <= 3
+    """,
+)
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN JOIN: top-k neighbors for EVERY vector in a query batch
+    (the retrieval workload — not one query vector but thousands).
+
+    Scale shape: the query batch broadcasts; each Arrow batch of
+    candidates scores ALL queries in one numpy matmul and emits only
+    its LOCAL top-k per query, so the final per-query window sees
+    n_partitions*k rows, not |candidates| rows. The global shuffle is
+    over the reduced set keyed by query_id."""
+    import numpy as np
+    import pandas as pd
+
+    k = 3
+    emb = load_table(spark, sf_dir, "embeddings")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cands = (
+        emb.filter(F.col("vec_id") >= 5)
+        .repartition(par)
+        .select("vec_id", F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(queries))
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            qm = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", m, qm) / (
+                np.sqrt(np.einsum("ij,ij->i", m, m))
+                * np.sqrt(np.einsum("ij,ij->i", qm, qm))
+            )
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "raw_sim": cos,
+                }
+            )
+            yield (
+                out.sort_values(
+                    ["query_id", "raw_sim", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    scored = cands.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, raw_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("raw_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("raw_sim", 6).alias("cos_sim"),
+        )
     )

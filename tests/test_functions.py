@@ -266,3 +266,42 @@ def test_asof_join_carries_matched_row_atomically(spark):
     row = asof_join(left, right, on="k").collect()[0]
     assert row["px_asof"] is None  # latest row's null, not 7.0
     assert row["ts_asof"] == dt(2024, 1, 1, 0, 20)
+
+
+# ---------------------------------------------------------------- UDTF
+
+
+def test_sentence_split_udtf_matches_jvm_composition(spark):
+    """The UDTF (flexibility path) and the explode/regexp composition
+    (throughput path) must implement the same split semantics."""
+    from se_data_pipeline_spark.operators.udtf import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello world. How are you? Fine!"),
+            Row(doc_id=2, text="no delimiter tail"),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text="  . .x.  "),
+        ]
+    )
+    got = {
+        (r["doc_id"], r["sent_idx"], r["sentence"], r["n_tokens"])
+        for r in split_sentences(df).collect()
+    }
+
+    sents = F.filter(
+        F.transform(
+            F.expr(r"regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+$', 0)"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    jvm = (
+        df.select("doc_id", F.posexplode(sents).alias("sent_idx", "sentence"))
+        .withColumn("n_tokens", F.size(F.split("sentence", r"\s+")))
+    )
+    want = {
+        (r["doc_id"], r["sent_idx"], r["sentence"], r["n_tokens"])
+        for r in jvm.collect()
+    }
+    assert got == want and len(got) >= 6
