@@ -57,3 +57,46 @@ def test_notfound_feed_is_deterministic(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------- Python DataSource
+
+
+def test_python_datasource_partitions_per_page_and_matches_operator(spark):
+    """The Spark 4 Python DataSource delivery of S7 must (a) expose
+    one input partition per API page, and (b) return exactly the rows
+    the mapInPandas page-operator form produces for the same ids —
+    two deliveries, one contract."""
+    from se_data_pipeline_spark.sources import pyds
+    from se_data_pipeline_spark.sources.rest import FakeChannelApi, enrich_ids
+
+    ids = [f"chan{i:04d}" for i in range(120)]
+    pyds.register(spark)
+    df = (
+        spark.read.format("channel_api")
+        .option("ids", ",".join(ids))
+        .option("page_size", "50")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # 120 ids / 50 per page
+
+    got = {
+        r["id"]: (r["n_videos"], r["n_views"], r["n_subs"], r["custom_url"])
+        for r in df.collect()
+    }
+
+    # The operator form KEEPS not-found ids as null rows (anti-join
+    # feed); the DataSource omits them (absent = not found). Found
+    # rows must agree exactly; the DataSource's absences must be
+    # exactly the operator's null rows.
+    ids_df = spark.createDataFrame([(i,) for i in ids], "id string")
+    op_rows = enrich_ids(ids_df, FakeChannelApi()).collect()
+    via_operator = {
+        r["id"]: (r["n_videos"], r["n_views"], r["n_subs"], r["custom_url"])
+        for r in op_rows
+        if r["n_videos"] is not None
+    }
+    assert got == via_operator
+    assert 0 < len(got) < 120  # some ids are not-found by design
+    op_notfound = {r["id"] for r in op_rows if r["n_videos"] is None}
+    assert set(ids) - set(got) == op_notfound
