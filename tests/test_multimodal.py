@@ -45,3 +45,61 @@ def test_frame_features_shape_and_determinism(spark):
     assert all(v == pytest.approx(ord("x")) for v in rows[0]["feature"])
     again = df.mapInPandas(_frame_feature_batches, schema).collect()
     assert rows == again
+
+
+# ---------------------------------------------------------------- resize
+
+
+def test_resize_nearest_exact_values():
+    import numpy as np
+
+    from se_data_pipeline_spark.operators.image import resize_nearest
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = resize_nearest(img, 2, 2)
+    # half-pixel centers: rows/cols [0.5*2, 1.5*2] -> indices 1, 3
+    assert out.tolist() == [[5, 7], [13, 15]]
+    # identity resize returns the image unchanged
+    assert (resize_nearest(img, 4, 4) == img).all()
+
+
+def test_resize_images_over_spark(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from se_data_pipeline_spark.operators.image import (
+        RawCodec,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(7)
+    imgs = {i: rng.randint(0, 256, (8, 6), dtype=np.uint8) for i in range(5)}
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                width=6,
+                height=8,
+                payload=bytearray(img.tobytes()),
+            )
+            for i, img in imgs.items()
+        ]
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 3, 4).collect()}
+    assert set(out) == set(imgs)
+    codec = RawCodec()
+    for i, img in imgs.items():
+        want = resize_nearest(img, 3, 4)
+        got = codec.decode(bytes(out[i]["payload"]), 3, 4)
+        assert (got == want).all()
+        assert out[i]["mean_px"] == round(float(want.mean()), 6)
+
+
+def test_pil_codec_is_marked_stub():
+    import pytest as _pytest
+
+    from se_data_pipeline_spark.operators.image import PilCodec
+
+    with _pytest.raises(NotImplementedError):
+        PilCodec().decode(b"", 1, 1)
