@@ -780,3 +780,222 @@ def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_value") > F.col("thr"))
         .select("partkey", F.round("part_value", 2).alias("part_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# Conditional revenue ratio (TPC-H Q14 flavor): promo share of a
+# month's revenue — two conditional sums in one pass.
+# --------------------------------------------------------------------------
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue percentage over a date slice: the shipdate band
+    pushes to the scan, part broadcasts, and both the promo and total
+    sums come out of ONE aggregation (conditional sum), not two
+    passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Late-shipment conditional counts (TPC-H Q12 flavor): per order
+# priority, lines shipped >90 days after the order vs on time.
+# --------------------------------------------------------------------------
+@query(
+    "late_shipment_counts",
+    oracle="""
+    SELECT o.o_orderpriority,
+           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                    THEN 1 ELSE 0 END) AS n_late,
+           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                    THEN 1 ELSE 0 END) AS n_ontime
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_shipment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority late/on-time line counts — the two-bucket
+    conditional count shape. The fact-fact join shuffles on orderkey;
+    both counts fall out of the same shuffle (map-side partials)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.sum(F.when(~late, 1).otherwise(0)).alias("n_ontime"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Disjunctive multi-predicate join filter (TPC-H Q19 flavor): OR of
+# brand/size/quantity conjunctions.
+# --------------------------------------------------------------------------
+@query(
+    "disjunctive_predicate_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs selection across both join sides (Q19's shape).
+    Catalyst extracts the common sub-predicates it can (e.g. the part
+    side of each conjunct) below the join; the residual disjunction
+    evaluates post-join inside codegen — no manual union-of-three-
+    queries rewrite needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bilateral trade volume (TPC-H Q7 flavor): supplier-nation ×
+# customer-nation × year revenue matrix.
+# --------------------------------------------------------------------------
+@query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(o.o_orderdate) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_name IN ('NATION_3', 'NATION_7')
+      AND nc.n_name IN ('NATION_3', 'NATION_7')
+      AND ns.n_name <> nc.n_name
+    GROUP BY supp_nation, cust_nation, o_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border flows between two nations by year (Q7 shape):
+    nation/supplier/customer dims broadcast; the one real shuffle is
+    lineitem⋈orders, and the nation IN-filters prune the broadcast
+    hash tables before probing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_3", "NATION_7"]
+    ns = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+        .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic-window breadth: lag / datediff gap, quartile ntile,
+# percent_rank — per-customer order rhythm.
+# --------------------------------------------------------------------------
+@query(
+    "customer_order_rhythm",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER w,
+                     o_orderdate)                 AS days_since_prev,
+           ntile(4) OVER w                        AS recency_quartile,
+           ROUND(percent_rank() OVER w, 6)        AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + ntile + percent_rank over one window spec: Catalyst
+    evaluates all three in a single Window node — one shuffle on
+    o_custkey, one sort, three analytic outputs. The o_orderkey
+    tie-break makes every function deterministic under equal dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.ntile(4).over(w).alias("recency_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
