@@ -6,6 +6,11 @@ row-count, column names, and order-insensitive values (exact match
 after the queries' own rounding).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+Set SPARK_GRAFT_PLAIN=1 to run with a PLAIN default SparkSession
+(driver simulation: ANSI on, 200 shuffle partitions, no tuned confs)
+instead of the tuned session factory — catches results that depend on
+session tuning (e.g. float summation order across partition counts).
 """
 
 from __future__ import annotations
@@ -44,7 +49,16 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("check_correctness")
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check_plain")
+            .master("local[8]")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in RELATIONAL_TABLES:
         con.execute(
