@@ -305,3 +305,58 @@ def test_sentence_split_udtf_matches_jvm_composition(spark):
         for r in jvm.collect()
     }
     assert got == want and len(got) >= 6
+
+
+def test_asof_join_matches_pandas_merge_asof_property(spark):
+    """Property test: on random keyed time series, asof_join must
+    agree with pandas.merge_asof (backward, inclusive) — an
+    independent reference implementation."""
+    import numpy as np
+    import pandas as pd
+
+    from se_data_pipeline_spark.functions.joins import asof_join
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        nl, nr = rng.randint(5, 40), rng.randint(0, 30)
+        lpdf = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], nl),
+                "ts": pd.to_datetime(
+                    rng.randint(0, 10_000, nl) * 1_000_000_000
+                ),
+                "lid": np.arange(nl),
+            }
+        )
+        rpdf = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], max(nr, 1)),
+                "ts": pd.to_datetime(
+                    rng.randint(0, 10_000, max(nr, 1)) * 1_000_000_000
+                ),
+                "px": rng.rand(max(nr, 1)).round(6),
+            }
+        ).drop_duplicates(subset=["k", "ts"])  # unique match per instant
+
+        got = {
+            r["lid"]: r["px_asof"]
+            for r in asof_join(
+                spark.createDataFrame(lpdf),
+                spark.createDataFrame(rpdf),
+                on="k",
+                right_cols=["px"],
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lpdf.sort_values("ts", kind="stable"),
+            rpdf.sort_values("ts", kind="stable"),
+            on="ts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.px) else float(r.px))
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"trial {trial}"
