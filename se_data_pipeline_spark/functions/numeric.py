@@ -1,0 +1,27 @@
+"""Numeric helpers for Python/numpy kernels whose outputs are
+compared against SQL ROUND().
+
+Python's round() and numpy's np.round use banker's rounding (half to
+even); SQL ROUND — both Spark's F.round and DuckDB's round() — rounds
+half AWAY from zero. A kernel that rounds with round() silently
+diverges from its oracle the first time a value lands on an exact
+half at the target precision (e.g. mean over a power-of-two count:
+11893/128 = 92.9140625 → banker's 92.914062, SQL 92.914063). Every
+mapInPandas kernel must round with these helpers instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_POW10 = {d: float(10**d) for d in range(0, 13)}
+
+
+def round_half_up(x, decimals: int = 6):
+    """SQL-compatible ROUND (half away from zero) for scalars or
+    numpy arrays: sign(x) * floor(|x| * 10^d + 0.5) / 10^d —
+    identical to the scaled std::round both engines apply for the
+    value ranges our kernels produce (|x·10^d| well under 2^52, so
+    the +0.5 is exact)."""
+    p = _POW10[decimals]
+    return np.sign(x) * np.floor(np.abs(np.multiply(x, p)) + 0.5) / p

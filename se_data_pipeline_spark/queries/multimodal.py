@@ -36,6 +36,8 @@ def _payload_stats_batches(
     the float math afterwards is bit-identical to the SQL oracle."""
     import numpy as np
 
+    from se_data_pipeline_spark.functions.numeric import round_half_up
+
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -50,8 +52,10 @@ def _payload_stats_batches(
                     doc_id,
                     n,
                     s1 % _CHECKSUM_MOD,
-                    round(mean, 6),
-                    round(var**0.5, 6),
+                    # SQL-ROUND semantics, NOT python round(): a mean
+                    # over a power-of-two count lands on exact halves
+                    float(round_half_up(mean)),
+                    float(round_half_up(var**0.5)),
                 )
             )
         yield pd.DataFrame(
@@ -107,6 +111,8 @@ def _frame_feature_batches(
     and partition behavior stay identical."""
     import numpy as np
 
+    from se_data_pipeline_spark.functions.numeric import round_half_up
+
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -116,7 +122,10 @@ def _frame_feature_batches(
             means = frames.mean(axis=1)
             # 4-bucket temporal profile: mean intensity per quarter
             quarters = np.array_split(means, 4)
-            feature = [float(round(q.mean(), 6)) if len(q) else 0.0 for q in quarters]
+            feature = [
+                float(round_half_up(q.mean())) if len(q) else 0.0
+                for q in quarters
+            ]
             out.append((doc_id, n_frames, feature))
         yield pd.DataFrame(out, columns=["doc_id", "n_frames", "feature"])
 

@@ -11,6 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
+from se_data_pipeline_spark.functions.numeric import round_half_up
 from se_data_pipeline_spark.functions.vectors import sign_bucket
 from se_data_pipeline_spark.queries import query
 
@@ -314,7 +315,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "vec_a": pdf["vec_a"][keep],
                     "vec_b": pdf["vec_b"][keep],
-                    "cos_sim": np.round(cos[keep], 6),
+                    # SQL-ROUND (half away), not np.round (banker's)
+                    "cos_sim": round_half_up(cos[keep]),
                 }
             )
 

@@ -360,3 +360,27 @@ def test_asof_join_matches_pandas_merge_asof_property(spark):
             for r in want_df.itertuples()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_round_half_up_matches_sql_round(spark):
+    """round_half_up must agree with Spark's F.round (which agrees
+    with DuckDB) — including exact halves, where python round() and
+    np.round diverge (banker's rounding)."""
+    import numpy as np
+
+    from se_data_pipeline_spark.functions.numeric import round_half_up
+
+    vals = [92.9140625, 0.0000005, 1.0000015, -92.9140625, 0.1234564, 7.25]
+    got = [float(round_half_up(v, 6)) for v in vals]
+    want = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round("v", 6).alias("r"))
+        .collect()
+    ]
+    assert got == want
+    # the exact-half case that bit at sf0.1: banker's gives ...062
+    assert float(round_half_up(11893 / 128)) == 92.914063
+    assert round(11893 / 128, 6) == 92.914062  # what we must NOT do
+    # vectorized form
+    assert round_half_up(np.array([7.25, -7.25]), 1).tolist() == [7.3, -7.3]
