@@ -565,3 +565,105 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens"),
         "n_chars",
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup CLUSTERS: connected components over the verified pair
+# graph — the step that turns pairwise candidates into dedup groups
+# (A~B, B~C => {A,B,C} even when A!~C directly).
+# --------------------------------------------------------------------------
+_SQL_JACCARD_EDGES = f"""
+    sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)]) AS s
+      FROM ({_SQL_TOKS})),
+    e0 AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+    jp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM e0 a JOIN e0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    good AS (
+      SELECT p.doc_a, p.doc_b
+      FROM jp p
+      JOIN cnt ca ON ca.doc_id = p.doc_a
+      JOIN cnt cb ON cb.doc_id = p.doc_b
+      WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common)
+            >= {_JACCARD_THRESHOLD}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM good
+              UNION ALL SELECT doc_b, doc_a FROM good)
+"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_JACCARD_EDGES},
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node)
+    SELECT src AS doc_id, MIN(node) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: min-label propagation over the
+    verified near-dup pair graph until fixpoint (the canonical id of
+    each cluster is its smallest member).
+
+    This is the iterative-algorithm shape (Pregel-style): the DRIVER
+    loops over ROUNDS, but every round is a fully distributed
+    join+groupBy — no data ever collects. Rounds needed = graph
+    diameter (near-dup clusters are shallow; typically 1-3). Each
+    round localCheckpoints the label frame: iterative plans otherwise
+    grow lineage linearly and replan from scratch every round — at
+    100 TB, that is the difference between O(d) passes and O(d^2).
+    The DuckDB oracle computes the same components independently with
+    a recursive CTE. Singleton documents (no near-dup edge) are not
+    emitted — dedup only acts on connected docs.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges.doc_a == labels.node)
+            .groupBy(F.col("doc_b").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label2"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels, "node")
+            .filter(F.col("label2") < F.col("label"))
+            .count()
+        )
+        labels = new_labels.select(
+            "node", F.col("label2").alias("label")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

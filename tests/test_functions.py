@@ -384,3 +384,40 @@ def test_round_half_up_matches_sql_round(spark):
     assert round(11893 / 128, 6) == 92.914062  # what we must NOT do
     # vectorized form
     assert round_half_up(np.array([7.25, -7.25]), 1).tolist() == [7.3, -7.3]
+
+
+def test_connected_components_transitive_chain(spark, tmp_path):
+    """A~B and B~C must cluster {A,B,C} even when A and C share no
+    shingles directly — the transitivity that pairwise dedup misses."""
+    import pandas as pd
+
+    from se_data_pipeline_spark.queries.text import (
+        dedup_connected_components,
+    )
+
+    # Sliding 16-token windows over a shared 18-token stream:
+    # consecutive windows overlap in 15 tokens (5-gram Jaccard
+    # 11/13 ≈ 0.846 ≥ 0.8) but A vs C overlap only 14 (10/14 ≈ 0.714
+    # < 0.8) — so A-C is connected ONLY through B. D/E are an
+    # identical pair; F is a singleton (must not be emitted).
+    stream = [f"t{i}" for i in range(18)]
+    a = " ".join(stream[0:16])
+    b = " ".join(stream[1:17])
+    c = " ".join(stream[2:18])
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [a, b, c, "d1 d2 d3 d4 d5 d6",
+                     "d1 d2 d3 d4 d5 d6", "z1 z2 z3 z4 z5 z6"],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [len(a)] * 6,
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_connected_components(spark, sf).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
