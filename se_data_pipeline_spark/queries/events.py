@@ -270,3 +270,55 @@ def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-fill (hypertable-style dense rollup): every user gets EVERY
+# hour between their first and last event, zero-filled — the
+# timeseries op Spark lacks natively, composed from
+# sequence() + explode + left join.
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_gap_filled",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM r)
+    SELECT g.user_id, g.h AS bucket, COALESCE(b.n, 0) AS n_events
+    FROM grid g
+    LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h
+    """,
+)
+def events_hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user hourly series: aggregate to hour buckets, build
+    each user's [first, last] hour grid with sequence()+explode (a
+    row-local expansion — no shuffle beyond the two aggregates), then
+    left-join the sparse counts back and zero-fill.
+
+    Scale: the grid size is bounded by each key's own time span, not
+    global history; for multi-year spans cap the sequence or bucket
+    coarser. The join keys (user_id, hour) are the grid's own
+    partitioning, so AQE plans it as a local join after the grid
+    explode."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    r = b.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = r.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    return grid.join(b, ["user_id", "h"], "left").select(
+        "user_id",
+        F.col("h").alias("bucket"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
