@@ -322,3 +322,61 @@ def events_hourly_gap_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("bucket"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-fill + LOCF: dense grid where gap hours carry the last observed
+# hourly value forward (the other half of the hypertable rollup).
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_locf",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             ROUND(SUM(value), 6) AS v
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM r)
+    SELECT g.user_id, g.h AS bucket,
+           last_value(b.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+    FROM grid g
+    LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h
+    """,
+)
+def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the dense hour grid: the
+    same running last(ignoreNulls) window that powers asof_join,
+    applied after gap-fill. One extra window (same user_id
+    partitioning the grid already has) — no additional exchange in
+    the AQE plan. The first grid row per user is never null (the grid
+    starts at the user's first observed hour)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    r = b.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = r.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(b, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("bucket"),
+            F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+        )
+    )
