@@ -17,7 +17,12 @@ Spark schedules them like any scan, with retries per partition
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from se_data_pipeline_spark.sources.rest import PAGE_SIZE, FakeChannelApi
 
@@ -79,3 +84,71 @@ class ChannelApiReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(ChannelApiDataSource)
+
+
+class ChannelApiStreamReader(SimpleDataSourceStreamReader):
+    """Offset-paged incremental reader: the streaming twin of the
+    batch partitions-per-page reader. The offset IS the page number —
+    restart-safe (offsets live in the streaming checkpoint), each
+    micro-batch fetches the next page, and an exhausted id list
+    parks the stream at a stable offset (no busy re-fetch).
+
+    This is the reference's incremental crawl loop
+    (data_pipeline.py:575-598 fetches per-video inside a Python loop)
+    as a checkpointed Structured Streaming source: progress survives
+    restarts, retries are micro-batch replays, and downstream gets
+    exactly-once via the usual sink contracts.
+    """
+
+    def __init__(self, options):
+        self.page_size = int(options.get("page_size", str(PAGE_SIZE)))
+        self.n_ids = int(options.get("n_ids", "0"))
+        self.notfound_pct = int(options.get("notfound_pct", "10"))
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def read(self, start):
+        page = start["page"]
+        lo = page * self.page_size
+        ids = [
+            f"chan{i:04d}"
+            for i in range(lo, min(lo + self.page_size, self.n_ids))
+        ]
+        if not ids:
+            return iter([]), start  # exhausted: hold position
+        backend = FakeChannelApi(notfound_pct=self.notfound_pct)
+        resp = backend.fetch_page(ids)
+        rows = [
+            (
+                cid,
+                f["n_videos"],
+                f["n_views"],
+                f["n_subs"],
+                f["custom_url"],
+            )
+            for cid, f in sorted(resp.items())
+        ]
+        return iter(rows), {"page": page + 1}
+
+    def commit(self, end):
+        pass  # nothing external to release; checkpoint owns progress
+
+
+class ChannelApiStreamDataSource(DataSource):
+    """readStream.format("channel_api_stream") — options: n_ids,
+    page_size, notfound_pct (same fake backend as the batch form)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "channel_api_stream"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema) -> ChannelApiStreamReader:
+        return ChannelApiStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(ChannelApiStreamDataSource)

@@ -100,3 +100,44 @@ def test_python_datasource_partitions_per_page_and_matches_operator(spark):
     assert 0 < len(got) < 120  # some ids are not-found by design
     op_notfound = {r["id"] for r in op_rows if r["n_videos"] is None}
     assert set(ids) - set(got) == op_notfound
+
+
+def test_streaming_datasource_pages_match_batch(spark, tmp_path):
+    """The streaming (offset-per-page) and batch (partition-per-page)
+    DataSource deliveries must produce the same found set; the page
+    offset advances once per micro-batch and parks when exhausted."""
+    from se_data_pipeline_spark.sources import pyds
+
+    pyds.register(spark)
+    pyds.register_stream(spark)
+    n = 120
+    stream = (
+        spark.readStream.format("channel_api_stream")
+        .option("n_ids", str(n))
+        .option("page_size", "50")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_chan_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["id"], r["n_subs"])
+        for r in spark.sql("SELECT id, n_subs FROM t_chan_stream").collect()
+    }
+
+    ids = ",".join(f"chan{i:04d}" for i in range(n))
+    batch = {
+        (r["id"], r["n_subs"])
+        for r in spark.read.format("channel_api")
+        .option("ids", ids)
+        .option("page_size", "50")
+        .load()
+        .collect()
+    }
+    assert got == batch and len(got) > 0
