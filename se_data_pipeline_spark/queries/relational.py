@@ -999,3 +999,63 @@ def customer_order_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("recency_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality report: row-local rule violations in ONE pass +
+# referential integrity via anti-join — the validation gate a
+# training pipeline runs before ingest.
+# --------------------------------------------------------------------------
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'li_nonpositive_qty' AS rule,
+           COUNT(*) FILTER (WHERE l_quantity <= 0) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'li_discount_range',
+           COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+    FROM lineitem
+    UNION ALL
+    SELECT 'li_null_shipdate',
+           COUNT(*) FILTER (WHERE l_shipdate IS NULL)
+    FROM lineitem
+    UNION ALL
+    SELECT 'li_suspicious_qty',
+           COUNT(*) FILTER (WHERE l_quantity > 45)
+    FROM lineitem
+    UNION ALL
+    SELECT 'li_orphan_orderkey', COUNT(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation checks as a report frame (rule, n_violations).
+    All row-local rules evaluate in a SINGLE scan via conditional
+    counts, then unpivot to rows; referential integrity is one
+    anti-join. At 100 TB this is 1 pass + 1 join — not one scan per
+    rule, which is how naive validators burn a cluster."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    row_rules = li.agg(
+        cnt(F.col("l_quantity") <= 0).alias("li_nonpositive_qty"),
+        cnt(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("li_discount_range"),
+        cnt(F.col("l_shipdate").isNull()).alias("li_null_shipdate"),
+        cnt(F.col("l_quantity") > 45).alias("li_suspicious_qty"),
+    ).unpivot([], None, "rule", "n_violations")
+    orphans = (
+        li.join(
+            orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("li_orphan_orderkey").alias("rule"), "n_violations")
+    )
+    return row_rules.unionByName(orphans)
