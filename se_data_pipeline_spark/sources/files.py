@@ -99,3 +99,14 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K2/K3: JSON-lines write; mode="append" is the dead-letter /
     probe-result accumulation pattern (filter_channel.py:49-63)."""
     df.write.mode(mode).json(path)
+
+
+def write_text_log(df: DataFrame, path: str, sep: str = "|") -> None:
+    """K4: delimited text append — the reference's skip-log shape
+    ('{channel_id}|{reason}', data_pipeline.py:545-548). Every column
+    is stringified and joined with `sep`; append mode accumulates
+    across runs like the reference's open(..., 'a')."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    df.select(F.concat_ws(sep, *cols).alias("value")).write.mode(
+        "append"
+    ).text(path)

@@ -128,3 +128,19 @@ def test_publish_metadata_json_is_canonical():
     a = publish_metadata_json({"b": 1, "a": [1, 2]})
     b = publish_metadata_json({"a": [1, 2], "b": 1})
     assert a == b == b'{"a":[1,2],"b":1}'
+
+
+def test_write_text_log_append_accumulates(spark, tmp_path):
+    """K4: 'id|reason' text append — two writes accumulate like the
+    reference's open(..., 'a') skip log."""
+    from pyspark.sql import Row
+
+    from se_data_pipeline_spark.sources.files import write_text_log
+
+    out = str(tmp_path / "skips")
+    df1 = spark.createDataFrame([Row(id="c1", reason="few_videos")])
+    df2 = spark.createDataFrame([Row(id="c2", reason="low_quality")])
+    write_text_log(df1, out)
+    write_text_log(df2, out)
+    lines = {r["value"] for r in spark.read.text(out).collect()}
+    assert lines == {"c1|few_videos", "c2|low_quality"}
