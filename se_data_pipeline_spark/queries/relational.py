@@ -1059,3 +1059,40 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("li_orphan_orderkey").alias("rule"), "n_violations")
     )
     return row_rules.unionByName(orphans)
+
+
+# --------------------------------------------------------------------------
+# Sorted distinct collect (deterministic array aggregation).
+# --------------------------------------------------------------------------
+@query(
+    "nation_order_priorities",
+    oracle="""
+    SELECT n.n_name,
+           array_agg(DISTINCT o.o_orderpriority ORDER BY o.o_orderpriority)
+             AS priorities
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set made deterministic: set-collect per group, then
+    sort_array — array aggregates are only oracle-comparable (and
+    downstream-stable) with an explicit order. Dimensions broadcast;
+    one shuffle on the group key."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias(
+                "priorities"
+            )
+        )
+    )

@@ -667,3 +667,61 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF term search: the inverted-index retrieval op (BM25-lite) —
+# tokenize, term-filter BEFORE any shuffle, tf × idf, top-k.
+# --------------------------------------------------------------------------
+_SEARCH_TERMS = ("the", "of", "and")
+
+
+@query(
+    "doc_tfidf_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM toks WHERE tok IN {_SEARCH_TERMS!r}
+      GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS d FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nn FROM documents)
+    SELECT t.doc_id,
+           ROUND(SUM(t.c * ln(nn * 1.0 / d)), 6) AS score
+    FROM tf t JOIN dfreq USING (tok) CROSS JOIN n
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term TF-IDF ranking: the term filter lands right after
+    the token explode (rows shrink to matching terms before the tf
+    shuffle), document frequency is a tiny aggregate joined back
+    broadcast, and the corpus count is a 1-row crossJoin — so the
+    only fact-sized shuffle is the (doc, term) tf groupBy. Top-k via
+    TakeOrderedAndProject. At 100 TB the tf/df tables ARE the
+    inverted index; materialize them partitioned by term."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin(*_SEARCH_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("d")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("nn"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("nn") * 1.0 / F.col("d"))), 6
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
