@@ -97,7 +97,10 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_payload_stats_batches, _PAYLOAD_STATS_SCHEMA)
 
 
-_FEATURE_SCHEMA = "doc_id long, n_frames int, feature array<double>"
+_FEATURE_SCHEMA = (
+    "doc_id long, n_frames int, "
+    "f_q1 double, f_q2 double, f_q3 double, f_q4 double"
+)
 _FRAME_BYTES = 32
 
 
@@ -126,17 +129,21 @@ def _frame_feature_batches(
                 float(round_half_up(q.mean())) if len(q) else 0.0
                 for q in quarters
             ]
-            out.append((doc_id, n_frames, feature))
-        yield pd.DataFrame(out, columns=["doc_id", "n_frames", "feature"])
+            out.append((doc_id, n_frames, *feature))
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "n_frames", "f_q1", "f_q2", "f_q3", "f_q4"],
+        )
 
 
 @query("multimodal_frame_features", oracle=None)
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample + per-frame feature extraction (video analog) as
-    vectorized numpy over Arrow batches; returns a typed
-    array<double> feature column ready for the similarity-search
-    operators. No SQL oracle (array output + codec-shaped kernel) —
-    driver records the rows-only check; unit tests pin exact values.
+    vectorized numpy over Arrow batches; emits the 4-bucket temporal
+    profile as scalar double columns (f_q1..f_q4) so the result frame
+    is oracle/canonicalization-friendly. No SQL oracle (codec-shaped
+    kernel) — driver records the rows-only check; unit tests pin
+    exact values.
     """
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))

@@ -831,10 +831,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late_shipment_counts",
     oracle="""
     SELECT o.o_orderpriority,
-           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
-                    THEN 1 ELSE 0 END) AS n_late,
-           SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
-                    THEN 1 ELSE 0 END) AS n_ontime
+           COUNT(*) FILTER (WHERE date_diff('day', o.o_orderdate,
+                                            l.l_shipdate) > 90) AS n_late,
+           COUNT(*) FILTER (WHERE date_diff('day', o.o_orderdate,
+                                            l.l_shipdate) <= 90) AS n_ontime
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -1068,8 +1068,9 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_order_priorities",
     oracle="""
     SELECT n.n_name,
-           array_agg(DISTINCT o.o_orderpriority ORDER BY o.o_orderpriority)
-             AS priorities
+           array_to_string(
+             array_agg(DISTINCT o.o_orderpriority ORDER BY o.o_orderpriority),
+             ',') AS priorities
     FROM nation n
     JOIN customer c ON c.c_nationkey = n.n_nationkey
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -1079,8 +1080,10 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set made deterministic: set-collect per group, then
     sort_array — array aggregates are only oracle-comparable (and
-    downstream-stable) with an explicit order. Dimensions broadcast;
-    one shuffle on the group key."""
+    downstream-stable) with an explicit order. The sorted set is
+    serialized with array_join so the result frame stays scalar-typed
+    (array cells don't survive pandas-side canonicalization).
+    Dimensions broadcast; one shuffle on the group key."""
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -1091,8 +1094,8 @@ def nation_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias(
-                "priorities"
-            )
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities")
         )
     )

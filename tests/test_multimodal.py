@@ -37,12 +37,15 @@ def test_frame_features_shape_and_determinism(spark):
     df = spark.createDataFrame([Row(doc_id=7, text=text)]).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    schema = "doc_id long, n_frames int, feature array<double>"
+    schema = (
+        "doc_id long, n_frames int, "
+        "f_q1 double, f_q2 double, f_q3 double, f_q4 double"
+    )
     rows = df.mapInPandas(_frame_feature_batches, schema).collect()
     assert rows[0]["n_frames"] == 8
-    assert len(rows[0]["feature"]) == 4
     # constant bytes → every frame mean = ord('x')
-    assert all(v == pytest.approx(ord("x")) for v in rows[0]["feature"])
+    feature = [rows[0][f"f_q{i}"] for i in range(1, 5)]
+    assert all(v == pytest.approx(ord("x")) for v in feature)
     again = df.mapInPandas(_frame_feature_batches, schema).collect()
     assert rows == again
 

@@ -2,8 +2,14 @@
 
 Runs every query in ``__spark_entry__.queries()`` through Spark AND
 its DuckDB oracle on the same parquet tables, then compares
-row-count, column names, and order-insensitive values (exact match
-after the queries' own rounding).
+row-count, column names, and order-insensitive values — going through
+pandas on BOTH sides, exactly like the driver's canonicalization, so
+it also catches:
+
+- list/ndarray/dict cells (the driver's sort_values dies on them:
+  "unhashable type: 'list'") — flagged even for rows-only queries;
+- numeric dtype skew (e.g. DuckDB SUM(int) -> HUGEINT -> float64 vs
+  Spark bigint -> int64), which hash-mismatches despite equal values.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
@@ -23,26 +29,51 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 import __spark_entry__ as entrymod
 from se_data_pipeline_spark.catalog import RELATIONAL_TABLES
 from se_data_pipeline_spark.session import get_spark
 
 
+def unhashable_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns whose cells would break pandas sort_values/factorize."""
+    bad = []
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            head = pdf[c].head(50)
+            if any(isinstance(v, (list, np.ndarray, dict, set)) for v in head):
+                bad.append(c)
+    return bad
+
+
 def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 and trim float repr noise
-        return repr(round(v, 9) + 0.0)
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return repr(round(f, 9) + 0.0)
+    if isinstance(v, np.integer):
+        return repr(int(v))
+    if isinstance(v, np.bool_):
+        return repr(bool(v))
     return repr(v)
 
 
-def frame_signature(cols, rows):
-    """Order-insensitive signature: sort columns by name, then rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    mat = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
-    return [cols[i] for i in order], mat
+def canon(pdf: pd.DataFrame):
+    """Driver-style canonical form: columns sorted by name, rows sorted,
+    cells normalized. Returns (cols, matrix, dtype_kinds)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    mat = sorted(
+        tuple(norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    kinds = [pdf[c].dtype.kind for c in cols]
+    return cols, mat, kinds
 
 
 def main() -> int:
@@ -73,36 +104,46 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        bad = unhashable_cols(spdf)
+        if bad:
+            print(f"FAIL  {name}: unhashable (array/map) result columns "
+                  f"{bad} — driver canonicalization would crash")
+            failures.append(name)
+            continue
         if name not in oracles:
-            print(f"ok*   {name}: rows-only ({len(srows)} rows, "
+            print(f"ok*   {name}: rows-only ({len(spdf)} rows, "
                   f"{time.time()-t0:.1f}s) — no oracle")
             continue
         try:
-            orel = con.sql(oracles[name])
-            ocols = orel.columns
-            orows = orel.fetchall()
+            opdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
             continue
 
-        s_sig_cols, s_mat = frame_signature(scols, srows)
-        o_sig_cols, o_mat = frame_signature(ocols, orows)
+        s_cols, s_mat, s_kinds = canon(spdf)
+        o_cols, o_mat, o_kinds = canon(opdf)
         status = []
-        if len(srows) != len(orows):
-            status.append(f"rowcount {len(srows)} vs {len(orows)}")
-        if s_sig_cols != o_sig_cols:
-            status.append(f"cols {s_sig_cols} vs {o_sig_cols}")
+        if len(spdf) != len(opdf):
+            status.append(f"rowcount {len(spdf)} vs {len(opdf)}")
+        if s_cols != o_cols:
+            status.append(f"cols {s_cols} vs {o_cols}")
+        elif s_kinds != o_kinds:
+            status.append(
+                "dtype kinds differ (hash would mismatch): "
+                f"spark={list(zip(s_cols, s_kinds))} "
+                f"oracle={list(zip(o_cols, o_kinds))}"
+            )
         if not status and s_mat != o_mat:
             diff = next(
-                (i, a, b) for i, (a, b) in enumerate(zip(s_mat, o_mat)) if a != b
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(s_mat, o_mat))
+                if a != b
             )
             status.append(f"values differ at sorted row {diff[0]}: "
                           f"spark={diff[1]} oracle={diff[2]}")
@@ -110,7 +151,7 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(status)}")
             failures.append(name)
         else:
-            print(f"ok    {name}: {len(srows)} rows match "
+            print(f"ok    {name}: {len(spdf)} rows match "
                   f"({time.time()-t0:.1f}s)")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
