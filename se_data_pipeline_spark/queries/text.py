@@ -297,15 +297,22 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried alongside (so Jaccard needs no extra join back to the
     documents). The scan is repartitioned first: the local fixture is
     one parquet row-group (1 input split), and the shingling must
-    parallelize; on a real multi-file table this is a no-op cost."""
+    parallelize; on a real multi-file table this is a no-op cost.
+
+    The join key is xxhash64(shingle), not the ~40-byte shingle
+    string: the self-join shuffles ~8 bytes/row instead of the text,
+    and 64-bit collisions are negligible at any corpus size that fits
+    a cluster (birthday bound ~(n^2)/2^65). The Jaccard counts are
+    over distinct shingles either way, so the DuckDB string-keyed
+    oracle still matches exactly."""
     docs = load_table(spark, sf_dir, "documents")
     par = max(spark.sparkContext.defaultParallelism, 8)
     sh = docs.repartition(par).select(
         "doc_id", word_shingles_udf(5)(F.col("text")).alias("s")
     )
     return sh.select(
-        "doc_id", F.size("s").alias("n"), F.explode("s").alias("sh")
-    )
+        "doc_id", F.size("s").alias("n"), F.explode("s").alias("sh_str")
+    ).select("doc_id", "n", F.xxhash64("sh_str").alias("sh"))
 
 @query(
     "ngram_jaccard_pairs",
