@@ -48,6 +48,12 @@ HEADLINE = [
     "cheapest_supplier_per_part",
     "corpus_curation_pipeline",
     "embedding_knn_join",
+    "doc_pii_redaction",
+    "doc_chunks",
+    "benchmark_contamination",
+    "token_bin_packing",
+    "sql_exists_late_orders",
+    "sql_in_having_large_orders",
 ]
 
 

@@ -71,9 +71,11 @@ def _load_all() -> None:
         return
     from se_data_pipeline_spark.queries import (  # noqa: F401
         arrays,
+        curation,
         events,
         multimodal,
         relational,
+        sqlsurface,
         text,
         vectors,
     )

@@ -1,0 +1,275 @@
+"""Training-data curation operators beyond the dedup/similarity
+family: PII redaction, document chunking (sliding token windows),
+benchmark-contamination detection, and greedy token bin-packing.
+
+These are the remaining pieces of the M8 north star (SURVEY §7.2):
+everything a 100 TB LLM-corpus pipeline runs between raw scrape and
+tokenized shards. All but the packing operator are pure Catalyst
+expressions; packing is a per-group stateful pass (applyInPandas)
+whose DuckDB oracle is a recursive CTE computing the same fold.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.catalog import load_table
+from se_data_pipeline_spark.functions.text import word_shingles_udf
+from se_data_pipeline_spark.queries import query
+
+# --------------------------------------------------------------------------
+# PII redaction: regex scrubbing of emails / phone numbers.
+#
+# The synthetic corpus contains no natural PII, so the query first
+# derives a contact line deterministically from (doc_id, source) —
+# identically in both engines — then redacts it. The operator under
+# test is the redaction itself: global regexp_replace + match counts,
+# all JVM-side (reference parity: P11's regex email extraction,
+# starngage_crawler.ipynb:L323 cell 15, inverted into removal).
+# --------------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "doc_pii_redaction",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail-' || source || '.net or call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM raw
+    """,
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone scrubbing over the corpus: one pass, two global
+    regexp_replace calls plus regexp_count — entirely inside
+    whole-stage codegen, no UDF.
+
+    Scale: regex scrubbing is embarrassingly parallel and pipeline-
+    able with the scan; at 100 TB the only cost that matters is that
+    it happens in the SAME pass as other row-local curation (quality
+    score, lang-id), never as its own job. The md5 fingerprint keeps
+    the verified result narrow."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("source"),
+        F.lit(".net or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document chunking: sliding token windows (size 32, stride 24) —
+# the pretokenization step that turns documents into model-sized
+# pieces with overlap.
+# --------------------------------------------------------------------------
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s / {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(least(s + {_CHUNK_SIZE}, len(toks)) - s AS INTEGER)
+             AS n_tokens,
+           array_to_string(
+             toks[s + 1 : least(s + {_CHUNK_SIZE}, len(toks))], ' ')
+             AS chunk_text
+    FROM (SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_STRIDE}))
+            AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents))
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: tokens → start offsets (sequence with
+    stride) → explode → slice. One row per chunk, `stride < size`
+    gives 8-token overlap between neighbors.
+
+    Scale: explode fan-out is ~n_tokens/stride per document and the
+    whole operator is row-local (zero shuffles); chunk rows inherit
+    the input partitioning, which is exactly what the downstream
+    tokenizer/packer wants. Column-pruned scan reads only (doc_id,
+    text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.size(toks) - 1, F.lit(_CHUNK_STRIDE)
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("start") + 1, _CHUNK_SIZE
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check: which training documents share any
+# k-gram with a held-out benchmark set (docs with doc_id % 97 == 0
+# stand in for the eval suite). Real pipelines use k of 8-13; the
+# synthetic corpus' n-gram diversity makes k=4 the smallest size
+# with nonzero overlap, so that's what the fixture pins.
+# --------------------------------------------------------------------------
+_CONTAM_K = 4
+_BENCH_MOD = 97
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        [array_to_string(toks[i : i + {_CONTAM_K - 1}], ' ')
+         for i in range(1, len(toks) - {_CONTAM_K - 2})]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents)),
+    e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    bench AS (SELECT doc_id AS bdoc, sh FROM e
+              WHERE doc_id % {_BENCH_MOD} = 0),
+    train AS (SELECT * FROM e WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.sh) AS n_shared_ngrams,
+           COUNT(DISTINCT b.bdoc) AS n_bench_docs
+    FROM train t JOIN bench b ON t.sh = b.sh
+    GROUP BY t.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: k-gram inverted index over both sides,
+    train⋈bench on the shingle hash, per-train-doc counts of shared
+    n-grams and distinct benchmark docs hit. Only contaminated docs
+    appear (inner join).
+
+    Scale: the benchmark side is tiny (an eval suite, not a corpus)
+    — at 100 TB its distinct-shingle set broadcasts, so the check is
+    a map-side semi-join over the train scan with NO train-side
+    shuffle before the per-doc count. Keys are xxhash64 of the
+    8-gram (8 bytes), not the string."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    e = (
+        docs.repartition(par)
+        .select(
+            "doc_id",
+            F.explode(word_shingles_udf(_CONTAM_K)(F.col("text"))).alias(
+                "sh_str"
+            ),
+        )
+        .select("doc_id", F.xxhash64("sh_str").alias("sh"))
+    )
+    bench = e.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bdoc"), "sh"
+    )
+    train = e.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_ngrams"),
+            F.countDistinct("bdoc").alias("n_bench_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy token bin-packing: sequence documents (per language, in
+# doc_id order) into training-context bins of <= 500 tokens; a doc
+# that would overflow the open bin closes it and starts the next.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 500
+
+_PACK_SCHEMA = "doc_id long, lang string, n_tokens int, bin_id int"
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bin_id, acc, out = 0, 0, []
+    for tok in pdf["n_tokens"]:
+        if acc > 0 and acc + tok > _PACK_BUDGET:
+            bin_id += 1
+            acc = tok
+        else:
+            acc += tok
+        out.append(bin_id)
+    pdf["bin_id"] = out
+    return pdf[["doc_id", "lang", "n_tokens", "bin_id"]]
+
+
+@query(
+    "token_bin_packing",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                  AS INTEGER) AS rn
+      FROM documents),
+    s AS (
+      SELECT lang, doc_id, n_tokens, rn, 0 AS bin_id, n_tokens AS acc
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN s.acc + t.n_tokens > {_PACK_BUDGET}
+                  THEN s.bin_id + 1 ELSE s.bin_id END,
+             CASE WHEN s.acc + t.n_tokens > {_PACK_BUDGET}
+                  THEN t.n_tokens ELSE s.acc + t.n_tokens END
+      FROM t JOIN s ON t.lang = s.lang AND t.rn = s.rn + 1)
+    SELECT doc_id, lang, n_tokens, CAST(bin_id AS INTEGER) AS bin_id
+    FROM s
+    """,
+)
+def token_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing into ≤500-token bins, per language:
+    the step that turns curated docs into fixed-budget training
+    sequences. Inherently a sequential fold per group → applyInPandas
+    with an explicit in-group sort; the oracle replays the identical
+    fold as a recursive CTE.
+
+    Scale: a global per-language fold would serialize 100 TB through
+    a handful of tasks — a real pipeline packs per (lang, shard)
+    where shard is the upstream partition, which keeps bins local
+    and fully parallel at the cost of one underfull bin per shard.
+    The group key here is the demo's only concession to the oracle
+    (DuckDB must replay the same chain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return sized.groupBy("lang").applyInPandas(_pack_group, _PACK_SCHEMA)

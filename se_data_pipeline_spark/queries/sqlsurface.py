@@ -1,0 +1,169 @@
+"""SQL-surface queries: the engine's ``spark.sql`` entry point over
+registered views, exercising correlated subqueries (EXISTS / IN /
+scalar) that Catalyst decorrelates into joins — shapes the DataFrame
+queries elsewhere express by hand. Proves a user of the reference's
+pandas "queries" can also drive this engine with plain ANSI SQL.
+
+Each function registers the tables it needs as temp views (idempotent
+per session) and returns ``spark.sql(...)``. The DuckDB oracle runs
+the analogous SQL — kept textually separate because dialect details
+(interval syntax, integer division) differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.catalog import load_table
+from se_data_pipeline_spark.queries import query
+
+
+def _register(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# Correlated EXISTS (TPC-H Q4 shape): orders with at least one line
+# shipped >100 days after the order date.
+# --------------------------------------------------------------------------
+@query(
+    "sql_exists_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sql_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via the SQL surface. Catalyst decorrelates
+    to a left-semi join on orderkey with the date predicate as the
+    join condition — one shuffle pair, no per-row subquery
+    execution. (TPC-H Q4's shape on the available columns.)"""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAYS)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# IN + HAVING subquery (TPC-H Q18 shape): orders whose total quantity
+# crosses a threshold, with customer attribution.
+# --------------------------------------------------------------------------
+@query(
+    "sql_in_having_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(l_quantity) > 200)
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def sql_in_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery with HAVING via the SQL surface (TPC-H Q18's
+    large-volume-customer shape). Catalyst rewrites the IN as a
+    left-semi join against the pre-aggregated subquery; AQE picks
+    broadcast for the (small) qualifying-order set at this SF and
+    a shuffled semi-join at corpus scale."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c.c_name, o.o_orderkey,
+               ROUND(o.o_totalprice, 2) AS o_totalprice,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey
+                               HAVING SUM(l_quantity) > 200)
+        GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar subquery + NOT EXISTS (TPC-H Q22 shape): above-average
+# balance customers who never placed an urgent order.
+# --------------------------------------------------------------------------
+@query(
+    "sql_scalar_anti_prospects",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_prospects,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def sql_scalar_anti_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (global AVG, computed once and broadcast as a
+    literal) + correlated NOT EXISTS (decorrelated to a left-anti
+    join on custkey with the priority filter pushed into the right
+    side). TPC-H Q22's shape on the available columns."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_nationkey, COUNT(*) AS n_prospects,
+               ROUND(SUM(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_nationkey
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact per-group percentiles (linear interpolation), complementing
+# the approximate-sketch path in supplier_distinct_parts_approx.
+# --------------------------------------------------------------------------
+@query(
+    "price_quartiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles per group (PERCENTILE_CONT semantics — linear
+    interpolation at rank (n-1)*p), the ground-truth twin of the
+    percentile_approx sketch path.
+
+    Scale: exact percentiles need the group's values together —
+    one shuffle on the group key, sort within partition. For
+    monitoring at 100 TB prefer the sketch; exact is for low-
+    cardinality audits like this 3-group frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
