@@ -157,6 +157,67 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_totals_tws(stream: DataFrame) -> DataFrame:
+    """The same per-user running totals as `running_totals_stateful`,
+    on Spark 4's transformWithStateInPandas (the successor API to
+    applyInPandasWithState): typed state handles (ValueState /
+    ListState / MapState / timers) instead of one opaque state tuple,
+    with per-state TTL support.
+
+    Keeping both forms shows the migration path; semantics are
+    pinned identical by the parity test. At 100 TB the state store
+    shards by key and the RocksDB provider (required by this API)
+    spills cold keys to executor-local disk, so the keyspace isn't
+    memory-bounded.
+
+    Runtime requirements: the RocksDB state store provider AND the
+    `protobuf` package (the TWS driver<->worker channel speaks proto;
+    pyspark does not vendor it). The parity test skips where protobuf
+    is absent — applyInPandasWithState above has no such dependency
+    and stays the default."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    budget = 100.0
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "total double, n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get()
+            total, n = prev if prev is not None else (0.0, 0)
+            for pdf in rows:
+                total += float(pdf["value"].sum())
+                n += len(pdf)
+            self._totals.update((total, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "total_value": [total],
+                    "n_events": [n],
+                    "over_budget": [total > budget],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=(
+            "user_id long, total_value double, n_events long, "
+            "over_budget boolean"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def click_purchase_attribution(stream: DataFrame, horizon: str = "10 minutes") -> DataFrame:
     """Stream-stream interval join: attribute each purchase to the
     same user's clicks in the preceding `horizon`. Both sides carry

@@ -184,3 +184,52 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_tws_running_totals_match_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API) must
+    produce the same final per-user totals as both the legacy
+    applyInPandasWithState job and the exact batch aggregate.
+    Requires the RocksDB state store provider and protobuf (the TWS
+    driver worker imports StateMessage_pb2)."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf, absent here",
+    )
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import running_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        _run_to_memory(spark, running_totals_tws(stream), "t_tws", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = spark.sql(
+        """SELECT user_id, total_value, n_events FROM t_tws a
+           WHERE n_events = (SELECT MAX(n_events) FROM t_tws b
+                             WHERE b.user_id = a.user_id)"""
+    ).collect()
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["user_id"]: (r["total"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(exact)
+    for r in rows:
+        t, n = exact[r["user_id"]]
+        assert r["n_events"] == n
+        assert r["total_value"] == pytest.approx(t)
