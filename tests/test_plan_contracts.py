@@ -125,3 +125,48 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_dir):
     got = df.count()
     want = docs.filter(F.col("lang") == "de").count()
     assert got == want
+
+
+def test_row_local_curation_ops_have_zero_exchanges(spark, sf_dir):
+    """Chunking and PII redaction are row-local: their physical plans
+    must contain NO Exchange — they pipeline with the scan, which is
+    what makes them free at 100 TB (no extra pass, no shuffle)."""
+    from se_data_pipeline_spark.queries.curation import (
+        doc_chunks,
+        doc_pii_redaction,
+    )
+
+    for q in (doc_chunks, doc_pii_redaction):
+        plan = plan_of(q(spark, sf_dir))
+        assert "Exchange" not in plan, q.__name__
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast: the train side of the
+    decontamination join then never shuffles before its per-doc
+    count."""
+    from se_data_pipeline_spark.queries.curation import (
+        benchmark_contamination,
+    )
+
+    plan = plan_of(benchmark_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sql_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """EXISTS / IN / NOT EXISTS through the SQL surface must plan as
+    semi/anti joins — never per-row subquery execution."""
+    from se_data_pipeline_spark.queries.sqlsurface import (
+        sql_exists_late_orders,
+        sql_in_having_large_orders,
+        sql_scalar_anti_prospects,
+    )
+
+    assert "LeftSemi" in optimized_of(sql_exists_late_orders(spark, sf_dir))
+    assert "LeftSemi" in optimized_of(
+        sql_in_having_large_orders(spark, sf_dir)
+    )
+    opt = optimized_of(sql_scalar_anti_prospects(spark, sf_dir))
+    assert "LeftAnti" in opt
+    # the scalar AVG subquery is a one-row aggregate, not a join
+    assert "scalar-subquery" in opt
