@@ -380,3 +380,65 @@ def events_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("v_locf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exponentially-weighted moving average per user (time-series
+# smoothing): a sequential fold like token_bin_packing, expressed as
+# applyInPandas against a recursive-CTE oracle.
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.2
+
+
+def _ewma_group(pdf):
+    """y_1 = x_1; y_t = alpha*x_t + (1-alpha)*y_{t-1} — written with
+    exactly this operation order so the doubles are bit-identical to
+    the oracle's recursive CTE (same IEEE ops, same order)."""
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    y = None
+    out = []
+    for x in pdf["value"]:
+        y = float(x) if y is None else _EWMA_ALPHA * float(x) + (1 - _EWMA_ALPHA) * y
+        out.append(y)
+    pdf["ewma"] = [round(v, 6) for v in out]
+    return pdf[["user_id", "event_id", "value", "ewma"]]
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT user_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS INTEGER) AS rn
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, value, rn, value AS y
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.event_id, t.value, t.rn,
+             {_EWMA_ALPHA} * t.value + {1 - _EWMA_ALPHA} * s.y
+      FROM t JOIN s ON t.user_id = s.user_id AND t.rn = s.rn + 1)
+    SELECT user_id, event_id, ROUND(value, 6) AS value,
+           ROUND(y, 6) AS ewma
+    FROM s
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over the event stream (alpha=0.2), ordered by
+    (ts, event_id). A recursive smoothing fold has no closed
+    window-function form, so it runs as a per-group Arrow-batched
+    pass with an explicit in-group sort; the oracle replays the same
+    recursion as a CTE.
+
+    Scale: group-local like all sequential folds — partitions shuffle
+    once on user_id, each group's chain then folds locally. Billions
+    of short user chains parallelize perfectly; one pathological
+    mega-user is the skew case, handled by chunked re-aggregation
+    (fold per day, then stitch) — noted, not needed at this SF."""
+    ev = load_table(spark, sf_dir, "events")
+    sized = ev.select("user_id", "event_id", "ts", "value")
+    out = sized.groupBy("user_id").applyInPandas(
+        _ewma_group, "user_id long, event_id long, value double, ewma double"
+    )
+    return out.withColumn("value", F.round("value", 6))

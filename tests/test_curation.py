@@ -129,3 +129,27 @@ def test_curation_queries_run_on_fixture(spark, sf_dir, qname):
 
     df = all_queries()[qname](spark, sf_dir)
     assert df.count() > 0
+
+
+# ---------------------------------------------------------------- ewma
+
+
+def test_ewma_fold_exact():
+    from se_data_pipeline_spark.queries.events import _ewma_group
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "event_id": [4, 3, 2, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 03:00", "2024-01-01 02:00",
+                 "2024-01-01 01:00", "2024-01-01 00:00"]
+            ),
+            "value": [40.0, 30.0, 20.0, 10.0],
+        }
+    )
+    out = _ewma_group(pdf)
+    # sorted by ts: values 10,20,30,40; alpha=0.2
+    # y = 10, 0.2*20+0.8*10=12, 0.2*30+0.8*12=15.6, 0.2*40+0.8*15.6=20.48
+    assert list(out["event_id"]) == [1, 2, 3, 4]
+    assert list(out["ewma"]) == [10.0, 12.0, 15.6, 20.48]
