@@ -110,3 +110,34 @@ def write_text_log(df: DataFrame, path: str, sep: str = "|") -> None:
     df.select(F.concat_ws(sep, *cols).alias("value")).write.mode(
         "append"
     ).text(path)
+
+
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Columnar table write (parquet or ORC — both built into Spark,
+    both predicate-pushdown + column-pruning capable). The engine's
+    canonical at-scale sink: partition_by gives partition-pruned
+    reads, and per-file column stats give row-group skipping."""
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_columnar(
+    spark: SparkSession, path: str, fmt: str = "parquet",
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Columnar table read. merge_schema=True reconciles files written
+    under evolving schemas (new nullable columns appear as null on old
+    files) — the schema-evolution story for a long-lived 100 TB
+    table. Off by default: merging footers costs a pass over file
+    metadata."""
+    r = spark.read.format(fmt)
+    if merge_schema:
+        r = r.option("mergeSchema", True)
+    return r.load(path)

@@ -144,3 +144,41 @@ def test_write_text_log_append_accumulates(spark, tmp_path):
     write_text_log(df2, out)
     lines = {r["value"] for r in spark.read.text(out).collect()}
     assert lines == {"c1|few_videos", "c2|low_quality"}
+
+
+def test_columnar_roundtrip_parquet_and_orc(spark, tmp_path):
+    """Both built-in columnar formats round-trip types exactly,
+    including timestamps and nested arrays."""
+    from se_data_pipeline_spark.sources.files import (
+        read_columnar,
+        write_columnar,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, [1, 2]), (2, "b", 2.5, [3])],
+        "id long, s string, v double, arr array<long>",
+    )
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / fmt)
+        write_columnar(df, p, fmt=fmt)
+        back = read_columnar(spark, p, fmt=fmt)
+        assert back.schema == df.schema
+        assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+
+def test_columnar_schema_evolution_merge(spark, tmp_path):
+    """Files written before a column existed read back as null for
+    that column under mergeSchema."""
+    from se_data_pipeline_spark.sources.files import read_columnar
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+        p + "/part=old"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.0)], "id long, s string, score double"
+    ).write.parquet(p + "/part=new")
+    back = read_columnar(spark, p, merge_schema=True)
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[2]["score"] == 9.0
+    assert rows[1]["score"] is None
