@@ -72,12 +72,13 @@ def main() -> None:
     # untimed warmup: JVM + codegen + parquet footer caches
     qs["pricing_summary"](spark, sf_dir).toPandas()
 
-    # Two timed passes, min per query: a single pass conflates the
-    # plan's cost with transient host noise (VM CPU steal, a
+    # Three timed passes, min per query: a single pass conflates
+    # the plan's cost with transient host noise (VM CPU steal, a
     # co-resident process) and first-run codegen compile; the min of
-    # two runs is the reproducible cost of the physical plan itself.
+    # three runs is the reproducible cost of the physical plan
+    # itself.
     per_query: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             # Arrow-batched materialization (toPandas), not .collect():
