@@ -442,3 +442,51 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ewma_group, "user_id long, event_id long, value double, ewma double"
     )
     return out.withColumn("value", F.round("value", 6))
+
+
+# --------------------------------------------------------------------------
+# Multi-resolution rollup: daily aggregates derived FROM the hourly
+# pre-aggregate (continuous-aggregate / hypertable-rollup pattern),
+# not from the raw events.
+# --------------------------------------------------------------------------
+@query(
+    "events_daily_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level aggregate computed by re-aggregating the HOURLY
+    aggregate (count-sum and sum-sum re-roll exactly; the oracle
+    aggregates raw events directly — equal results prove the rollup
+    identity).
+
+    Scale: this is the continuous-aggregate pattern — at 100 TB you
+    materialize the hourly tier once (events/3600 rows) and every
+    coarser resolution re-aggregates the tier above it: the daily
+    pass reads ~0.03% of the raw rows. Only decomposable aggregates
+    (sum/count/min/max/HLL sketches) re-roll; averages must travel
+    as (sum, count) pairs, exactly as done here."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("w.start")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 4).alias("sum_value"),
+        )
+    )
