@@ -54,6 +54,8 @@ HEADLINE = [
     "token_bin_packing",
     "sql_exists_late_orders",
     "sql_in_having_large_orders",
+    "forecast_revenue_change",
+    "returned_item_ranking",
 ]
 
 
