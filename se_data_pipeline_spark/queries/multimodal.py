@@ -136,14 +136,51 @@ def _frame_feature_batches(
         )
 
 
-@query("multimodal_frame_features", oracle=None)
+@query(
+    "multimodal_frame_features",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, [ascii(c) for c in string_split(text, '')] AS bs
+      FROM documents),
+    f AS (
+      SELECT doc_id, bs,
+             CAST(greatest(len(bs) // {_FRAME_BYTES}, 1) AS INTEGER)
+               AS n_frames
+      FROM b),
+    m AS (
+      SELECT doc_id, n_frames,
+             [list_avg(bs[(i - 1) * {_FRAME_BYTES} + 1 : i * {_FRAME_BYTES}])
+              for i in range(1, n_frames + 1)] AS means
+      FROM f),
+    q AS (
+      SELECT doc_id, n_frames, means,
+             (n_frames // 4) + CASE WHEN n_frames % 4 >= 1
+                                    THEN 1 ELSE 0 END AS e1,
+             2 * (n_frames // 4) + CASE WHEN n_frames % 4 >= 2 THEN 2
+                                        WHEN n_frames % 4 = 1 THEN 1
+                                        ELSE 0 END AS e2,
+             3 * (n_frames // 4) + least(n_frames % 4, 3) AS e3
+      FROM m)
+    SELECT doc_id, n_frames,
+           ROUND(COALESCE(list_avg(means[1 : e1]), 0), 6) AS f_q1,
+           ROUND(COALESCE(list_avg(means[e1 + 1 : e2]), 0), 6) AS f_q2,
+           ROUND(COALESCE(list_avg(means[e2 + 1 : e3]), 0), 6) AS f_q3,
+           ROUND(COALESCE(list_avg(means[e3 + 1 : n_frames]), 0), 6)
+             AS f_q4
+    FROM q
+    """,
+)
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample + per-frame feature extraction (video analog) as
     vectorized numpy over Arrow batches; emits the 4-bucket temporal
-    profile as scalar double columns (f_q1..f_q4) so the result frame
-    is oracle/canonicalization-friendly. No SQL oracle (codec-shaped
-    kernel) — driver records the rows-only check; unit tests pin
-    exact values.
+    profile as scalar double columns (f_q1..f_q4).
+
+    The oracle replays the byte math in SQL (the corpus is ASCII, so
+    ascii(char) == the UTF-8 byte): 32-byte frames → frame means →
+    np.array_split-style quarter boundaries (first n%4 quarters get
+    the extra frame) → half-up rounding. Frame sums are exact
+    integers in double, so the two engines agree bit-for-bit before
+    rounding.
     """
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
