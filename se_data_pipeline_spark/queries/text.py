@@ -11,6 +11,7 @@ driver can hash-compare results.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
@@ -730,5 +731,94 @@ def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid-search fusion: reciprocal-rank fusion (RRF) of a lexical
+# (TF-IDF) ranking with a document prior (length) — the standard
+# combiner for lexical + semantic retrieval.
+# --------------------------------------------------------------------------
+_RRF_K = 60
+
+
+@query(
+    "doc_rank_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM toks WHERE tok IN {_SEARCH_TERMS!r}
+      GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS d FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nn FROM documents),
+    lex AS (
+      SELECT t.doc_id, SUM(t.c * ln(nn * 1.0 / d)) AS score
+      FROM tf t JOIN dfreq USING (tok) CROSS JOIN n
+      GROUP BY t.doc_id),
+    ra AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM lex),
+    rb AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents)
+    SELECT rb.doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + ra.r), 0)
+                 + 1.0 / ({_RRF_K} + rb.r), 6) AS rrf
+    FROM rb LEFT JOIN ra ON ra.doc_id = rb.doc_id
+    ORDER BY rrf DESC, rb.doc_id
+    LIMIT 20
+    """,
+)
+def doc_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion: rrf(d) = Σ_systems 1/(k + rank_s(d))
+    with k=60, here fusing the TF-IDF lexical ranking with a length
+    prior (stand-in for the semantic ranking an embedding model
+    produces). Docs missing from a system contribute 0 for it.
+
+    Scale: RRF is rank-based, so it only ever runs over CANDIDATE
+    sets (top-k from each retriever), never the corpus — the global
+    row_number windows here rank the per-query candidate pool, which
+    is thousands of rows at any corpus size. Fusion itself is one
+    broadcast-sized join per extra system."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin(*_SEARCH_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("d"))
+    n = docs.agg(F.count(F.lit(1)).alias("nn"))
+    lex = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("c") * F.log(F.col("nn") * 1.0 / F.col("d"))
+            ).alias("score")
+        )
+    )
+    wa = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    wb = W.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ra = lex.select("doc_id", F.row_number().over(wa).alias("ra"))
+    rb = docs.select("doc_id", F.row_number().over(wb).alias("rb"))
+    return (
+        rb.join(ra, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    1.0 / (_RRF_K + F.col("ra")), F.lit(0.0)
+                )
+                + 1.0 / (_RRF_K + F.col("rb")),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(20)
     )
