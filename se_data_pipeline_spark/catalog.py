@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # --------------------------------------------------------------------------
@@ -195,3 +196,28 @@ DOMAIN_SCHEMAS: dict[str, T.StructType] = {
     "video_ledger": VIDEO_LEDGER,
     "segments": SEGMENTS,
 }
+
+
+def observe_quality(
+    df: DataFrame, name: str, rules: dict[str, "Column"]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach in-flight data-quality metrics to a plan via
+    df.observe(): each rule is a Boolean Column counted as it streams
+    past — the metrics ride the SAME pass as whatever action consumes
+    the frame, so validation costs zero extra scans (at 100 TB a
+    separate validation job doubles the read bill; this makes it
+    free). Returns (instrumented_df, observation); read
+    observation.get after the first action completes.
+
+    Complements data_quality_report (a standalone report query) and
+    validate_table (plan-time schema contract): observe_quality is
+    the always-on production counter path.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(rule)
+        for rule, cond in rules.items()
+    ]
+    return df.observe(obs, *metrics), obs
