@@ -273,3 +273,72 @@ def token_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
     )
     return sized.groupBy("lang").applyInPandas(_pack_group, _PACK_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Training-mix sampling: deterministic per-source quotas (the "data
+# mixing" step that reweights web/code/reference sources before
+# training). Sources are tiered by their numeric suffix; each keeps
+# a hash-ranked fraction of its docs, so the sample is stable across
+# runs, engines, and partitionings.
+# --------------------------------------------------------------------------
+_MIX_FRACS = {0: 0.6, 1: 0.3, 2: 0.1}  # source_num % 3 -> keep fraction
+
+
+@query(
+    "training_mix_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 3
+                  WHEN 0 THEN {_MIX_FRACS[0]}
+                  WHEN 1 THEN {_MIX_FRACS[1]}
+                  ELSE {_MIX_FRACS[2]} END AS frac
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, frac,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM d)
+    SELECT doc_id, source, ROUND(frac, 2) AS mix_frac
+    FROM r WHERE rk <= CAST(ceil(frac * cnt) AS INTEGER)
+    """,
+)
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source reweighting: per-source keep-fraction by
+    tier, membership decided by rank of md5(doc_id) within the
+    source — a reproducible sample (same docs at any partitioning or
+    cluster size), unlike TABLESAMPLE/rand().
+
+    Scale: one shuffle on source (the rank window); the per-source
+    count rides the same window. Skewed mega-sources are the usual
+    suspects — their window sorts in one task, so at 100 TB you rank
+    by hash RANGE instead (keep if md5 < frac * 2^128, no sort, no
+    window), trading exact quota counts for zero shuffles; both
+    forms are deterministic. The windowed form here keeps quotas
+    exact for the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    num = F.regexp_extract("source", "[0-9]+", 0).cast("int")
+    frac = (
+        F.when(num % 3 == 0, F.lit(_MIX_FRACS[0]))
+        .when(num % 3 == 1, F.lit(_MIX_FRACS[1]))
+        .otherwise(F.lit(_MIX_FRACS[2]))
+    )
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    cw = W.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        frac.alias("frac"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    return r.filter(
+        F.col("rk") <= F.ceil(F.col("frac") * F.col("cnt")).cast("int")
+    ).select("doc_id", "source", F.round("frac", 2).alias("mix_frac"))
