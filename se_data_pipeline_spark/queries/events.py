@@ -490,3 +490,111 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 4).alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: ordered view → click → purchase progression per
+# user (each step must happen strictly after the previous one).
+# --------------------------------------------------------------------------
+@query(
+    "event_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s WHERE t_view IS NOT NULL) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first 'view' per user, first 'click'
+    strictly after it, first 'purchase' strictly after that — each
+    stage an aggregate + self-join on the (tiny) per-user stage
+    frame, so the raw events shuffle once per stage on user_id and
+    every stage's frame shrinks monotonically.
+
+    Scale: the per-user stage tables are |users| rows (thousands per
+    million events); at 100 TB broadcast them back against the raw
+    scan, which is exactly what AQE chooses here."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-activity day, counted by
+# day-offset of subsequent activity (the classic triangle).
+# --------------------------------------------------------------------------
+@query(
+    "user_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+      FROM events GROUP BY user_id)
+    SELECT f.cohort,
+           date_diff('day', f.cohort, date_trunc('day', e.ts)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_day f ON f.user_id = e.user_id
+    GROUP BY f.cohort, day_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: first-activity day per user (one
+    aggregate), joined back (broadcast — |users| rows), distinct
+    active users per (cohort, day-offset).
+
+    Scale: countDistinct(user) shuffles (cohort, offset, user) once;
+    for dashboard freshness at 100 TB swap in approx_count_distinct
+    and the shuffle carries HLL sketches instead of user ids."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort")
+    )
+    return (
+        ev.join(F.broadcast(first_day), "user_id")
+        .select(
+            "cohort",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort")
+            ).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
