@@ -1185,3 +1185,125 @@ def returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Robust-statistics outlier flagging: median/MAD per group (resistant
+# to the outliers being hunted, unlike mean/stddev).
+# --------------------------------------------------------------------------
+@query(
+    "value_outliers_by_type",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             median(l_quantity) AS med,
+             mad(l_quantity) AS mad
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT s.l_returnflag,
+           ROUND(s.med, 4) AS med,
+           ROUND(s.mad, 4) AS mad,
+           CAST(COUNT(*) FILTER (
+             WHERE abs(l.l_quantity - s.med) > 3 * s.mad) AS BIGINT)
+             AS n_outliers,
+           COUNT(*) AS n_total
+    FROM lineitem l JOIN stats s ON s.l_returnflag = l.l_returnflag
+    GROUP BY s.l_returnflag, s.med, s.mad
+    """,
+)
+def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier gate: med and MAD per group (MAD = median
+    of |x - med|, needing a second grouped percentile over the
+    deviations), then a conditional count of |x - med| > 3*MAD.
+    Robust scale estimation is the data-quality screen that
+    mean/stddev can't do — the outliers don't drag the threshold.
+
+    Scale: three grouped passes over the fact (med, MAD, flag) — at
+    100 TB collapse to two by computing med+MAD from one
+    percentile_approx sketch pass and flagging in the second; the
+    exact two-median form here is the oracle-checkable ground
+    truth."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "med")
+        .agg(
+            F.percentile(
+                F.abs(F.col("l_quantity") - F.col("med")), F.lit(0.5)
+            ).alias("mad")
+        )
+    )
+    return (
+        li.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("l_quantity") - F.col("med"))
+                    > 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+            "n_total",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching: near-duplicate part names by edit distance,
+# blocked on brand (the classic entity-resolution blocking join).
+# --------------------------------------------------------------------------
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance with brand blocking: the
+    equi part (brand) drives the shuffle, so candidate pairs only
+    form inside blocks; levenshtein evaluates post-join in codegen.
+    Distance 0 (exact dups) is excluded — that's the hash-dedup
+    path's job.
+
+    Scale: never run unblocked edit-distance joins — the blocking
+    key bounds the quadratic term by the largest block. For skewed
+    blocks, sub-block on a cheap signature (first char, length band)
+    exactly like LSH banding bounds the shingle join."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "brand")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & dist.between(1, 2)
+        )
+        .select(
+            "key_a", "key_b", "name_a", "name_b", dist.alias("dist")
+        )
+    )
