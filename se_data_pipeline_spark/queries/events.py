@@ -598,3 +598,47 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling time-window aggregate (RANGE frame): per-user trailing-24h
+# value sum at every event — the sliding analytic that tumbling
+# buckets can't answer.
+# --------------------------------------------------------------------------
+@query(
+    "events_rolling_24h",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                       AND CURRENT ROW), 6) AS sum_24h,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS n_24h
+    FROM events
+    """,
+)
+def events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h RANGE-frame window per user: the frame is defined
+    on event TIME (microsecond-exact, ordering on unix_micros so the
+    Spark range and the oracle's INTERVAL arithmetic bound the same
+    rows — second-truncated keys would disagree at boundaries).
+
+    Scale: one shuffle on user_id, frames evaluated with a sliding
+    two-pointer over each sorted partition — linear, state bounded by
+    the 24 h span. The streaming twin of this shape needs
+    applyInPandasWithState (window() only does bucketed frames)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("sum_24h"),
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+    )
