@@ -285,3 +285,82 @@ def publish_batches(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rolling_24h_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `events_rolling_24h` RANGE-frame
+    window: per-user trailing-24h sum/count at every event, computed
+    with applyInPandasWithState. State per user = the event buffer
+    inside the 24 h horizon (ts-micros + value arrays); each batch
+    appends, evicts everything older than `newest - 24h`, and emits
+    one row per NEW event with its trailing aggregate (two-pointer
+    via numpy searchsorted over the sorted buffer + prefix sums).
+
+    Assumes events at most 24 h late (the same bound a watermark
+    would declare) — older stragglers would need buffer replay.
+    State is bounded by events-per-user-per-day, not history."""
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    horizon_us = 24 * 3600 * 1_000_000
+
+    out_schema = (
+        "event_id long, user_id long, sum_24h double, n_24h long"
+    )
+    state_schema = "ts array<long>, vals array<double>"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ts_buf, val_buf = state.get
+            ts_buf = list(ts_buf)
+            val_buf = list(val_buf)
+        else:
+            ts_buf, val_buf = [], []
+        n_old = len(ts_buf)
+        new_ts, new_val, new_ids = [], [], []
+        for pdf in pdfs:
+            # ts arrives as datetime64[us]-backed pandas timestamps
+            new_ts.extend(
+                int(t) for t in pdf["ts"].astype("datetime64[us]").astype("int64")
+            )
+            new_val.extend(float(v) for v in pdf["value"])
+            new_ids.extend(int(i) for i in pdf["event_id"])
+        all_ts = np.array(ts_buf + new_ts, dtype="int64")
+        all_val = np.array(val_buf + new_val, dtype="float64")
+        order = np.argsort(all_ts, kind="stable")
+        all_ts, all_val = all_ts[order], all_val[order]
+        # rolling window per event: [ts - horizon, ts]
+        left = np.searchsorted(all_ts, all_ts - horizon_us, side="left")
+        csum = np.concatenate([[0.0], np.cumsum(all_val)])
+        idx_of = {int(t): i for i, t in enumerate(all_ts)}
+        # emit rows only for this batch's events
+        rows = []
+        ts_by_id = dict(zip(new_ids, new_ts))
+        for eid in new_ids:
+            i = idx_of[ts_by_id[eid]]
+            rows.append(
+                (
+                    eid,
+                    key[0],
+                    round(float(csum[i + 1] - csum[left[i]]), 6),
+                    int(i + 1 - left[i]),
+                )
+            )
+        # evict events older than the horizon behind the newest
+        keep = all_ts >= (all_ts[-1] - horizon_us) if len(all_ts) else []
+        state.update((
+            [int(t) for t in all_ts[keep]],
+            [float(v) for v in all_val[keep]],
+        ))
+        _ = n_old
+        yield pd.DataFrame(
+            rows, columns=["event_id", "user_id", "sum_24h", "n_24h"]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -233,3 +233,25 @@ def test_tws_running_totals_match_batch(spark, sf_dir):
         t, n = exact[r["user_id"]]
         assert r["n_events"] == n
         assert r["total_value"] == pytest.approx(t)
+
+
+def test_rolling_24h_stateful_matches_batch(spark, sf_dir):
+    """The stateful trailing-24h stream must emit exactly the batch
+    RANGE-frame window results (same frames, same rounding)."""
+    from se_data_pipeline_spark.queries.events import events_rolling_24h
+    from se_data_pipeline_spark.streaming.jobs import rolling_24h_stateful
+
+    stream = read_events_stream(spark, sf_dir)
+    _run_to_memory(spark, rolling_24h_stateful(stream), "t_roll", "append")
+    got = {
+        r["event_id"]: (r["sum_24h"], r["n_24h"])
+        for r in spark.sql("SELECT * FROM t_roll").collect()
+    }
+    expected = {
+        r["event_id"]: (r["sum_24h"], r["n_24h"])
+        for r in events_rolling_24h(spark, sf_dir).collect()
+    }
+    assert len(got) == len(expected)
+    for eid, (s, n) in expected.items():
+        assert got[eid][1] == n, eid
+        assert got[eid][0] == pytest.approx(s, abs=1e-6)
