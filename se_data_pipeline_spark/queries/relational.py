@@ -1307,3 +1307,96 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_a", "key_b", "name_a", "name_b", dist.alias("dist")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Graph analytics: PageRank (2 unrolled iterations) over the
+# supplier↔part bipartite graph induced by lineitem edges.
+# --------------------------------------------------------------------------
+_PR_DAMP = 0.85
+_PR_ITers = 2
+
+
+@query(
+    "supplier_part_pagerank",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+                      's' || CAST(l_suppkey AS VARCHAR)
+      FROM lineitem),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT COUNT(*) AS nn FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT node, (SELECT 1.0 / nn FROM n) AS pr FROM nodes),
+    pr1 AS (
+      SELECT e.dst AS node,
+             (SELECT (1 - {_PR_DAMP}) / nn FROM n)
+               + {_PR_DAMP} * SUM(p.pr / d.d) AS pr
+      FROM edges e
+      JOIN pr0 p ON p.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst),
+    pr2 AS (
+      SELECT e.dst AS node,
+             (SELECT (1 - {_PR_DAMP}) / nn FROM n)
+               + {_PR_DAMP} * SUM(p.pr / d.d) AS pr
+      FROM edges e
+      JOIN pr1 p ON p.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst)
+    SELECT node, ROUND(pr, 9) AS pagerank
+    FROM pr2 ORDER BY pagerank DESC, node LIMIT 50
+    """,
+)
+def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier↔part graph (distinct lineitem pairs
+    as undirected edges), two unrolled power iterations: contribution
+    = damp * Σ pr(src)/deg(src) per neighbor + teleport. Every node
+    has out-degree ≥ 1 here (edges are symmetric), so no dangling-
+    mass term is needed.
+
+    Scale: each iteration is one join (ranks ⋈ edges on src) + one
+    aggregate (sum by dst) — shuffle keys are node ids, and the
+    static 2-iteration unroll keeps the whole thing a single Catalyst
+    plan. Open-ended iteration to convergence uses the
+    localCheckpoint-per-round loop that dedup_connected_components
+    demonstrates; ranks are invariant to partitioning, so results are
+    engine-reproducible (summed in any order, rounded)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.count()  # scalar: graph size (driver-side by design —
+    # a count, not a collect of rows)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.select("node", F.lit(1.0 / nn).alias("pr"))
+    for _ in range(_PR_ITers):
+        contribs = (
+            edges.join(ranks, ranks["node"] == edges["src"])
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(
+                (
+                    F.lit((1 - _PR_DAMP) / nn)
+                    + _PR_DAMP * F.sum("c")
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+        )
+    return (
+        ranks.select("node", F.round("pr", 9).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("node"))
+        .limit(50)
+    )
