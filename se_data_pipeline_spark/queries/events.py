@@ -642,3 +642,44 @@ def events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 6).alias("sum_24h"),
         F.count(F.lit(1)).over(w).alias("n_24h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured VARIANT path (Spark 4): parse the props JSON once
+# into a VARIANT column, extract typed paths, aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "events_variant_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+             AS avg_k,
+           CAST(COUNT(*) FILTER (
+             WHERE CAST(json_extract(props, '$.k') AS INTEGER) > 90)
+             AS BIGINT) AS n_k_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT for semi-structured columns: try_parse_json
+    once per row into the binary variant encoding, then typed
+    variant_get path extraction — no schema declaration up front
+    (vs from_json in events_json_extract, which needs one).
+
+    Scale: variant parse/extract is row-local and stays in codegen;
+    at rest you'd store the VARIANT column itself in parquet
+    (shredded subcolumns in Spark 4) so repeated queries skip the
+    parse entirely — the JSON-string form here pays it per query."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 90, 1).otherwise(0)).alias("n_k_high"),
+        )
+    )
