@@ -25,3 +25,24 @@ def round_half_up(x, decimals: int = 6):
     the +0.5 is exact)."""
     p = _POW10[decimals]
     return np.sign(x) * np.floor(np.abs(np.multiply(x, p)) + 0.5) / p
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative ints, as a pure
+    Catalyst expression (unrolled bit picks — no UDF): bit i of `a`
+    lands at position 2i, bit i of `b` at 2i+1.
+
+    Sorting/range-partitioning a write by this key clusters BOTH
+    dimensions at once, so later scans filtering on either column (or
+    both) skip most files via row-group min/max stats — the
+    multi-dimensional layout trick behind Z-ordered table formats,
+    available here with plain parquet. All terms stay < 2^(2*bits)
+    (ANSI-overflow-safe for bits <= 31)."""
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long")
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+        key = key + abit * F.lit(1 << (2 * i)) + bbit * F.lit(1 << (2 * i + 1))
+    return key

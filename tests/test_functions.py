@@ -421,3 +421,29 @@ def test_connected_components_transitive_chain(spark, tmp_path):
         for r in dedup_connected_components(spark, sf).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_zorder_key_exact_morton_order(spark):
+    """zorder_key must produce the canonical Morton interleave: the
+    4x4 grid sorted by key follows the Z curve."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.functions.numeric import zorder_key
+
+    grid = spark.createDataFrame(
+        [Row(x=x, y=y) for x in range(4) for y in range(4)]
+    )
+    rows = (
+        grid.select("x", "y", zorder_key(F.col("x"), F.col("y"), 2).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    # known values: z(3,0)=0b0101=5, z(0,3)=0b1010=10, z(3,3)=15
+    byxy = {(r["x"], r["y"]): r["z"] for r in rows}
+    assert byxy[(3, 0)] == 5 and byxy[(0, 3)] == 10 and byxy[(3, 3)] == 15
+    # the curve visits the four 2x2 quadrants in Z order
+    quadrant = [(r["x"] // 2, r["y"] // 2) for r in rows]
+    assert quadrant == (
+        [(0, 0)] * 4 + [(1, 0)] * 4 + [(0, 1)] * 4 + [(1, 1)] * 4
+    )

@@ -182,3 +182,33 @@ def test_columnar_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in back.collect()}
     assert rows[2]["score"] == 9.0
     assert rows[1]["score"] is None
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """partitionOverwriteMode=dynamic rewrites ONLY the partitions
+    present in the incoming batch — the incremental-maintenance
+    pattern for a 100 TB partitioned table (a full static overwrite
+    would drop every other partition)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "table")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, part string, v long"
+    )
+    base.write.partitionBy("part").parquet(p)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame(
+            [(9, "b", 99)], "id long, part string, v long"
+        ).write.mode("overwrite").partitionBy("part").parquet(p)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    rows = {
+        (r["part"], r["id"]): r["v"]
+        for r in spark.read.parquet(p).collect()
+    }
+    # partition b replaced, a and c untouched
+    assert rows == {("a", 1): 10, ("c", 3): 30, ("b", 9): 99}
