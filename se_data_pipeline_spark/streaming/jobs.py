@@ -364,3 +364,39 @@ def rolling_24h_stateful(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def progress_listener(spark: SparkSession, log: list) -> "object":
+    """K8 parity: the reference funnels worker logs through a
+    Manager().Queue() to a listener process (data_pipeline.py:459-497,
+    766-779). The engine equivalent is a StreamingQueryListener —
+    Spark delivers query lifecycle + per-batch progress events
+    (rows/sec, batch duration, state size) to the driver without any
+    operator in the data path. Appends one dict per progress event to
+    `log`; returns the listener (call spark.streams.removeListener
+    when done)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            log.append({"event": "started", "id": str(event.id)})
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            log.append(
+                {
+                    "event": "progress",
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                }
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            log.append({"event": "terminated", "id": str(event.id)})
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    return listener

@@ -255,3 +255,31 @@ def test_rolling_24h_stateful_matches_batch(spark, sf_dir):
     for eid, (s, n) in expected.items():
         assert got[eid][1] == n, eid
         assert got[eid][0] == pytest.approx(s, abs=1e-6)
+
+
+def test_progress_listener_captures_batches(spark, sf_dir):
+    """K8 parity: the listener observes start, per-batch progress
+    (with the real input row count), and termination — the engine's
+    replacement for the reference's log-queue listener process."""
+    from se_data_pipeline_spark.streaming.jobs import progress_listener
+
+    log: list = []
+    listener = progress_listener(spark, log)
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        _run_to_memory(spark, dedup_events(stream), "t_listen", "append")
+        import time as _t
+
+        for _ in range(40):  # listener delivery is async
+            if any(e["event"] == "terminated" for e in log):
+                break
+            _t.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    events = {e["event"] for e in log}
+    assert {"started", "progress", "terminated"} <= events
+    n_rows = sum(
+        e.get("num_input_rows", 0) for e in log if e["event"] == "progress"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    assert n_rows == ev.count()
