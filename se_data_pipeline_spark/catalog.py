@@ -104,11 +104,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to a microsecond timestamp (exactly DuckDB's truncation)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # driver parquet carries TIMESTAMP(NANOS) (surfaces as long
+        # under the legacy conf); engine-written events tables already
+        # hold a real timestamp — rebuild only in the former case.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
