@@ -56,6 +56,11 @@ HEADLINE = [
     "sql_in_having_large_orders",
     "forecast_revenue_change",
     "returned_item_ranking",
+    "events_rolling_24h",
+    "events_daily_rollup",
+    "events_ewma",
+    "value_outliers_by_type",
+    "doc_rank_fusion",
 ]
 
 
@@ -101,6 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "n_queries": len(HEADLINE),
                 "sf": sf,
             }
         )
