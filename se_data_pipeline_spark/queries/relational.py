@@ -1400,3 +1400,49 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), F.asc("node"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram: width_bucket binning of a continuous measure.
+# --------------------------------------------------------------------------
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN 0
+                     WHEN l_extendedprice >= 110000.0 THEN 23
+                     ELSE floor((l_extendedprice - 0.0)
+                                / (110000.0 / 22)) + 1 END
+                AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM lineitem
+    GROUP BY bucket
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (22 bins over a fixed
+    domain): binning is a row-local expression, so the histogram is
+    one map-side-combined aggregate — the profile pass a curation
+    pipeline runs to pick thresholds before filtering.
+
+    Scale: fixed-domain bins (not data-dependent min/max) keep this a
+    single pass; a data-dependent domain needs the min/max aggregate
+    first (two passes or an approx-quantile sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket(
+                "l_extendedprice", F.lit(0.0), F.lit(110000.0), F.lit(22)
+            )
+            .cast("int")
+            .alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
