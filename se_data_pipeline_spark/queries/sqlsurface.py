@@ -138,6 +138,96 @@ def sql_scalar_anti_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Correlated scalar-aggregate subquery (TPC-H Q17 shape): revenue lost
+# to small-quantity orders, per-part average threshold.
+# --------------------------------------------------------------------------
+@query(
+    "sql_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_size <= 5
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def sql_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar AVG subquery (TPC-H Q17's shape on the
+    available columns: brand + size stand in for brand + container).
+    Catalyst decorrelates to a per-partkey aggregate joined back on
+    l_partkey — the inner aggregate is computed ONCE per part, not
+    per outer row, so cost is one extra shuffle-agg over lineitem
+    rather than a quadratic rescan. At 100 TB the brand/size filter
+    prunes `part` first and AQE broadcasts the surviving partkeys
+    into both the probe and the threshold aggregate."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13' AND p.p_size <= 5
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Double-correlated EXISTS + NOT EXISTS self-joins (TPC-H Q21 shape):
+# the supplier who was the sole late shipper in multi-supplier orders.
+# --------------------------------------------------------------------------
+@query(
+    "sql_sole_late_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def sql_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape: one correlated EXISTS and one correlated
+    NOT EXISTS, both self-joins on lineitem, the NOT EXISTS also
+    referencing the outer `orders` row (lateness = shipped >90 days
+    after order date, standing in for receipt>commit which the
+    reduced schema lacks). Catalyst decorrelates to a left-semi and
+    a left-anti join on l_orderkey — three passes over lineitem
+    total, all equi-shuffles on the same key, so at scale the
+    exchange is reused rather than recomputed per branch."""
+    _register(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
+        GROUP BY s.s_name
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact per-group percentiles (linear interpolation), complementing
 # the approximate-sketch path in supplier_distinct_parts_approx.
 # --------------------------------------------------------------------------

@@ -172,6 +172,25 @@ def test_sql_subqueries_decorrelate_to_joins(spark, sf_dir):
     assert "scalar-subquery" in opt
 
 
+def test_correlated_scalar_and_double_exists_decorrelate(spark, sf_dir):
+    """Q17/Q21 shapes: the correlated scalar AVG plans as an aggregate
+    joined back (computed once per part, not per row); the EXISTS /
+    NOT EXISTS pair plans as one LeftSemi and one LeftAnti self-join
+    on lineitem — never a nested-loop per-row subquery."""
+    from se_data_pipeline_spark.queries.sqlsurface import (
+        sql_small_quantity_revenue,
+        sql_sole_late_supplier,
+    )
+
+    opt = optimized_of(sql_small_quantity_revenue(spark, sf_dir))
+    assert "avg(l_quantity)" in opt  # decorrelated per-part aggregate
+    assert "Join" in opt
+
+    opt = optimized_of(sql_sole_late_supplier(spark, sf_dir))
+    assert "LeftSemi" in opt
+    assert "LeftAnti" in opt
+
+
 def test_sorted_write_produces_skippable_rowgroup_stats(spark, sf_dir, tmp_path):
     """sortWithinPartitions before a write yields parquet files whose
     min/max column stats are tight, so a later range predicate skips
