@@ -1446,3 +1446,72 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Window-function breadth: dense_rank + lag + first_value + cume_dist
+# over a 4-way-join yearly rollup (TPC-H Q5-flavored input).
+# --------------------------------------------------------------------------
+@query(
+    "nation_yearly_rank_shift",
+    oracle="""
+    WITH yearly AS (
+      SELECT n.n_name, EXTRACT(year FROM o.o_orderdate) AS yr,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, yr)
+    SELECT n_name, yr, revenue,
+           DENSE_RANK() OVER (PARTITION BY yr ORDER BY revenue DESC) AS rnk,
+           ROUND(revenue - LAG(revenue) OVER (PARTITION BY n_name ORDER BY yr),
+                 2) AS yoy_delta,
+           FIRST_VALUE(n_name) OVER (PARTITION BY yr
+                                     ORDER BY revenue DESC, n_name) AS yr_leader,
+           ROUND(CUME_DIST() OVER (PARTITION BY yr ORDER BY revenue), 4) AS cume
+    FROM yearly
+    """,
+)
+def nation_yearly_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four window functions over two window specs on a pre-reduced
+    frame: yearly revenue per nation (the reference's score-and-rank
+    E3.2 pattern, W2/O1, generalized to ranked league tables).
+
+    Scale: the 4-way join reduces to nation x year (~hundreds of
+    rows) BEFORE any window runs, so the window stage is trivially
+    cheap no matter the lineitem size; dense_rank/first_value/
+    cume_dist share one (yr, revenue DESC) sort, lag uses its own
+    (n_name, yr) sort — two in-partition sorts over a tiny frame.
+    Ties in revenue are broken by n_name in first_value so the
+    leader is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    by_yr_desc = W.partitionBy("yr").orderBy(F.desc("revenue"))
+    by_yr_desc_tied = W.partitionBy("yr").orderBy(F.desc("revenue"), "n_name")
+    by_nation = W.partitionBy("n_name").orderBy("yr")
+    by_yr_asc = W.partitionBy("yr").orderBy("revenue")
+    return yearly.select(
+        "n_name",
+        "yr",
+        "revenue",
+        F.dense_rank().over(by_yr_desc).alias("rnk"),
+        F.round(
+            F.col("revenue") - F.lag("revenue").over(by_nation), 2
+        ).alias("yoy_delta"),
+        F.first_value("n_name").over(by_yr_desc_tied).alias("yr_leader"),
+        F.round(F.cume_dist().over(by_yr_asc), 4).alias("cume"),
+    )

@@ -228,6 +228,51 @@ def sql_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CTE + MAX-equality self-reference (TPC-H Q15 shape): the quarter's
+# top-revenue supplier, the CTE evaluated once and reused twice.
+# --------------------------------------------------------------------------
+@query(
+    "sql_top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON r.suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def sql_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's shape: a CTE referenced both as the join input and
+    inside a scalar MAX subquery. The revenue rollup is rounded
+    BEFORE the MAX comparison so the equality is exact on both
+    engines. Catalyst evaluates the scalar subquery as a one-row
+    aggregate over the (already reduced, supplier-cardinality) CTE
+    and folds it into the filter — the lineitem scan with its
+    shipdate range pushed down happens once per CTE reference, and
+    at scale the date filter prunes partitions before any shuffle."""
+    _register(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey AS suppkey,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM supplier s JOIN rev r ON r.suppkey = s.s_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact per-group percentiles (linear interpolation), complementing
 # the approximate-sketch path in supplier_distinct_parts_approx.
 # --------------------------------------------------------------------------
