@@ -1515,3 +1515,222 @@ def nation_yearly_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first_value("n_name").over(by_yr_desc_tied).alias("yr_leader"),
         F.round(F.cume_dist().over(by_yr_asc), 4).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# Outer-join count distribution (TPC-H Q13 shape): how many customers
+# placed 0, 1, 2, ... non-urgent orders.
+# --------------------------------------------------------------------------
+@query(
+    "customer_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def customer_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level aggregation over a filtered LEFT OUTER join (TPC-H
+    Q13). COUNT(o_orderkey) — not COUNT(*) — so customers with no
+    surviving orders count as 0, which is the point of the outer join.
+
+    Scale: the join shuffles on custkey; the first aggregate reduces
+    to customer cardinality and the second to a handful of distinct
+    counts, so everything after the join is cheap. The priority
+    filter sits in the join condition (NOT a post-join WHERE, which
+    would turn the outer join inner) — Catalyst still pushes it to
+    the orders scan side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Market share by year (TPC-H Q8 shape): one supplier-nation's share
+# of revenue delivered into one customer region, per order year.
+# --------------------------------------------------------------------------
+@query(
+    "nation_market_share",
+    oracle="""
+    SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+           ROUND(SUM(CASE WHEN sn.n_name = 'NATION_2'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6)
+             AS mkt_share
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    JOIN region r    ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY yr
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join with the nation dimension joined TWICE under
+    different roles (customer nation → region filter, supplier
+    nation → share numerator) and a conditional-sum ratio — TPC-H
+    Q8's shape. Both nation copies, region, customer and supplier
+    broadcast; lineitem⋈orders is the only real shuffle. One
+    aggregation produces numerator and denominator together."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_nat = nat.alias("cn")
+    supp_nat = nat.alias("sn")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(cust_nat),
+            F.col("cn.n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("r_regionkey") == F.col("cn.n_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(supp_nat),
+            F.col("sn.n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("sn.n_name") == "NATION_2", rev).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Product-line profit by supplier nation and year (TPC-H Q9 shape).
+# No supplycost column exists; cost is modeled as 60% of retail price
+# per unit, which preserves the join/aggregation structure exactly.
+# --------------------------------------------------------------------------
+@query(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT sn.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS yr,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, yr
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit rollup by supplier nation × order year over a
+    LIKE-filtered part dimension. The substring filter can't push to
+    the parquet reader as a range, but it DOES prune the broadcast
+    part side before the join, so the lineitem⋈part probe discards
+    non-matching rows at broadcast-hash-probe time — the big table
+    is never shuffled for filtering. lineitem⋈orders remains the one
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier variety per part attribute with an exclusion subquery
+# (TPC-H Q16 shape): distinct suppliers per (brand, size), excluding
+# suppliers in bad standing.
+# --------------------------------------------------------------------------
+@query(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size BETWEEN 1 AND 25
+      AND p.p_brand <> 'Brand#5'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: COUNT(DISTINCT supplier) per part attribute with a
+    NOT-IN exclusion list. The exclusion list (negative-balance
+    suppliers) is tiny → broadcast left-anti join, which is exactly
+    what Catalyst rewrites NOT IN to when the subquery column is
+    non-nullable. The distinct-aggregate adds its usual second
+    shuffle (keys + suppkey first, then keys); at 100 TB that is the
+    expected two-exchange plan for exact distinct counts — the
+    sketch path (supplier_distinct_parts_approx) is the one-shuffle
+    alternative."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pruned = part.filter(
+        F.col("p_size").between(1, 25) & (F.col("p_brand") != "Brand#5")
+    )
+    return (
+        li.join(
+            F.broadcast(bad),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(pruned), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )

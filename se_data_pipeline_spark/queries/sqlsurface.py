@@ -302,3 +302,128 @@ def price_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nested IN subqueries with a correlated HAVING threshold (TPC-H Q20
+# shape): suppliers who dominate shipments of any red part.
+# --------------------------------------------------------------------------
+@query(
+    "sql_dominant_red_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem l1
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red%')
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 0.15 * (SELECT SUM(l2.l_quantity)
+                                      FROM lineitem l2
+                                      WHERE l2.l_partkey = l1.l_partkey))
+    """,
+)
+def sql_dominant_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's nesting: an IN whose subquery contains another IN
+    plus a HAVING gated by a *correlated* scalar aggregate (the
+    supplier's share of that part's total shipped quantity).
+    Catalyst decorrelates the inner scalar into a per-part aggregate
+    joined back on partkey, and both INs into semi-joins — the
+    whole thing runs as joins, no per-row subquery execution.
+    At scale: part prefix filter prunes before the big join, and the
+    per-(supplier, part) and per-part aggregates share the same
+    lineitem scan shape."""
+    _register(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem l1
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 0.15 * (SELECT SUM(l2.l_quantity)
+                                          FROM lineitem l2
+                                          WHERE l2.l_partkey = l1.l_partkey))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# LATERAL correlated subquery with ORDER BY + LIMIT: per-order top
+# line. The decorrelated form of "top-1 per group" written the way a
+# SQL user writes it.
+# --------------------------------------------------------------------------
+@query(
+    "sql_lateral_top_lines",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.rev
+    FROM (SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) o,
+    LATERAL (SELECT l_linenumber,
+                    ROUND(l_extendedprice * (1 - l_discount), 2) AS rev
+             FROM lineitem WHERE l_orderkey = o.o_orderkey
+             ORDER BY rev DESC, l_linenumber LIMIT 1) l
+    """,
+)
+def sql_lateral_top_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL subquery with a correlated ORDER BY … LIMIT 1: the
+    highest-revenue line of each of the ten biggest orders. Spark
+    rewrites the correlated LIMIT into a ranked window under a join
+    (DecorrelateInnerQuery), so this stays a set-based plan. The
+    outer side is a true top-k (TakeOrderedAndProject) of 10 rows,
+    so the lateral probe touches ten keys no matter the fact size.
+    Ties broken by linenumber for determinism; orders with no lines
+    drop out (inner lateral semantics) on both engines."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.rev
+        FROM (SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) o,
+        LATERAL (SELECT l_linenumber,
+                        ROUND(l_extendedprice * (1 - l_discount), 2) AS rev
+                 FROM lineitem WHERE l_orderkey = o.o_orderkey
+                 ORDER BY rev DESC, l_linenumber LIMIT 1) l
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): a month spine generated by
+# the engine itself, outer-joined against order counts — the
+# gap-filling pattern expressed in pure SQL recursion.
+# --------------------------------------------------------------------------
+@query(
+    "sql_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01')
+    SELECT m.m, COUNT(o.o_orderkey) AS n_orders
+    FROM months m
+    LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
+    GROUP BY m.m
+    """,
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month generator (80 iterations) left-joined to
+    monthly order counts, so months with zero orders surface as 0 —
+    the recursive-SQL twin of events_hourly_gap_filled (which builds
+    its spine with sequence()+explode). The spine is 80 rows; the
+    fact side aggregates to months BEFORE the join would matter at
+    scale, but here the join key is date_trunc on the probe side and
+    the spine broadcasts."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01')
+        SELECT m.m, COUNT(o.o_orderkey) AS n_orders
+        FROM months m
+        LEFT JOIN orders o ON date_trunc('month', o.o_orderdate) = m.m
+        GROUP BY m.m
+        """
+    )
