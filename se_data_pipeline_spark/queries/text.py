@@ -822,3 +822,100 @@ def doc_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition signals (Gopher-style quality rules):
+# top-bigram share and duplicate-trigram fraction.
+# --------------------------------------------------------------------------
+@query(
+    "doc_repetition_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)),
+    bi_cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+    bi_doc AS (
+      SELECT doc_id,
+             ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_share
+      FROM bi_cnt GROUP BY doc_id),
+    tri AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)),
+    tri_cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+    tri_doc AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                   / SUM(c), 6) AS dup_trigram_frac
+      FROM tri_cnt GROUP BY doc_id)
+    SELECT b.doc_id, b.top_bigram_share, t.dup_trigram_frac
+    FROM bi_doc b JOIN tri_doc t ON t.doc_id = b.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher repetition rules
+    restated over whitespace tokens): the most frequent bigram's
+    share of all bigrams, and the fraction of trigram occurrences
+    whose trigram appears more than once in the same document.
+
+    Plan: n-gram arrays are built JVM-side with transform() over a
+    sequence (no Python), then exploded and counted with a hash
+    aggregate keyed (doc_id, gram) — the natural distributed shape:
+    the key space is per-document so the count aggregate partial-
+    aggregates map-side, and the per-doc reduction that follows is
+    tiny. No window functions needed (max and conditional sum per
+    doc); 100 TB behavior is two shuffle rounds over (doc_id, gram)
+    → (doc_id), both combiner-friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    # transform(sequence(1, size-1), i -> concat(t[i], ' ', t[i+1]))
+    # written with element_at (1-based) so Spark and DuckDB index
+    # identically.
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), "
+                "' ', element_at(t, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    bi_doc = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_share")
+        )
+    )
+    tri_doc = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("c"),
+                6,
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return bi_doc.join(tri_doc, "doc_id")
