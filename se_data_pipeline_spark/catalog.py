@@ -67,7 +67,7 @@ RELATIONAL_SCHEMAS: dict[str, str] = {
         "l_linestatus string, l_shipdate timestamp_ntz"
     ),
     "events": (
-        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
         "value double, props string"
     ),
     "documents": (
@@ -99,15 +99,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table. Parquet scans get predicate
     pushdown + column pruning from Catalyst automatically.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default; read it as a long (legacy conf) and convert
-    to a microsecond timestamp (exactly DuckDB's truncation)."""
+    `events.ts` has shipped in two physical forms across testdata
+    generations: parquet TIMESTAMP(NANOS) (rejected by Spark unless
+    read as long via the legacy conf, then rebuilt at microsecond
+    precision — exactly DuckDB's truncation) and plain timestamp[us]
+    with no zone (read natively as TIMESTAMP_NTZ). Handle both."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # driver parquet carries TIMESTAMP(NANOS) (surfaces as long
-        # under the legacy conf); engine-written events tables already
-        # hold a real timestamp — rebuild only in the former case.
+        # nanos parquet surfaces as long under the legacy conf;
+        # us-precision parquet and engine-written events tables
+        # already hold a real timestamp — rebuild only in the former.
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df

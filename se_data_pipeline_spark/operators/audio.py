@@ -11,15 +11,16 @@ testable anywhere; the silero backend plugs in behind the same
 interface when available (audio_vad.py:11-12 loads it eagerly — we
 gate it behind an import-try instead).
 
-SNR estimator: the reference's live path is WADA (audio_snr.py:8-58,
-Kim & Stern 2008); its dev notebook also evaluated RMS-threshold
-estimators (snr_dev.ipynb cell 9). We implement the energy-percentile
-family (frame RMS; noise floor = low percentile, signal = high
-percentile) — deterministic, table-free, within a few dB of WADA on
-speech-shaped signals, and bit-reproducible across runs, which is
-what the correctness harness needs. Documented divergence: same
-capability (blind per-segment SNR in dB), different published
-algorithm.
+SNR estimator: the default kernel is WADA (audio_snr.py:8-58; Kim &
+Stern, "Robust signal-to-noise ratio estimation based on waveform
+amplitude distribution analysis", Interspeech 2008) — peak-normalize,
+v3 = log(E|z|) − E[log|z|], 121-entry gamma lookup with linear
+interpolation, energy split → dB. Pure numpy, deterministic,
+bit-reproducible. The energy-percentile estimator from rounds 1-3
+(frame RMS; noise floor = quietest frame, signal = high percentile)
+is kept as `estimate_snr_energy` — table-free and better calibrated
+on non-speech signals (pure tones), used by tests that need absolute
+calibration on synthetic tones.
 """
 
 from __future__ import annotations
@@ -79,6 +80,92 @@ def resample_linear(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------ blind SNR
+#
+# WADA (Kim & Stern 2008, Interspeech): the G(xi) statistic
+# log(E|z|) − E[log|z|] of a gamma-distributed speech signal mixed
+# with gaussian noise is a monotone function of SNR; the published
+# 121-entry table samples that function at integer dB from −20 to
+# 100 (table values from the LabROSA `snreval` project, the same
+# source the reference cites — audio_snr.py:22).
+
+_WADA_EPS = 1e-10
+_WADA_DB_GRID = np.arange(-20, 101, dtype=np.float64)
+# fmt: off
+_WADA_G_TABLE = np.array([
+    0.40974774, 0.40986926, 0.40998566, 0.40969089, 0.40986186,
+    0.40999006, 0.41027138, 0.41052627, 0.41101024, 0.41143264,
+    0.41231718, 0.41337272, 0.41526426, 0.4178192, 0.42077252,
+    0.42452799, 0.42918886, 0.43510373, 0.44234195, 0.45161485,
+    0.46221153, 0.47491647, 0.48883809, 0.50509236, 0.52353709,
+    0.54372088, 0.56532427, 0.58847532, 0.61346212, 0.63954496,
+    0.66750818, 0.69583724, 0.72454762, 0.75414799, 0.78323148,
+    0.81240985, 0.84219775, 0.87166406, 0.90030504, 0.92880418,
+    0.95655449, 0.9835349, 1.01047155, 1.0362095, 1.06136425,
+    1.08579312, 1.1094819, 1.13277995, 1.15472826, 1.17627308,
+    1.19703503, 1.21671694, 1.23535898, 1.25364313, 1.27103891,
+    1.28718029, 1.30302865, 1.31839527, 1.33294817, 1.34700935,
+    1.3605727, 1.37345513, 1.38577122, 1.39733504, 1.40856397,
+    1.41959619, 1.42983624, 1.43958467, 1.44902176, 1.45804831,
+    1.46669568, 1.47486938, 1.48269965, 1.49034339, 1.49748214,
+    1.50435106, 1.51076426, 1.51698915, 1.5229097, 1.528578,
+    1.53389835, 1.5391211, 1.5439065, 1.54858517, 1.55310776,
+    1.55744391, 1.56164927, 1.56566348, 1.56938671, 1.57307767,
+    1.57654764, 1.57980083, 1.58304129, 1.58602496, 1.58880681,
+    1.59162477, 1.5941969, 1.59693155, 1.599446, 1.60185011,
+    1.60408668, 1.60627134, 1.60826199, 1.61004547, 1.61192472,
+    1.61369656, 1.61534074, 1.61688905, 1.61838916, 1.61985374,
+    1.62135878, 1.62268119, 1.62390423, 1.62513143, 1.62632463,
+    1.6274027, 1.62842767, 1.62945532, 1.6303307, 1.63128026,
+    1.63204102,
+])
+# fmt: on
+
+
+def wada_snr(x: np.ndarray) -> float:
+    """Blind SNR (dB) by waveform-amplitude-distribution analysis —
+    the reference's live D2 kernel (audio_snr.py:8-58), same math:
+
+    1. peak-normalize; floor |z| at eps so log is defined;
+    2. v3 = log(E[|z|]) − E[log|z|] (the G statistic);
+    3. invert G via the table: take the largest grid index whose
+       table value lies strictly below v3 and interpolate linearly
+       to the next grid point (the table is not globally monotone in
+       its first few entries, so this bracket rule — not a binary
+       search — is the defined inverse); clamp to [−20, 100] dB;
+    4. split total energy into signal/noise parts by the implied
+       linear SNR factor and return 10·log10(Es/En) (algebraically
+       the interpolated dB value; computed through the energy split
+       for exact numeric parity with the published code path).
+
+    Digital silence (all-zero input) has no amplitude distribution;
+    return the −20 dB floor instead of 0/0."""
+    z = np.asarray(x, dtype=np.float64)
+    peak = np.abs(z).max() if z.size else 0.0
+    if peak <= 0.0:
+        return -20.0
+    mag = np.maximum(np.abs(z / peak), _WADA_EPS)
+    v3 = np.log(max(_WADA_EPS, mag.mean())) - np.log(mag).mean()
+
+    below = np.flatnonzero(_WADA_G_TABLE < v3)
+    if below.size == 0:
+        snr_db = float(_WADA_DB_GRID[0])
+    elif below.max() == len(_WADA_G_TABLE) - 1:
+        snr_db = float(_WADA_DB_GRID[-1])
+    else:
+        i = below.max()
+        frac = (v3 - _WADA_G_TABLE[i]) / (
+            _WADA_G_TABLE[i + 1] - _WADA_G_TABLE[i]
+        )
+        snr_db = float(
+            _WADA_DB_GRID[i]
+            + frac * (_WADA_DB_GRID[i + 1] - _WADA_DB_GRID[i])
+        )
+
+    total_energy = float(np.sum((z / peak) ** 2))
+    factor = 10.0 ** (snr_db / 10.0)
+    noise_energy = total_energy / (1.0 + factor)
+    signal_energy = total_energy * factor / (1.0 + factor)
+    return float(10.0 * np.log10(signal_energy / noise_energy))
 
 
 def frame_rms(x: np.ndarray, sr: int, frame_ms: int = 25) -> np.ndarray:
@@ -94,13 +181,14 @@ def frame_rms(x: np.ndarray, sr: int, frame_ms: int = 25) -> np.ndarray:
 _QUANT_RMS = 0.5 / 32767.0  # half-LSB of 16-bit PCM — the codec noise floor
 
 
-def estimate_snr(x: np.ndarray, sr: int = VAD_SR) -> float:
+def estimate_snr_energy(x: np.ndarray, sr: int = VAD_SR) -> float:
     """Blind SNR estimate (dB) via frame energies: noise power = the
     quietest frame (floored at the 16-bit quantization level, so a
     digitally-clean signal reads as very high SNR, not 0), signal+
     noise power = 90th-percentile frame; SNR = 10·log10((P_hi −
     P_noise)/P_noise). Clamped to [-20, 100] like the reference's
-    WADA wrapper (audio_snr.py:56-58)."""
+    WADA wrapper (audio_snr.py:56-58). Table-free fallback; better
+    calibrated than WADA on non-speech waveforms (pure tones)."""
     rms = frame_rms(x, sr)
     if len(rms) < 4:
         return -20.0
@@ -113,26 +201,38 @@ def estimate_snr(x: np.ndarray, sr: int = VAD_SR) -> float:
     return float(np.clip(snr_db, -20.0, 100.0))
 
 
+def estimate_snr(
+    x: np.ndarray, sr: int = VAD_SR, method: str = "wada"
+) -> float:
+    """Blind SNR dispatch — `wada` (default; the reference's kernel)
+    or `energy` (the table-free frame-RMS estimator)."""
+    if method == "wada":
+        return wada_snr(x)
+    if method == "energy":
+        return estimate_snr_energy(x, sr)
+    raise ValueError(f"unknown SNR method {method!r}")
+
+
 @pandas_udf(DoubleType())
 def snr_from_wav(payload: pd.Series) -> pd.Series:
-    """Scalar pandas_udf: WAV bytes → SNR dB (D2). Arrow moves the
-    binary batch once; the kernel is pure numpy per row."""
+    """Scalar pandas_udf: WAV bytes → WADA SNR dB (D2). Arrow moves
+    the binary batch once; the kernel is pure numpy per row."""
     out = []
     for data in payload:
         if data is None:
             out.append(None)
             continue
-        x, sr = decode_wav(bytes(data))
-        out.append(estimate_snr(x, sr))
+        x, _sr = decode_wav(bytes(data))
+        out.append(wada_snr(x))
     return pd.Series(out, dtype="float64")
 
 
 @pandas_udf(DoubleType())
 def snr_from_samples(samples: pd.Series) -> pd.Series:
-    """Scalar pandas_udf over array<float> sample columns."""
+    """Scalar pandas_udf over array<float> sample columns (WADA)."""
     return pd.Series(
         [
-            None if s is None else estimate_snr(np.asarray(s, dtype=np.float32))
+            None if s is None else wada_snr(np.asarray(s, dtype=np.float32))
             for s in samples
         ],
         dtype="float64",

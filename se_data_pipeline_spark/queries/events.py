@@ -7,12 +7,25 @@ oracle-checkable surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
 from se_data_pipeline_spark.queries import query
+
+
+def _ts_micros(col: Column) -> Column:
+    """Microsecond epoch key for an event-time column.
+
+    Parquet stores `ts` without a zone, which Spark 4 reads as
+    TIMESTAMP_NTZ; `unix_micros` only accepts TIMESTAMP, so cast
+    first. Every consumer below uses the value for ordering or for
+    *differences* between two rows, both of which are invariant to
+    the session timezone the cast applies — so the oracle's naive
+    epoch arithmetic matches regardless of the harness's tz.
+    """
+    return F.unix_micros(col.cast("timestamp"))
 
 
 @query(
@@ -109,7 +122,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange."""
     ev = load_table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
+    micros = _ts_micros(F.col("ts"))
     gap = micros - F.lag(micros).over(order)
     with_flag = ev.withColumn(
         "new_session",
@@ -191,9 +204,10 @@ def events_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("value_asof").alias("last_purchase_value"),
-        F.expr("(unix_micros(ts) - unix_micros(ts_asof)) div 1000000").alias(
-            "secs_since_purchase"
-        ),
+        (
+            (_ts_micros(F.col("ts")) - _ts_micros(F.col("ts_asof")))
+            / F.lit(1_000_000)
+        ).cast("long").alias("secs_since_purchase"),
     )
 
 
@@ -519,41 +533,57 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel: first 'view' per user, first 'click'
-    strictly after it, first 'purchase' strictly after that — each
-    stage an aggregate + self-join on the (tiny) per-user stage
-    frame, so the raw events shuffle once per stage on user_id and
-    every stage's frame shrinks monotonically.
+    """Ordered conversion funnel in ONE pass over events: a single
+    groupBy(user_id) collects the first view plus the per-user click
+    and purchase timestamp arrays, then array HOFs resolve the
+    staged ordering (first click strictly after the first view,
+    first purchase strictly after that) row-locally on the per-user
+    frame. One events scan, one fact-sized shuffle, then a 1-row
+    final aggregate — the round-2 version's 14-exchange / 3-scan
+    plan collapsed to the minimum.
 
-    Scale: the per-user stage tables are |users| rows (thousands per
-    million events); at 100 TB broadcast them back against the raw
-    scan, which is exactly what AQE chooses here."""
-    ev = load_table(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    Scale: the funnel filter (event_type IN the three stages) is
+    pushed to the scan, so the shuffle carries only funnel events.
+    The collected arrays are per-user funnel timestamps — bounded by
+    per-user activity, not corpus size; a pathological mega-user is
+    the same skew AQE's skew-join handles elsewhere, and the arrays
+    could fall back to per-user sort + applyInPandas if one user
+    exceeded task memory (not the case in any realistic event
+    stream)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("purchases"),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        s.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(
-            p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    staged = (
+        per_user.select(
+            "t_view",
+            "purchases",
+            F.array_min(
+                F.filter("clicks", lambda x: x > F.col("t_view"))
+            ).alias("t_click"),
         )
+        .select(
+            "t_view",
+            "t_click",
+            F.array_min(
+                F.filter("purchases", lambda x: x > F.col("t_click"))
+            ).alias("t_purchase"),
+        )
+    )
+    return staged.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
     )
 
 
@@ -633,7 +663,7 @@ def events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        .orderBy(_ts_micros(F.col("ts")))
         .rangeBetween(-24 * 3600 * 1_000_000, 0)
     )
     return ev.select(

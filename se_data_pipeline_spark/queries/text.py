@@ -741,6 +741,7 @@ def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combiner for lexical + semantic retrieval.
 # --------------------------------------------------------------------------
 _RRF_K = 60
+_RRF_CANDIDATES = 200  # top-K candidate cut per retriever
 
 
 @query(
@@ -760,32 +761,39 @@ _RRF_K = 60
       FROM tf t JOIN dfreq USING (tok) CROSS JOIN n
       GROUP BY t.doc_id),
     ra AS (
-      SELECT doc_id,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS r
-      FROM lex),
+      SELECT * FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM lex) WHERE r <= {_RRF_CANDIDATES}),
     rb AS (
-      SELECT doc_id,
-             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
-      FROM documents)
-    SELECT rb.doc_id,
+      SELECT * FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents) WHERE r <= {_RRF_CANDIDATES})
+    SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
            ROUND(COALESCE(1.0 / ({_RRF_K} + ra.r), 0)
-                 + 1.0 / ({_RRF_K} + rb.r), 6) AS rrf
-    FROM rb LEFT JOIN ra ON ra.doc_id = rb.doc_id
-    ORDER BY rrf DESC, rb.doc_id
+                 + COALESCE(1.0 / ({_RRF_K} + rb.r), 0), 6) AS rrf
+    FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+    ORDER BY rrf DESC, doc_id
     LIMIT 20
     """,
 )
 def doc_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion: rrf(d) = Σ_systems 1/(k + rank_s(d))
-    with k=60, here fusing the TF-IDF lexical ranking with a length
-    prior (stand-in for the semantic ranking an embedding model
-    produces). Docs missing from a system contribute 0 for it.
+    with k=60, fusing a TF-IDF lexical ranking with a length prior
+    (stand-in for the semantic ranking an embedding model produces).
+    Each retriever contributes only its top-{_RRF_CANDIDATES}
+    candidates — real RRF fuses candidate lists, never whole-corpus
+    rankings; docs outside both lists are excluded, docs in one list
+    contribute 0 for the other.
 
-    Scale: RRF is rank-based, so it only ever runs over CANDIDATE
-    sets (top-k from each retriever), never the corpus — the global
-    row_number windows here rank the per-query candidate pool, which
-    is thousands of rows at any corpus size. Fusion itself is one
-    broadcast-sized join per extra system."""
+    Scale: each retriever cut is `orderBy().limit(K)` — Spark plans
+    TakeOrderedAndProject (per-partition top-K, driver merge; no
+    global sort, no full-corpus shuffle). The row_number windows run
+    over the ≤K-row LIMIT output, so the single-partition WindowExec
+    touches K rows regardless of corpus size. Fusion is a join of
+    two K-row frames. This removes the round-2 scale-killer: no
+    unbounded unpartitioned window remains."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -805,17 +813,22 @@ def doc_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = W.orderBy(F.desc("score"), F.asc("doc_id"))
     wb = W.orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ra = lex.select("doc_id", F.row_number().over(wa).alias("ra"))
-    rb = docs.select("doc_id", F.row_number().over(wb).alias("rb"))
+    # TakeOrderedAndProject candidate cut FIRST, then rank the K rows.
+    lex_top = lex.orderBy(F.desc("score"), F.asc("doc_id")).limit(
+        _RRF_CANDIDATES
+    )
+    len_top = docs.select("doc_id", "n_chars").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    ).limit(_RRF_CANDIDATES)
+    ra = lex_top.select("doc_id", F.row_number().over(wa).alias("ra"))
+    rb = len_top.select("doc_id", F.row_number().over(wb).alias("rb"))
     return (
-        rb.join(ra, "doc_id", "left")
+        ra.join(rb, "doc_id", "full")
         .select(
             "doc_id",
             F.round(
-                F.coalesce(
-                    1.0 / (_RRF_K + F.col("ra")), F.lit(0.0)
-                )
-                + 1.0 / (_RRF_K + F.col("rb")),
+                F.coalesce(1.0 / (_RRF_K + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0)),
                 6,
             ).alias("rrf"),
         )

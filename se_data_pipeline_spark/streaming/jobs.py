@@ -22,23 +22,32 @@ from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.sources.publish import CheckpointedPublisher
 
-EVENTS_DDL = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the driver's events parquet (the
-    nanos-as-long + timestamp_micros conversion matches
-    catalog.load_table exactly)."""
+    """File-source stream over the driver's events parquet.
+
+    readStream needs an explicit schema, and the driver parquet's
+    `ts` has shipped as both TIMESTAMP(NANOS) (reads as long under
+    the legacy conf, needs a micros rebuild) and plain timestamp[us]
+    (reads as TIMESTAMP_NTZ natively). Probe the footer with a batch
+    read — same logic as catalog.load_table — and stream with
+    whatever physical schema the file actually carries."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    physical = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(physical)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if physical["ts"].dataType.simpleString() == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # withWatermark rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_
+    # TIMESTAMP_TYPE); the NTZ→TZ cast interprets wall time in the
+    # session tz and collect() converts back in the same tz, so
+    # window starts round-trip identically to the batch NTZ path.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_tumbling(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

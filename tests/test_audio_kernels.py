@@ -17,11 +17,13 @@ from se_data_pipeline_spark.operators.audio import (
     decode_wav,
     encode_wav,
     estimate_snr,
+    estimate_snr_energy,
     resample_linear,
     snr_from_wav,
     trim_bounds,
     trim_wav,
     vad_split_segments,
+    wada_snr,
 )
 from se_data_pipeline_spark.operators.classify import (
     FakeAcClassifier,
@@ -73,24 +75,61 @@ def test_resample_length_and_content():
 # ------------------------------------------------------------ blind SNR
 
 
-def test_snr_estimates_are_monotonic_and_calibrated():
-    est = {db: estimate_snr(tone_with_noise(db)) for db in (0, 10, 20, 40)}
+def speech_like(snr_db: float, n: int = 2 * SR, seed: int = 7) -> np.ndarray:
+    """Gamma-amplitude 'speech' + gaussian noise at a known SNR — the
+    signal model WADA is derived for (Kim & Stern 2008, §2)."""
+    rng = np.random.default_rng(seed)
+    sig = rng.gamma(0.4, 1.0, n) * rng.choice([-1.0, 1.0], n)
+    sig /= np.sqrt((sig**2).mean())
+    noise = rng.normal(0.0, 1.0, n)
+    noise /= np.sqrt((noise**2).mean())
+    return (10 ** (snr_db / 20) * sig + noise).astype(np.float32)
+
+
+def test_wada_snr_calibrated_on_speech_model():
+    est = {db: wada_snr(speech_like(db)) for db in (0, 5, 10, 20, 40)}
+    assert est[0] < est[5] < est[10] < est[20] < est[40]
+    for db, got in est.items():
+        assert got == pytest.approx(db, abs=1.5)
+
+
+def test_wada_snr_golden_values():
+    """Bit-stable golden values for the WADA kernel (deterministic
+    seeded fixtures; the kernel is pure single-threaded numpy).
+    Reference behavior (audio_snr.py:8-58): table bracket + linear
+    interpolation; −20 dB floor below the table; 100 dB cap."""
+    assert wada_snr(speech_like(10)) == pytest.approx(10.124881, abs=1e-3)
+    assert wada_snr(speech_like(20)) == pytest.approx(20.028068, abs=1e-3)
+    # pure tone: amplitude distribution is sub-gamma → G below the
+    # table minimum → −20 floor, exactly like the published kernel.
+    assert wada_snr(tone(440, 1.0)) == -20.0
+    # noiseless gamma signal: G above table range → capped at 100.
+    rng = np.random.default_rng(3)
+    clean = rng.gamma(0.08, 1.0, SR) * rng.choice([-1.0, 1.0], SR)
+    assert wada_snr(clean.astype(np.float32)) == pytest.approx(100.0)
+
+
+def test_energy_snr_monotonic_and_calibrated_on_tones():
+    est = {
+        db: estimate_snr_energy(tone_with_noise(db)) for db in (0, 10, 20, 40)
+    }
     assert est[0] < est[10] < est[20] < est[40]
     for db in (10, 20):
         assert est[db] == pytest.approx(db, abs=6.0)
 
 
 def test_snr_edge_cases():
-    assert estimate_snr(np.zeros(SR, dtype=np.float32)) == -20.0
-    assert estimate_snr(np.zeros(10, dtype=np.float32)) == -20.0
+    for method in ("wada", "energy"):
+        assert estimate_snr(np.zeros(SR, dtype=np.float32), method=method) == -20.0
+        assert estimate_snr(np.zeros(10, dtype=np.float32), method=method) == -20.0
 
 
 def test_snr_udf_matches_local(spark):
-    x = tone_with_noise(20)
+    x = speech_like(20)
     df = spark.createDataFrame([Row(audio=bytearray(encode_wav(x, SR)))])
     got = df.select(snr_from_wav("audio").alias("snr")).collect()[0]["snr"]
     y, _ = decode_wav(encode_wav(x, SR))
-    assert got == pytest.approx(estimate_snr(y), abs=1e-9)
+    assert got == pytest.approx(wada_snr(y), abs=1e-9)
 
 
 # ----------------------------------------------------------------- VAD

@@ -49,13 +49,12 @@ def test_binary_file_source_to_vad_pipeline(spark, tmp_path):
     split → SNR, with ids recovered from filenames (the reference's
     path-keyed flow, audio_vad.py:29)."""
     sr = 16_000
-    t = np.arange(sr) / sr
-    burst = np.concatenate(
-        [
-            (0.5 * np.sin(2 * np.pi * 300 * t)).astype(np.float32),
-            np.zeros(sr, dtype=np.float32),
-        ]
-    )
+    # gamma-amplitude burst: the speech model WADA is calibrated for
+    # (a pure tone would floor the WADA estimate at -20 by design)
+    rng = np.random.default_rng(11)
+    voiced = rng.gamma(0.4, 1.0, sr) * rng.choice([-1.0, 1.0], sr)
+    voiced = (0.5 * voiced / np.abs(voiced).max()).astype(np.float32)
+    burst = np.concatenate([voiced, np.zeros(sr, dtype=np.float32)])
     for vid in ("vidA", "vidB"):
         (tmp_path / f"{vid}.wav").write_bytes(encode_wav(burst, sr))
 
