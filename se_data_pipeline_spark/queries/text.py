@@ -11,7 +11,6 @@ driver can hash-compare results.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
@@ -744,6 +743,25 @@ _RRF_K = 60
 _RRF_CANDIDATES = 200  # top-K candidate cut per retriever
 
 
+def _rank_bounded(df: DataFrame, sort_key, out_col: str) -> DataFrame:
+    """Dense 1-based rank of an already-bounded (<=K rows, post-LIMIT)
+    frame with no WindowExec: collect to ONE sorted array of structs
+    (struct comparison is lexicographic by field order, so pass a
+    negated key for descending) and posexplode. Single-task O(K log K)
+    regardless of upstream corpus size — only use after a LIMIT."""
+    agg = df.agg(
+        F.sort_array(
+            F.collect_list(F.struct(sort_key.alias("k"), F.col("doc_id")))
+        ).alias("a")
+    )
+    return agg.select(
+        F.posexplode("a").alias("pos", "s")
+    ).select(
+        F.col("s.doc_id").alias("doc_id"),
+        (F.col("pos") + 1).cast("int").alias(out_col),
+    )
+
+
 @query(
     "doc_rank_fusion",
     oracle=f"""
@@ -811,8 +829,6 @@ def doc_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    wa = W.orderBy(F.desc("score"), F.asc("doc_id"))
-    wb = W.orderBy(F.desc("n_chars"), F.asc("doc_id"))
     # TakeOrderedAndProject candidate cut FIRST, then rank the K rows.
     lex_top = lex.orderBy(F.desc("score"), F.asc("doc_id")).limit(
         _RRF_CANDIDATES
@@ -820,8 +836,15 @@ def doc_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_top = docs.select("doc_id", "n_chars").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     ).limit(_RRF_CANDIDATES)
-    ra = lex_top.select("doc_id", F.row_number().over(wa).alias("ra"))
-    rb = len_top.select("doc_id", F.row_number().over(wb).alias("rb"))
+    # Rank the bounded candidate frame without a WindowExec: fold the
+    # <=K rows into one sorted array (struct sorts lexicographically,
+    # so negate the score for DESC) and posexplode — position+1 is the
+    # rank. Work is O(K log K) on one task by construction, not
+    # corpus-sized.
+    ra = _rank_bounded(lex_top, F.col("score") * -1, "ra")
+    rb = _rank_bounded(
+        len_top, (F.col("n_chars") * -1).cast("double"), "rb"
+    )
     return (
         ra.join(rb, "doc_id", "full")
         .select(

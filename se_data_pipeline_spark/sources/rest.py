@@ -77,19 +77,50 @@ _ENRICH_SCHEMA = (
 )
 
 
+_SEQ_BUCKETS = 64  # parallelism of the global-sequence assignment
+
+
+def _with_dense_seq(ids_df: DataFrame) -> DataFrame:
+    """Assign a dense deterministic 0..n-1 sequence without a
+    single-partition window: hash ids into buckets, count each bucket
+    (one tiny driver collect of <=_SEQ_BUCKETS longs), broadcast the
+    cumulative offsets back, and rank only within buckets. Total order
+    is (bucket, id) — deterministic and recompute-stable, and every
+    window partition holds ~n/_SEQ_BUCKETS rows at any scale."""
+    ids = ids_df.select("id").withColumn(
+        "bucket", F.pmod(F.xxhash64("id"), F.lit(_SEQ_BUCKETS))
+    )
+    counts = sorted(
+        (r["bucket"], r["c"])
+        for r in ids.groupBy("bucket").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, run = [], 0
+    for bucket, c in counts:
+        offsets.append((bucket, run))
+        run += c
+    off_df = ids_df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "bucket long, off long"
+    )
+    w_local = W.partitionBy("bucket").orderBy("id")
+    return (
+        ids.join(F.broadcast(off_df), "bucket")
+        .withColumn("seq", F.row_number().over(w_local) - 1 + F.col("off"))
+        .drop("bucket", "off")
+    )
+
+
 def enrich_ids(ids_df: DataFrame, backend: ApiBackend, page_size: int = PAGE_SIZE) -> DataFrame:
     """The S7 operator: batch ids into API pages and fetch each page
     in one backend call. Rows with found=false are the J2 anti-join
     feed (notfound_ids).
 
-    Page assignment uses row_number over a global order — at large
-    id-list sizes swap for monotonically_increasing_id-based grouping
-    to avoid the single-partition window (id lists here are small
-    dimension tables, SURVEY S7)."""
-    paged = ids_df.withColumn(
-        "page",
-        F.floor((F.row_number().over(W.orderBy("id")) - 1) / page_size),
-    ).repartition(F.col("page"))
+    Pages are dense (exactly ceil(n/page_size) of them, every page but
+    the last full) so the API-call count is minimal; the sequence that
+    packs them is computed with bucket-local windows + broadcast
+    offsets (_with_dense_seq), never a global single-partition sort."""
+    paged = _with_dense_seq(ids_df).withColumn(
+        "page", F.floor(F.col("seq") / page_size)
+    ).drop("seq").repartition(F.col("page"))
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

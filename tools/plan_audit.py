@@ -12,9 +12,12 @@ given sf_dir and reports the scale-relevant physical signals:
 - nlj: BroadcastNestedLoopJoin occurrences — expected ONLY for
   1-row broadcast crossJoins (scalar subquery / query-vector
   patterns); anything else is a red flag
+- uw: unpartitioned Window nodes (whole input funnels through ONE
+  task — the round-2 doc_rank_fusion scale-killer class). Hard fail.
 
 Usage: python tools/plan_audit.py [sf_dir]
-Exit code 1 if any plan contains a CartesianProduct (never intended).
+Exit code 1 if any plan contains a CartesianProduct or an
+unpartitioned Window (both are never intended).
 """
 
 from __future__ import annotations
@@ -28,11 +31,44 @@ import __spark_entry__ as entrymod
 from se_data_pipeline_spark.session import get_spark
 
 
+def _top_level_groups(s: str) -> int:
+    """Count top-level [...] groups in a plan-node label."""
+    depth = groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def count_unpartitioned_windows(plan: str) -> int:
+    """WindowExec prints `Window [exprs], [part], [order]` when both
+    specs are set, and a 2-group form when one is empty:
+    `Window [exprs], [order]` (unpartitioned — the bad case) or
+    `Window [exprs], [part]` (partitioned, unordered — fine). The two
+    are distinguished by ASC/DESC markers in the trailing group
+    (verified against Spark 4.1). Also flags WindowGroupLimit with an
+    empty partition list."""
+    n = 0
+    for line in plan.splitlines():
+        label = line.lstrip(" :+-*(0123456789)")
+        if label.startswith("Window ") and _top_level_groups(label) < 3:
+            tail = label[label.rindex("["):]
+            if " ASC " in tail or " DESC " in tail:
+                n += 1
+        if label.startswith("WindowGroupLimit []"):
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan_audit")
     bad = []
-    print(f"{'query':<36} exch bcast py scans pushed topk nlj")
+    print(f"{'query':<36} exch bcast py scans pushed topk nlj uw")
     for name, fn in sorted(entrymod.queries().items()):
         try:
             plan = (
@@ -60,16 +96,19 @@ def main() -> int:
         topk = "y" if "TakeOrderedAndProject" in plan else "-"
         nlj = plan.count("BroadcastNestedLoopJoin")
         cart = "CartesianProduct" in plan
-        if cart:
+        uw = count_unpartitioned_windows(plan)
+        if cart or uw:
             bad.append(name)
         print(
             f"{name:<36} {exch:>4} {bcast:>5} {py:>2} {scans:>5} "
-            f"{pushed:>6} {topk:>4} {nlj:>3}{'  CARTESIAN!' if cart else ''}"
+            f"{pushed:>6} {topk:>4} {nlj:>3} {uw:>2}"
+            f"{'  CARTESIAN!' if cart else ''}"
+            f"{'  UNPARTITIONED-WINDOW!' if uw else ''}"
         )
     if bad:
         print(f"FAILED: {bad}")
         return 1
-    print("no cartesian products; audit complete")
+    print("no cartesian products, no unpartitioned windows; audit complete")
     return 0
 
 
