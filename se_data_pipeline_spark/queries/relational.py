@@ -619,23 +619,59 @@ def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver records the rows-only check, and the accuracy contract
 # (±5% of exact) is pinned by a unit test.
 # --------------------------------------------------------------------------
-@query("supplier_distinct_parts_approx", oracle=None)
+@query(
+    "supplier_distinct_parts_approx",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_items,
+           TRUE AS parts_within_5pct,
+           TRUE AS median_within_decile
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
 def supplier_distinct_parts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) + approx quantiles per
     supplier nation: constant memory per group regardless of key
-    cardinality — the scale substitute for COUNT(DISTINCT) at 100 TB."""
+    cardinality — the scale substitute for COUNT(DISTINCT) at 100 TB.
+
+    Sketch values are engine-specific, so the driver-checkable output
+    is the accuracy CONTRACT, not the estimate: the same pass also
+    computes the exact distinct count / exact mid-decile band and
+    emits booleans asserting the HLL estimate lands within ±5% and
+    the approx median within the exact 45th-55th percentile band.
+    The oracle then just asserts TRUE against DuckDB's exact groups.
+    The exact twins exist only to make the contract decidable — the
+    production form of this query drops them and keeps the one-shuffle
+    sketch-only plan (see anti_join_distinct_parts docstring)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    return (
+    agg = (
         li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_nationkey")
         .agg(
             F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 2_000).alias("median_price"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 2_000).alias("median_approx"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.45, 0.55))"
+            ).alias("band"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("s_nationkey")
     )
+    return agg.select(
+        "s_nationkey",
+        "n_items",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * 0.05
+        ).alias("parts_within_5pct"),
+        (
+            (F.col("median_approx") >= F.col("band")[0])
+            & (F.col("median_approx") <= F.col("band")[1])
+        ).alias("median_within_decile"),
+    ).orderBy("s_nationkey")
 
 
 # --------------------------------------------------------------------------
