@@ -98,6 +98,84 @@ def token_hashes(text: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------- numpy
+# Vectorized rolling-hash kernels. The per-character fold
+# h = (h*31 + ord(c)) % p is a linear recurrence, so a whole document
+# folds in O(L) numpy ops via prefix sums: with Q[j] = Σ_{i<j} b[i]·
+# 31^{-i} (mod p), the hash of chars [s, e) is 31^{e-1}·(Q[e]-Q[s])
+# (mod p). Token/shingle hashes then become two gathers — no Python
+# per-char loop. Bit-identical to `rolling_hash` (pinned by tests);
+# ASCII-only fast path (byte positions == char positions), callers
+# fall back to the scalar fold for non-ASCII rows.
+
+_B_INV = pow(ROLLING_HASH_BASE, ROLLING_HASH_MOD - 2, ROLLING_HASH_MOD)
+_POW_CACHE: dict[str, np.ndarray] = {}
+
+
+def _pows(upto: int) -> tuple[np.ndarray, np.ndarray]:
+    """(31^j mod p, 31^-j mod p) for j in [0, upto]; cached, grown
+    geometrically so repeated batches don't re-exponentiate."""
+    cur = _POW_CACHE.get("w")
+    if cur is None or len(cur) <= upto:
+        n = max(upto + 1, 2 * len(cur) if cur is not None else 4096)
+        w = np.empty(n, dtype=np.int64)
+        wi = np.empty(n, dtype=np.int64)
+        w[0] = wi[0] = 1
+        for j in range(1, n):
+            w[j] = (w[j - 1] * ROLLING_HASH_BASE) % ROLLING_HASH_MOD
+            wi[j] = (wi[j - 1] * _B_INV) % ROLLING_HASH_MOD
+        _POW_CACHE["w"], _POW_CACHE["wi"] = w, wi
+    return _POW_CACHE["w"], _POW_CACHE["wi"]
+
+
+def _span_hashes(b: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Rolling hashes of char spans [starts[i], ends[i]) of ASCII
+    byte-array b — vectorized equivalent of the per-char fold."""
+    w, wi = _pows(len(b))
+    # Q[j] = Σ_{i<j} b[i]·31^-i mod p; terms < 2^27, cumsum of 10k
+    # terms < 2^41 fits int64, then reduce mod p once.
+    q = np.zeros(len(b) + 1, dtype=np.int64)
+    np.cumsum(b.astype(np.int64) * wi[: len(b)] % ROLLING_HASH_MOD, out=q[1:])
+    q %= ROLLING_HASH_MOD
+    diff = (q[ends] - q[starts]) % ROLLING_HASH_MOD
+    out = (w[np.maximum(ends, 1) - 1] * diff) % ROLLING_HASH_MOD
+    return np.where(ends > starts, out, 0)
+
+
+def _token_bounds(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end char offsets of single-space-separated tokens."""
+    sp = np.flatnonzero(b == ord(" "))
+    starts = np.concatenate(([0], sp + 1))
+    ends = np.concatenate((sp, [len(b)]))
+    return starts, ends
+
+
+def token_hashes_np(text: str) -> np.ndarray | None:
+    """Vectorized `token_hashes` for one document; None if the text
+    needs the scalar non-ASCII fallback."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) and b.max() >= 128:
+        return None
+    starts, ends = _token_bounds(b)
+    return _span_hashes(b, starts, ends)
+
+
+def shingle_hashes_np(text: str, k: int = 5) -> np.ndarray | None:
+    """Rolling hashes of all k-token shingles (NOT string-distinct —
+    duplicate shingles yield duplicate hashes, which is harmless for
+    MinHash since min over a multiset equals min over its set). With
+    single-space separation a k-token shingle is exactly the char
+    span [token_start[i], token_end[i+k-1]), so every shingle hash is
+    one span-hash gather. None → scalar fallback (non-ASCII)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) and b.max() >= 128:
+        return None
+    starts, ends = _token_bounds(b)
+    if len(starts) < k:
+        return np.empty(0, dtype=np.int64)
+    return _span_hashes(b, starts[: len(starts) - k + 1], ends[k - 1 :])
+
+
 SIMHASH_BITS = 16
 
 
@@ -140,13 +218,15 @@ def simhash_udf(bits: int = SIMHASH_BITS):
     ks = np.arange(bits)
 
     def one(text: str) -> int:
-        hs = []
-        for tok in text.split(TOKEN_SEP):
-            h = 0
-            for ch in tok:
-                h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
-            hs.append(h)
-        arr = np.asarray(hs, dtype=np.int64)
+        arr = token_hashes_np(text)
+        if arr is None:  # non-ASCII: scalar fold, same math
+            hs = []
+            for tok in text.split(TOKEN_SEP):
+                h = 0
+                for ch in tok:
+                    h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+                hs.append(h)
+            arr = np.asarray(hs, dtype=np.int64)
         votes = (2 * ((arr[:, None] >> ks) & 1) - 1).sum(axis=0)
         return int(((votes > 0).astype(np.int64) << ks).sum())
 

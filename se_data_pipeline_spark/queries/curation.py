@@ -182,14 +182,19 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram (8 bytes), not the string."""
     docs = load_table(spark, sf_dir, "documents")
     par = max(spark.sparkContext.defaultParallelism, 8)
+    # explode_outer + null-filter on the GENERATED attribute: plain
+    # explode() infers a `size(udf(text))>0` pre-filter that runs the
+    # shingle UDF in a second ArrowEvalPython pass over the corpus
+    # (see _shingle_index in queries/text.py).
     e = (
         docs.repartition(par)
         .select(
             "doc_id",
-            F.explode(word_shingles_udf(_CONTAM_K)(F.col("text"))).alias(
-                "sh_str"
-            ),
+            F.explode_outer(
+                word_shingles_udf(_CONTAM_K)(F.col("text"))
+            ).alias("sh_str"),
         )
+        .filter(F.col("sh_str").isNotNull())
         .select("doc_id", F.xxhash64("sh_str").alias("sh"))
     )
     bench = e.filter(F.col("doc_id") % _BENCH_MOD == 0).select(

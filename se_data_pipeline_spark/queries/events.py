@@ -458,6 +458,136 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("value", F.round("value", 6))
 
 
+def _ewma_chunk_summary(pdf):
+    """One summary row per (user, day) chunk: n, the fold-from-zero
+    B_n, and the cold-start fold C_n (first element = x_1, used when
+    this chunk opens the user's series)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    a = _EWMA_ALPHA
+    b, c = 0.0, None
+    for x in pdf["value"]:
+        x = float(x)
+        b = a * x + (1 - a) * b
+        c = x if c is None else a * x + (1 - a) * c
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "day": [pdf["day"].iloc[0]],
+            "n": [len(pdf)],
+            "b": [b],
+            "c": [c],
+        }
+    )
+
+
+def _ewma_stitch_user(pdf):
+    """Compose chunk states in day order (tiny frame: one row per
+    user-day). Incoming state for chunk k is the outgoing state of
+    chunk k-1: y_out = (1-a)^n * y_in + B_n, cold start uses C_n."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("day")
+    a = _EWMA_ALPHA
+    y = None
+    y_in = []
+    for n, b, c in zip(pdf["n"], pdf["b"], pdf["c"]):
+        y_in.append(y)
+        y = c if y is None else ((1 - a) ** int(n)) * y + b
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "day": pdf["day"],
+            "y_in": pd.array(y_in, dtype="float64"),
+        }
+    )
+
+
+def _ewma_chunk_emit(pdf):
+    """Exact sequential fold inside one chunk, seeded with the
+    stitched incoming state (NaN/None = cold start)."""
+    import math
+
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    a = _EWMA_ALPHA
+    y0 = pdf["y_in"].iloc[0]
+    y = None if (y0 is None or (isinstance(y0, float) and math.isnan(y0))) else float(y0)
+    out = []
+    for x in pdf["value"]:
+        x = float(x)
+        y = x if y is None else a * x + (1 - a) * y
+        out.append(y)
+    pdf["ewma"] = [round(v, 6) for v in out]
+    return pdf[["user_id", "event_id", "value", "ewma"]]
+
+
+@query(
+    "events_ewma_chunked",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT user_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS INTEGER) AS rn
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, value, rn, value AS y
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.event_id, t.value, t.rn,
+             {_EWMA_ALPHA} * t.value + {1 - _EWMA_ALPHA} * s.y
+      FROM t JOIN s ON t.user_id = s.user_id AND t.rn = s.rn + 1)
+    SELECT user_id, event_id, ROUND(value, 6) AS value,
+           ROUND(y, 6) AS ewma
+    FROM s
+    """,
+)
+def events_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-user skew guard for events_ewma: the same EWMA, but
+    no task ever folds a whole user history. Three bounded stages:
+
+    1. per-(user, day) chunk summaries — each task handles at most
+       one user-DAY of events (applyInPandas), emitting the affine
+       chunk transfer y_out = (1-a)^n * y_in + B (plus the cold-start
+       variant C);
+    2. per-user stitch over the summaries — one row per user-day, so
+       the group is #days regardless of event volume;
+    3. per-chunk exact sequential fold seeded with the stitched
+       incoming state, joined back on (user_id, day).
+
+    A user owning 90% of all events parallelizes across its days
+    instead of serializing one task (pytest pins this); shrink the
+    chunk to the hour if a single user-day can exceed task memory.
+    The stitched seed differs from the pure sequential fold only in
+    last-bit float error (~eps per chunk transfer), invisible at the
+    ROUND(..., 6) output contract — the same recursive-CTE oracle
+    checks both forms."""
+    ev = load_table(spark, sf_dir, "events")
+    sized = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    summaries = sized.groupBy("user_id", "day").applyInPandas(
+        _ewma_chunk_summary,
+        "user_id long, day timestamp_ntz, n long, b double, c double",
+    )
+    states = summaries.groupBy("user_id").applyInPandas(
+        _ewma_stitch_user, "user_id long, day timestamp_ntz, y_in double"
+    )
+    out = (
+        sized.join(states, ["user_id", "day"], "left")
+        .groupBy("user_id", "day")
+        .applyInPandas(
+            _ewma_chunk_emit,
+            "user_id long, event_id long, value double, ewma double",
+        )
+    )
+    return out.withColumn("value", F.round("value", 6))
+
+
 # --------------------------------------------------------------------------
 # Multi-resolution rollup: daily aggregates derived FROM the hourly
 # pre-aggregate (continuous-aggregate / hypertable-rollup pattern),

@@ -647,19 +647,24 @@ def supplier_distinct_parts_approx(spark: SparkSession, sf_dir: str) -> DataFram
     sketch-only plan (see anti_join_distinct_parts docstring)."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    agg = (
-        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy("s_nationkey")
-        .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 2_000).alias("median_approx"),
-            F.expr(
-                "percentile(l_extendedprice, array(0.45, 0.55))"
-            ).alias("band"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
+    joined = li.join(
+        F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_nationkey", "l_partkey", "l_extendedprice")
+    # KEEP countDistinct in its own aggregation: fused with the
+    # percentile aggregates, Spark's distinct rewrite would drag the
+    # percentile buffers through the per-(nation, partkey) first
+    # phase — measured 35 s vs 2.7 s at sf0.1. Both results are
+    # 25-row frames; the join is free (broadcast).
+    sketches = joined.groupBy("s_nationkey").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 2_000).alias("median_approx"),
+        F.expr("percentile(l_extendedprice, array(0.45, 0.55))").alias("band"),
+        F.count(F.lit(1)).alias("n_items"),
     )
+    exact = joined.groupBy("s_nationkey").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    agg = sketches.join(F.broadcast(exact), "s_nationkey")
     return agg.select(
         "s_nationkey",
         "n_items",

@@ -310,9 +310,21 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.repartition(par).select(
         "doc_id", word_shingles_udf(5)(F.col("text")).alias("s")
     )
-    return sh.select(
-        "doc_id", F.size("s").alias("n"), F.explode("s").alias("sh_str")
-    ).select("doc_id", "n", F.xxhash64("sh_str").alias("sh"))
+    # explode_outer while RETAINING the array, then size() the
+    # retained column. Two traps make the naive form run the UDF
+    # twice: size(s)+explode(s) in one projection each inline the UDF
+    # after CollapseProject, and plain explode() infers a
+    # `size(udf(text))>0` pre-filter that evaluates the UDF in its
+    # own ArrowEvalPython stage. explode_outer infers no filter; the
+    # short-doc null rows are dropped on the generated attribute
+    # instead, so the UDF feeds only the Generate and runs once.
+    return (
+        sh.select("doc_id", "s", F.explode_outer("s").alias("sh_str"))
+        .filter(F.col("sh_str").isNotNull())
+        .select(
+            "doc_id", F.size("s").alias("n"), F.xxhash64("sh_str").alias("sh")
+        )
+    )
 
 @query(
     "ngram_jaccard_pairs",
@@ -338,32 +350,48 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: explode distinct 5-token shingles into an
-    inverted index, self-join on shingle (only docs sharing a shingle
-    ever meet — Jaccard 0 pairs never materialize), count
-    intersections, compute exact Jaccard, threshold.
+    inverted index, group docs per shingle, generate the co-occurring
+    pairs array-locally inside each shingle bucket, count
+    intersections, compute exact Jaccard, threshold. Docs sharing no
+    shingle never meet, so Jaccard-0 pairs never materialize.
 
-    Scale: the shingle join shuffles on the shingle string. Hot
-    shingles fan out quadratically — at 100 TB, run
-    minhash_lsh_candidates first and exact-verify only candidates
-    (that query feeds this one); AQE skew-join handles residual hot
-    keys. Shingle counts ride along as join payload, so no second
-    pass over the documents is needed for the Jaccard denominator.
+    Scale: groupBy(shingle)+collect_list replaces the former
+    self-join — the shingling Python stage and the documents scan run
+    ONCE (the aliased self-join re-executed both per side: 4 Arrow
+    stages, 4 exchanges → now 1 and 2), and pair generation is a
+    row-local HOF over each bucket. A shingle shared by m docs still
+    yields m·(m-1)/2 pairs — that blowup is inherent to inverted-index
+    Jaccard, identical in the join form; at 100 TB run
+    minhash_lsh_candidates first and exact-verify only its candidates
+    (this query is the verifier), and treat buckets above a df cap as
+    stop-shingles. Sorting each bucket by doc_id keeps doc_a < doc_b
+    without per-pair comparisons.
     """
     e = _shingle_index(spark, sf_dir)
-    a = e.alias("a")
-    b = e.alias("b")
+    buckets = (
+        e.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["n"].alias("na"),
+                        y["n"].alias("nb"),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
-        )
+        buckets.select(pair)
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
@@ -427,7 +455,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (shingle-hash → k permutations → per-band min-signature).
     The explode(shingles)×explode(k)→groupBy form shuffles ~800
     mechanical rows per document for what is a per-row kernel — 5×
-    slower at sf0.1 and pure shuffle waste at 100 TB.
+    slower at sf0.1 and pure shuffle waste at 100 TB. Shingle hashes
+    come from the vectorized prefix-hash kernel (no per-char Python
+    loop); it skips string-dedup because min over a multiset equals
+    min over its set, so duplicate shingles can't change a MinHash.
     """
     import numpy as np
     import pandas as pd
@@ -436,6 +467,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROLLING_HASH_BASE,
         ROLLING_HASH_MOD,
         TOKEN_SEP,
+        shingle_hashes_np,
     )
 
     ks = np.arange(_MINHASH_K, dtype=np.int64)
@@ -444,18 +476,18 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_doc, out_band, out_sig = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.split(TOKEN_SEP)
-                if len(toks) < 5:
+                arr = shingle_hashes_np(text, 5)
+                if arr is None:  # non-ASCII fallback: scalar fold
+                    toks = text.split(TOKEN_SEP)
+                    hs = []
+                    for i in range(max(len(toks) - 4, 0)):
+                        h = 0
+                        for ch in TOKEN_SEP.join(toks[i : i + 5]):
+                            h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+                        hs.append(h)
+                    arr = np.asarray(hs, dtype=np.int64)
+                if not len(arr):
                     continue
-                hs = []
-                for s in dict.fromkeys(
-                    TOKEN_SEP.join(toks[i : i + 5]) for i in range(len(toks) - 4)
-                ):
-                    h = 0
-                    for ch in s:
-                        h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
-                    hs.append(h)
-                arr = np.asarray(hs, dtype=np.int64)
                 # (n_shingles, k) universal hashes, min over shingles
                 ph = ((2 * ks + 1) * arr[:, None] + 31 * ks + 7) % _MH_P
                 mh = ph.min(axis=0)

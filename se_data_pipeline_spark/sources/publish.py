@@ -153,6 +153,76 @@ class CheckpointedPublisher:
         return True
 
 
+class DistributedPublisher:
+    """Executor-parallel publish for DATA-sized batches. The
+    driver-collect form (CheckpointedPublisher via toJSON().collect())
+    is right for the K7 metadata documents it implements — small by
+    construction — but is the pattern users would wrongly copy for
+    record batches. Here each partition uploads its OWN shard: JSON
+    serialization happens JVM-side (df.toJSON), the transport call +
+    retry run on the executor via foreachPartition, and only the
+    batch-id ledger commit stays driver-side (the T7 single-writer
+    contract).
+
+    Exactly-once: shard ids are deterministic
+    (`{batch_id}-part-{pid:05d}`), so replaying a batch that failed
+    mid-upload re-uploads the same shard ids — idempotent when the
+    transport's upload is atomic per id (LocalDirPublisher's
+    tmp+rename; HF Hub overwrite-by-path). The ledger commits only
+    after every partition succeeded, so a committed batch id implies
+    all shards landed."""
+
+    def __init__(
+        self,
+        transport: PublishTransport,
+        ledger_path: str,
+        attempts: int = 10,
+        backoff_s: float = 0.0,
+    ):
+        self._ledger = CheckpointedPublisher(
+            transport, ledger_path, attempts=attempts, backoff_s=backoff_s
+        )
+        self.transport = transport
+        self.attempts = attempts
+        self.backoff_s = backoff_s
+
+    def committed(self) -> set[str]:
+        return self._ledger.committed()
+
+    def publish_batch(self, batch_df, batch_id: str) -> bool:
+        """Upload one DataFrame batch shard-parallel; returns False if
+        the batch id is already committed (idempotent replay)."""
+        if batch_id in self.committed():
+            return False
+        transport = self.transport
+        attempts, backoff_s = self.attempts, self.backoff_s
+
+        def upload_partition(lines) -> None:
+            from pyspark import TaskContext
+
+            buf = list(lines)
+            if not buf:
+                return  # empty partition -> no shard
+            pid = TaskContext.get().partitionId()
+            payload = ("\n".join(buf)).encode()
+            retry(
+                lambda: transport.upload(
+                    f"{batch_id}-part-{pid:05d}", payload
+                ),
+                attempts=attempts,
+                backoff_s=backoff_s,
+            )
+
+        # toJSON serializes JVM-side; foreachPartition ships only the
+        # closure (transport must be picklable) to executors.
+        batch_df.toJSON().foreachPartition(upload_partition)
+        # All shards landed -> single driver-side ledger append.
+        with open(self._ledger.ledger_path, "a") as f:
+            f.write(batch_id + "\n")
+        self.committed().add(batch_id)
+        return True
+
+
 def publish_metadata_json(obj: dict) -> bytes:
     """K2: canonical JSON serialization for metadata documents —
     sorted keys so re-publishing identical content is byte-identical

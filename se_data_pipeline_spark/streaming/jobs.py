@@ -296,6 +296,31 @@ def publish_batches(
     return writer.start()
 
 
+def publish_batches_distributed(
+    df: DataFrame,
+    publisher,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Data-sized twin of publish_batches: same exactly-once batch-id
+    ledger, but each partition uploads its own shard from the
+    executor (DistributedPublisher.publish_batch) instead of
+    collecting the micro-batch to the driver. Use this whenever the
+    batch holds records rather than a metadata document."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        publisher.publish_batch(batch_df, f"batch-{batch_id:09d}")
+
+    writer = (
+        df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def rolling_24h_stateful(stream: DataFrame) -> DataFrame:
     """Streaming twin of the batch `events_rolling_24h` RANGE-frame
     window: per-user trailing-24h sum/count at every event, computed

@@ -72,3 +72,79 @@ def test_binary_file_source_to_vad_pipeline(spark, tmp_path):
         x, got_sr = decode_wav(bytes(r["audio"]))
         assert got_sr == sr and len(x) > 0
         assert r["snr"] > 20  # clean tone burst
+
+
+def test_ewma_chunked_matches_plain_on_fixture(spark, sf_dir):
+    """The chunked (skew-guarded) EWMA must equal the plain per-user
+    fold at the rounded-output contract on the fixture."""
+    from se_data_pipeline_spark.queries.events import (
+        events_ewma,
+        events_ewma_chunked,
+    )
+
+    plain = {
+        (r["user_id"], r["event_id"]): (r["value"], r["ewma"])
+        for r in events_ewma(spark, sf_dir).collect()
+    }
+    chunked = {
+        (r["user_id"], r["event_id"]): (r["value"], r["ewma"])
+        for r in events_ewma_chunked(spark, sf_dir).collect()
+    }
+    assert plain == chunked
+
+
+def test_ewma_chunked_mega_user_skew(spark, tmp_path):
+    """One user owning 90% of all events: the chunked form must still
+    agree with the sequential fold, while bounding any single task to
+    one user-DAY of events (the whole point of the guard)."""
+    import numpy as np
+    import pandas as pd
+
+    from se_data_pipeline_spark.queries.events import (
+        events_ewma,
+        events_ewma_chunked,
+    )
+
+    rng = np.random.RandomState(42)
+    base = pd.Timestamp("2025-01-01")
+    rows = []
+    eid = 0
+    for d in range(10):  # mega-user 1: 900 events/day x 10 days
+        for i in range(900):
+            rows.append(
+                (eid, base + pd.Timedelta(days=d, seconds=i), 1, "view",
+                 float(rng.rand()), "{}")
+            )
+            eid += 1
+    for u in range(2, 12):  # 10 small users: 10 events/day x 10 days
+        for d in range(10):
+            for i in range(10):
+                rows.append(
+                    (eid, base + pd.Timedelta(days=d, seconds=7 * i), u,
+                     "view", float(rng.rand()), "{}")
+                )
+                eid += 1
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    assert (pdf["user_id"] == 1).mean() == 0.9
+    sdf = spark.createDataFrame(
+        pdf,
+        schema=(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        ),
+    )
+    sdir = str(tmp_path / "sf_skew")
+    sdf.coalesce(1).write.parquet(sdir + "/events.parquet")
+
+    plain = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in events_ewma(spark, sdir).collect()
+    }
+    chunked = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in events_ewma_chunked(spark, sdir).collect()
+    }
+    assert plain == chunked

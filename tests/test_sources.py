@@ -212,3 +212,60 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     }
     # partition b replaced, a and c untouched
     assert rows == {("a", 1): 10, ("c", 3): 30, ("b", 9): 99}
+
+
+# ------------------------------------------- distributed publisher
+
+
+def test_distributed_publisher_shards_replay_and_ledger(spark, tmp_path):
+    """Executor-side publish: every partition uploads its own shard,
+    the union of shards is the batch, replay of a committed batch id
+    is a no-op, and a fresh instance reloads the ledger."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.sources.publish import DistributedPublisher
+
+    pub_dir = str(tmp_path / "pub")
+    ledger = str(tmp_path / "ledger.txt")
+    pub = DistributedPublisher(LocalDirPublisher(pub_dir), ledger)
+    df = spark.range(100).withColumn("v", F.col("id") * 2).repartition(4)
+
+    assert pub.publish_batch(df, "b0") is True
+    files = sorted(os.listdir(pub_dir))
+    assert 1 <= len(files) <= 4
+    assert all(f.startswith("b0-part-") and f.endswith(".json") for f in files)
+    recs = []
+    for f in files:
+        with open(os.path.join(pub_dir, f)) as fh:
+            recs += [json.loads(line) for line in fh.read().splitlines()]
+    assert sorted((r["id"], r["v"]) for r in recs) == [
+        (i, 2 * i) for i in range(100)
+    ]
+
+    # replay: committed batch id -> no upload, no new files
+    assert pub.publish_batch(df, "b0") is False
+    assert sorted(os.listdir(pub_dir)) == files
+
+    pub2 = DistributedPublisher(LocalDirPublisher(pub_dir), ledger)
+    assert pub2.publish_batch(df, "b0") is False
+
+
+def test_distributed_publisher_retries_on_executor(spark, tmp_path):
+    """The retry loop runs inside the partition task: a transport that
+    fails its first attempts per task copy still lands every shard."""
+    from se_data_pipeline_spark.sources.publish import DistributedPublisher
+
+    pub_dir = str(tmp_path / "pub")
+    flaky = FlakyTransport(LocalDirPublisher(pub_dir), fail_first_n=2)
+    pub = DistributedPublisher(
+        flaky, str(tmp_path / "ledger.txt"), attempts=5, backoff_s=0.0
+    )
+    df = spark.range(40).repartition(2)
+    assert pub.publish_batch(df, "b1") is True
+    files = sorted(os.listdir(pub_dir))
+    assert len(files) == 2
+    total = 0
+    for f in files:
+        with open(os.path.join(pub_dir, f)) as fh:
+            total += len(fh.read().splitlines())
+    assert total == 40

@@ -283,3 +283,36 @@ def test_progress_listener_captures_batches(spark, sf_dir):
     )
     ev = load_table(spark, sf_dir, "events")
     assert n_rows == ev.count()
+
+
+def test_streaming_publish_distributed_exactly_once(spark, sf_dir, tmp_path):
+    """publish_batches_distributed: shard-parallel upload from
+    executors, exactly-once across a checkpoint restart — same
+    contract as the driver-collect sink, without the collect."""
+    import os
+
+    from se_data_pipeline_spark.sources.publish import DistributedPublisher
+    from se_data_pipeline_spark.streaming.jobs import (
+        publish_batches_distributed,
+    )
+
+    pub_dir = str(tmp_path / "published")
+    ledger = str(tmp_path / "ledger.txt")
+    ckpt = str(tmp_path / "ckpt")
+
+    pub = DistributedPublisher(LocalDirPublisher(pub_dir), ledger)
+    stream = read_events_stream(spark, sf_dir)
+    q = publish_batches_distributed(dedup_events(stream), pub, ckpt)
+    q.awaitTermination(120)
+
+    published = sorted(os.listdir(pub_dir))
+    assert len(published) >= 1
+    assert all("-part-" in f for f in published)
+
+    # restart over the same checkpoint: no new batches, no re-uploads
+    pub2 = DistributedPublisher(LocalDirPublisher(pub_dir), ledger)
+    q2 = publish_batches_distributed(
+        dedup_events(read_events_stream(spark, sf_dir)), pub2, ckpt
+    )
+    q2.awaitTermination(120)
+    assert sorted(os.listdir(pub_dir)) == published
