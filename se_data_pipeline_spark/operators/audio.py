@@ -296,24 +296,65 @@ class EnergyVad:
         return out
 
 
-class SileroVad:
-    """Real VAD backend stub: requires torch + silero (not in this
-    container). The engine's dataflow is backend-agnostic — swap this
-    in via vad_split_segments(backend=SileroVad()) on a GPU cluster.
-    Reference loads it at import time (audio_vad.py:11-12); we gate it.
-    """
+def _load_silero_model_fn():
+    """The ONLY part of the silero backend that needs torch: load the
+    model and return a callable
+    `(x16, sr, kwargs) -> [{'start': int, 'end': int}, ...]`
+    (get_speech_timestamps' raw output shape, audio_vad.py:34-40)."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "SileroVad requires torch+silero-vad; use EnergyVad in "
+            "environments without them"
+        ) from e
 
-    def __init__(self) -> None:
-        try:
-            import torch  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "SileroVad requires torch+silero-vad; use EnergyVad in "
-                "environments without them"
-            ) from e
+    model, utils = torch.hub.load(  # pragma: no cover
+        repo_or_dir="snakers4/silero-vad", model="silero_vad"
+    )
+    get_speech_timestamps = utils[0]  # pragma: no cover
+
+    def model_fn(x16, sr, kwargs):  # pragma: no cover
+        return get_speech_timestamps(
+            torch.from_numpy(x16), model, sampling_rate=sr, **kwargs
+        )
+
+    return model_fn  # pragma: no cover
+
+
+class SileroVad:
+    """Silero VAD adapter (audio_vad.py:17-65). Everything except the
+    torch model invocation is real, offline-testable code: VadConfig →
+    silero kwarg mapping, raw timestamp-dict → (start, end) span
+    conversion with sort + clamp. Inject `model_fn` (the
+    `_load_silero_model_fn` signature) to test against recorded
+    fixture timestamps, or leave it None to load the real model on a
+    GPU cluster. The ×(sr/16000) original-rate rescale lives in
+    vad_split_segments, shared with every backend."""
+
+    def __init__(self, cfg: VadConfig | None = None, model_fn=None) -> None:
+        self.cfg = cfg or VadConfig()
+        self._model_fn = model_fn or _load_silero_model_fn()
+
+    def silero_kwargs(self) -> dict:
+        """VadConfig → get_speech_timestamps parameter names, the
+        reference's defaults verbatim (audio_vad.py:23-26,34-39)."""
+        return {
+            "min_speech_duration_ms": int(self.cfg.min_speech_s * 1000),
+            "max_speech_duration_s": self.cfg.max_speech_s,
+            "min_silence_duration_ms": int(self.cfg.min_silence_s * 1000),
+            "speech_pad_ms": self.cfg.pad_ms,
+        }
 
     def speech_spans(self, x: np.ndarray, sr: int) -> list[tuple[int, int]]:
-        raise NotImplementedError("install silero-vad and implement here")
+        raw = self._model_fn(x, sr, self.silero_kwargs())
+        n = len(x)
+        spans: list[tuple[int, int]] = []
+        for d in sorted(raw, key=lambda d: int(d["start"])):
+            s, e = max(int(d["start"]), 0), min(int(d["end"]), n)
+            if e > s:
+                spans.append((s, e))
+        return spans
 
 
 _SEGMENT_SCHEMA = (

@@ -74,22 +74,68 @@ class FakeAcClassifier:
         return out
 
 
+AC_MODEL_ID = "MIT/ast-finetuned-audioset-10-10-0.4593"  # audio_ac.py:37
+AC_SR = 16_000  # the pipeline's expected rate (audio_ac.py:24)
+
+
+def _load_hf_pipeline_fn():
+    """The ONLY part of the HF backend that needs torch/transformers:
+    build the audio-classification pipeline and return a callable
+    `(clips16k: list[np.ndarray], sr) -> list[list[{label, score}]]`."""
+    try:
+        import transformers
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "HfAstClassifier requires torch+transformers; use "
+            "FakeAcClassifier in environments without them"
+        ) from e
+
+    pipe = transformers.pipeline(  # pragma: no cover
+        "audio-classification", model=AC_MODEL_ID
+    )
+
+    def pipeline_fn(clips, sr):  # pragma: no cover
+        return pipe([np.asarray(c, dtype=np.float32) for c in clips])
+
+    return pipeline_fn  # pragma: no cover
+
+
 class HfAstClassifier:
-    """Real backend stub (audio_ac.py:35-40 loads
-    MIT/ast-finetuned-audioset-10-10-0.4593 eagerly; we gate it)."""
+    """HF AST classifier adapter (audio_ac.py:35-50). The payload
+    shaping is real, offline-testable code: clips resample to the
+    pipeline's 16 kHz (the reference's librosa.load(sr=16000),
+    audio_ac.py:24), raw predictions normalize to sorted
+    [{label, score}] lists (score desc, label asc tiebreak — the HF
+    pipeline's own ordering). Only `pipeline_fn` — the model call —
+    needs the libraries; inject a fake to test against recorded
+    prediction JSON. The reference's gpu_lock (mp.py:5) maps to
+    spark.task.resource.gpu.amount, not code."""
 
-    def __init__(self) -> None:
-        try:
-            import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "HfAstClassifier requires torch+transformers; use "
-                "FakeAcClassifier in environments without them"
-            ) from e
+    def __init__(self, pipeline_fn=None, top_k: int | None = None) -> None:
+        self._pipeline_fn = pipeline_fn or _load_hf_pipeline_fn()
+        self.top_k = top_k
 
-    def predict_batch(self, clips, sr):  # pragma: no cover
-        raise NotImplementedError("wire the HF audio-classification pipeline here")
+    def predict_batch(self, clips: list[np.ndarray], sr: int) -> list[list[dict]]:
+        from se_data_pipeline_spark.operators.audio import resample_linear
+
+        clips16 = [
+            np.asarray(x, dtype=np.float32)
+            if sr == AC_SR
+            else resample_linear(np.asarray(x, dtype=np.float32), sr, AC_SR)
+            for x in clips
+        ]
+        raw = self._pipeline_fn(clips16, AC_SR)
+        return [self._shape(p) for p in raw]
+
+    def _shape(self, pred: list[dict]) -> list[dict]:
+        out = sorted(
+            (
+                {"label": str(d["label"]), "score": float(d["score"])}
+                for d in pred
+            ),
+            key=lambda d: (-d["score"], d["label"]),
+        )
+        return out[: self.top_k] if self.top_k else out
 
 
 _PRED_SCHEMA_SUFFIX = "preds array<struct<label string, score double>>"

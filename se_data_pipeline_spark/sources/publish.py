@@ -58,22 +58,71 @@ class FlakyTransport:
         self.inner.upload(batch_id, payload)
 
 
+def _load_hf_upload_fn():
+    """The ONLY part of the HF Hub transport that needs the library +
+    network: returns a callable `(request: dict) -> None` that feeds
+    huggingface_hub.upload_file from the shaped request."""
+    try:
+        import huggingface_hub
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "HfHubPublisher requires huggingface_hub; use "
+            "LocalDirPublisher for local/test runs"
+        ) from e
+
+    def upload_fn(request: dict) -> None:  # pragma: no cover
+        import io
+
+        huggingface_hub.upload_file(
+            path_or_fileobj=io.BytesIO(request["payload"]),
+            path_in_repo=request["path_in_repo"],
+            repo_id=request["repo_id"],
+            repo_type=request["repo_type"],
+            revision=request["revision"],
+            commit_message=request["commit_message"],
+        )
+
+    return upload_fn  # pragma: no cover
+
+
 class HfHubPublisher:
-    """Real transport stub (hf.py:27-48 upload_folder + branch
-    handling). Requires huggingface_hub + network."""
+    """HF Hub transport adapter (hf.py:27-48). The request shaping —
+    repo/branch/path-in-repo/commit-message per batch — is real,
+    offline-testable code; only `upload_fn` (the huggingface_hub
+    call) needs the library + network, and can be injected to test
+    against a recorder. Retry/backoff stays OUTSIDE the transport
+    (publish.retry / the reference's hf_retry_decorator(10, 60));
+    idempotence comes from the deterministic path_in_repo: replaying
+    a batch overwrites the same file, the Hub analog of
+    LocalDirPublisher's atomic rename."""
 
-    def __init__(self, repo_id: str, branch: str = "main"):
-        try:
-            import huggingface_hub  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "HfHubPublisher requires huggingface_hub; use "
-                "LocalDirPublisher for local/test runs"
-            ) from e
-        self.repo_id, self.branch = repo_id, branch
+    def __init__(
+        self,
+        repo_id: str,
+        branch: str = "main",
+        repo_type: str = "dataset",
+        prefix: str = "batches",
+        upload_fn=None,
+    ):
+        self.repo_id = repo_id
+        self.branch = branch
+        self.repo_type = repo_type
+        self.prefix = prefix
+        self._upload_fn = upload_fn or _load_hf_upload_fn()
 
-    def upload(self, batch_id: str, payload: bytes) -> None:  # pragma: no cover
-        raise NotImplementedError("wire huggingface_hub.upload_file here")
+    def request(self, batch_id: str, payload: bytes) -> dict:
+        """Shape one upload request (hf.py:35-48 kwargs)."""
+        return {
+            "repo_id": self.repo_id,
+            "repo_type": self.repo_type,
+            "revision": self.branch,
+            "path_in_repo": f"{self.prefix}/{batch_id}.json",
+            "commit_message": f"publish {batch_id}",
+            "payload": payload,
+        }
+
+    def upload(self, batch_id: str, payload: bytes) -> None:
+        self._upload_fn(self.request(batch_id, payload))
 
 
 def retry(
