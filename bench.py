@@ -59,6 +59,10 @@ HEADLINE = [
     "events_rolling_24h",
     "events_daily_rollup",
     "events_ewma",
+    "events_ewma_chunked",
+    "event_funnel",
+    "user_retention_cohorts",
+    "doc_tfidf_search",
     "value_outliers_by_type",
     "doc_rank_fusion",
 ]

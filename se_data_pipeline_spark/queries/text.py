@@ -148,6 +148,58 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CCNet-style unigram-LM perplexity: score every document under the
+# corpus's own unigram distribution; high perplexity = rare-token
+# soup (boilerplate, garbled extraction), the classic LM-based
+# quality-filter signal when no external KenLM is available.
+# --------------------------------------------------------------------------
+@query(
+    "doc_unigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS nn FROM toks)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(EXP(-AVG(LN(c * 1.0 / nn))), 4) AS ppl
+    FROM toks JOIN tf USING (tok) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity per document (CCNet's quality-filter
+    shape with the corpus itself as the LM): ppl(d) =
+    exp(-mean_t ln p(t)), p(t) = corpus count / corpus tokens.
+
+    Scale: pass 1 aggregates token counts (vocab-sized result,
+    broadcast — natural-language vocab is millions of rows at 100 TB,
+    still broadcastable; fall back to a shuffle join keyed on the
+    token if a tokenizer explodes the vocab); the 1-row total rides a
+    broadcast crossJoin. Pass 2 rejoins tokens to their frequencies
+    map-side and aggregates per doc — one shuffle on doc_id. Hot
+    tokens skew nothing: the join fans out per occurrence, which is
+    the row count already."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("nn"))
+    return (
+        toks.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.exp(-F.avg(F.log(F.col("c") * 1.0 / F.col("nn")))), 4
+            ).alias("ppl"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting: md5 (collision-resistant) + polynomial
 # rolling hash (cheap, oracle-reproducible).
 # --------------------------------------------------------------------------
