@@ -462,6 +462,89 @@ _MINHASH_K = 16
 _MINHASH_BAND_ROWS = 4
 _MH_P = 1_000_003
 
+
+def _mh_signature(text: str):
+    """16-component MinHash signature of one document, or None if it
+    has fewer than 5 tokens: shingle rolling-hashes (vectorized
+    prefix-hash kernel, scalar fallback for non-ASCII) → k universal
+    hash permutations (a_i·h + b_i mod p) → per-perm min. Skips
+    string-dedup of shingles: min over a multiset equals min over
+    its set, so duplicates can't change a MinHash."""
+    import numpy as np
+
+    from se_data_pipeline_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        TOKEN_SEP,
+        shingle_hashes_np,
+    )
+
+    arr = shingle_hashes_np(text, 5)
+    if arr is None:  # non-ASCII fallback: scalar fold
+        toks = text.split(TOKEN_SEP)
+        hs = []
+        for i in range(max(len(toks) - 4, 0)):
+            h = 0
+            for ch in TOKEN_SEP.join(toks[i : i + 5]):
+                h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+            hs.append(h)
+        arr = np.asarray(hs, dtype=np.int64)
+    if not len(arr):
+        return None
+    ks = np.arange(_MINHASH_K, dtype=np.int64)
+    ph = ((2 * ks + 1) * arr[:, None] + 31 * ks + 7) % _MH_P
+    return ph.min(axis=0)
+
+
+def _mh_band_rows(batches):
+    """mapInPandas kernel: one row per (doc, band) with the band's
+    joined signature string."""
+    import pandas as pd
+
+    for pdf in batches:
+        out_doc, out_band, out_sig = [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            mh = _mh_signature(text)
+            if mh is None:
+                continue
+            for band in range(_MINHASH_K // _MINHASH_BAND_ROWS):
+                lo = band * _MINHASH_BAND_ROWS
+                out_doc.append(doc_id)
+                out_band.append(band)
+                out_sig.append(
+                    "-".join(str(v) for v in mh[lo : lo + _MINHASH_BAND_ROWS])
+                )
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "band": out_band, "sig": out_sig}
+        )
+
+
+def _mh_band_sig_rows(batches):
+    """As _mh_band_rows but carrying the full 16-long signature on
+    every band row (for signature-agreement estimates)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            mh = _mh_signature(text)
+            if mh is None:
+                continue
+            full = [int(v) for v in mh]
+            for band in range(_MINHASH_K // _MINHASH_BAND_ROWS):
+                lo = band * _MINHASH_BAND_ROWS
+                rows.append(
+                    (
+                        doc_id,
+                        band,
+                        "-".join(
+                            str(v) for v in full[lo : lo + _MINHASH_BAND_ROWS]
+                        ),
+                        full,
+                    )
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "band", "sig", "mh"])
+
 @query(
     "minhash_lsh_candidates",
     oracle=f"""
@@ -512,52 +595,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop); it skips string-dedup because min over a multiset equals
     min over its set, so duplicate shingles can't change a MinHash.
     """
-    import numpy as np
-    import pandas as pd
-
-    from se_data_pipeline_spark.functions.text import (
-        ROLLING_HASH_BASE,
-        ROLLING_HASH_MOD,
-        TOKEN_SEP,
-        shingle_hashes_np,
-    )
-
-    ks = np.arange(_MINHASH_K, dtype=np.int64)
-
-    def sig_rows(batches):
-        for pdf in batches:
-            out_doc, out_band, out_sig = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                arr = shingle_hashes_np(text, 5)
-                if arr is None:  # non-ASCII fallback: scalar fold
-                    toks = text.split(TOKEN_SEP)
-                    hs = []
-                    for i in range(max(len(toks) - 4, 0)):
-                        h = 0
-                        for ch in TOKEN_SEP.join(toks[i : i + 5]):
-                            h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
-                        hs.append(h)
-                    arr = np.asarray(hs, dtype=np.int64)
-                if not len(arr):
-                    continue
-                # (n_shingles, k) universal hashes, min over shingles
-                ph = ((2 * ks + 1) * arr[:, None] + 31 * ks + 7) % _MH_P
-                mh = ph.min(axis=0)
-                for band in range(_MINHASH_K // _MINHASH_BAND_ROWS):
-                    lo = band * _MINHASH_BAND_ROWS
-                    out_doc.append(doc_id)
-                    out_band.append(band)
-                    out_sig.append(
-                        "-".join(str(v) for v in mh[lo : lo + _MINHASH_BAND_ROWS])
-                    )
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "band": out_band, "sig": out_sig}
-            )
-
     docs = load_table(spark, sf_dir, "documents")
     par = max(spark.sparkContext.defaultParallelism, 8)
     bands = docs.repartition(par).mapInPandas(
-        sig_rows, "doc_id long, band long, sig string"
+        _mh_band_rows, "doc_id long, band long, sig string"
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -572,6 +613,95 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+@query(
+    "minhash_jaccard_estimates",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)]) AS s
+      FROM ({_SQL_TOKS})),
+    e AS (
+      SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(0, [ascii(c) for c in string_split(x.sh, '')]),
+               (acc, c) -> (acc * 31 + c) % {_MH_P}) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(s) AS sh FROM sh) x),
+    perms AS (SELECT unnest(range({_MINHASH_K})) AS perm),
+    mins AS (
+      SELECT e.doc_id, p.perm,
+             MIN((CAST(2 * p.perm + 1 AS BIGINT) * e.h
+                  + 31 * p.perm + 7) % {_MH_P}) AS mh
+      FROM e CROSS JOIN perms p
+      GROUP BY e.doc_id, p.perm),
+    sigs AS (
+      SELECT doc_id, array_agg(mh ORDER BY perm) AS sig
+      FROM mins GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, CAST(perm // {_MINHASH_BAND_ROWS} AS BIGINT) AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm) AS sig
+      FROM mins GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(len([i for i in range(1, {_MINHASH_K + 1})
+                     if sa.sig[i] = sb.sig[i]]) AS BIGINT) AS n_agree,
+           ROUND(len([i for i in range(1, {_MINHASH_K + 1})
+                      if sa.sig[i] = sb.sig[i]]) / {_MINHASH_K}.0, 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    """,
+)
+def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The estimation stage between LSH candidate generation and
+    exact verification: for every candidate pair, estimated Jaccard =
+    fraction of the 16 MinHash components that agree. At 100 TB this
+    prunes the candidate set before the expensive exact
+    ngram_jaccard_pairs verification touches documents again —
+    signatures are 16 longs however long the documents are, and the
+    agreement count is a row-local HOF (zip_with + filter) on the
+    already-joined pair, no extra shuffle beyond the candidate join
+    itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    rows = docs.repartition(par).mapInPandas(
+        _mh_band_sig_rows,
+        "doc_id long, band long, sig string, mh array<long>",
+    )
+    a = rows.alias("a")
+    b = rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.mh").alias("mh_a"),
+            F.col("b.mh").alias("mh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_agree = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v
+        )
+    ).cast("long")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        n_agree.alias("n_agree"),
+        F.round(n_agree / float(_MINHASH_K), 6).alias("est_jaccard"),
     )
 
 
