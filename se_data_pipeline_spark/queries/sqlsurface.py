@@ -427,3 +427,43 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m.m
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Bilateral trade volume (TPC-H Q7 shape): revenue flowing between
+# two specific nations per year, in both directions.
+# --------------------------------------------------------------------------
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, l_year
+"""
+
+
+@query("sql_q7_bilateral_trade", oracle=_Q7_SQL)
+def sql_q7_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) on the available columns: lineitem
+    ⋈ orders ⋈ customer ⋈ supplier with TWO nation dimension aliases
+    and a disjunctive cross-nation predicate, grouped by direction
+    and ship year.
+
+    Scale: both nation sides broadcast (25 rows); the nation-name
+    filters prune the fact rows during the broadcast hash joins, so
+    only the two nations' traffic reaches the aggregate. The big
+    joins (lineitem⋈orders on orderkey, ⋈customer on custkey) shuffle
+    on their keys; AQE coalesces what the filter leaves. The Spark
+    and oracle SQL are textually identical — the point of the SQL
+    surface."""
+    _register(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    return spark.sql(_Q7_SQL)

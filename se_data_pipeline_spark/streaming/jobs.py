@@ -109,6 +109,77 @@ def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's documents parquet (for
+    the streaming curation operators)."""
+    import os
+
+    physical = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    return (
+        spark.readStream.schema(physical)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def near_dup_bucket_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming MinHash-LSH near-dup filter: the stateful twin of
+    the batch minhash_lsh_candidates pipeline. Each incoming document
+    emits its 4 band rows (same _mh_band_rows kernel as batch — one
+    mapInPandas, signatures are 16 longs regardless of doc size);
+    state per (band, sig) bucket remembers the FIRST document that
+    claimed the bucket. A document is a near-dup candidate iff any of
+    its band rows comes back with first_doc != doc_id — exactly the
+    batch LSH candidate relation, evaluated incrementally.
+
+    Scale: state is one long per occupied bucket, sharded across
+    executors by the (band, sig) key; use the RocksDB provider for
+    corpus-scale keyspaces. In-batch arrival order is made
+    deterministic by processing each micro-batch's bucket members in
+    doc_id order."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from se_data_pipeline_spark.queries.text import _mh_band_rows
+
+    bands = docs_stream.select("doc_id", "text").mapInPandas(
+        _mh_band_rows, "doc_id long, band long, sig string"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("band", LongType()),
+            StructField("sig", StringType()),
+            StructField("first_doc", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("first", LongType())])
+
+    def mark(key, pdfs, state: GroupState):
+        first = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            for doc_id in sorted(int(v) for v in pdf["doc_id"]):
+                if first is None:
+                    first = doc_id
+                rows.append((doc_id, key[0], key[1], first))
+        state.update((first,))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "band", "sig", "first_doc"]
+        )
+
+    return bands.groupBy("band", "sig").applyInPandasWithState(
+        mark,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals_stateful(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running totals with a budget flag — the reference's loop-carried

@@ -316,3 +316,53 @@ def test_streaming_publish_distributed_exactly_once(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert sorted(os.listdir(pub_dir)) == published
+
+
+def test_streaming_near_dup_matches_batch_lsh(spark, sf_dir):
+    """The stateful bucket-first stream must reproduce the batch LSH
+    relation: every bucket's first_doc is the bucket's min doc_id,
+    and the derived near-dup set equals the batch candidate pairs'
+    'later' sides."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.queries.text import (
+        _mh_band_rows,
+        minhash_lsh_candidates,
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        near_dup_bucket_stream,
+        read_documents_stream,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    _run_to_memory(
+        spark, near_dup_bucket_stream(stream), "t_near_dup", "append"
+    )
+    rows = spark.sql("SELECT * FROM t_near_dup").collect()
+    assert len(rows) > 0
+
+    # bucket-first invariant vs batch recomputation
+    docs = load_table(spark, sf_dir, "documents")
+    batch_bands = docs.select("doc_id", "text").mapInPandas(
+        _mh_band_rows, "doc_id long, band long, sig string"
+    )
+    expected_first = {
+        (r["band"], r["sig"]): r["first"]
+        for r in batch_bands.groupBy("band", "sig")
+        .agg(F.min("doc_id").alias("first"))
+        .collect()
+    }
+    for r in rows:
+        assert r["first_doc"] == expected_first[(r["band"], r["sig"])]
+
+    # doc-level near-dup set == batch LSH candidates' later sides
+    stream_dups = {
+        r["doc_id"] for r in rows if r["first_doc"] != r["doc_id"]
+    }
+    batch_dups = {
+        r["doc_b"] for r in minhash_lsh_candidates(spark, sf_dir).collect()
+    }
+    # every batch candidate's later side is flagged by the stream;
+    # the stream may flag more (transitive chains share buckets with
+    # the chain head, not necessarily pairwise with each other)
+    assert batch_dups <= stream_dups
