@@ -439,3 +439,216 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("raw_sim", 6).alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compress each 64-dim vector into M=8
+# one-byte-ish codes by quantizing every 8-dim subvector to its
+# nearest codeword. The memory side of ANN at 100 TB — IVF prunes
+# the search space, PQ shrinks the vectors it scans (IVFPQ).
+# --------------------------------------------------------------------------
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (8 x 8 = 64)
+_PQ_K = 16  # codewords per subspace
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS k,
+             [CAST(x AS DOUBLE) for x in embedding] AS e
+      FROM embeddings WHERE vec_id < {_PQ_K}),
+    v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+      FROM embeddings),
+    ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    d AS (
+      SELECT v.vec_id, ms.m, cb.k,
+             list_sum([(v.e[i] - cb.e[i]) * (v.e[i] - cb.e[i])
+                       for i in range(ms.m * {_PQ_SUB} + 1,
+                                      ms.m * {_PQ_SUB} + {_PQ_SUB} + 1)])
+               AS dist
+      FROM v CROSS JOIN ms CROSS JOIN cb),
+    best AS (
+      SELECT vec_id, m, k, dist,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, k) AS rn
+      FROM d)
+    SELECT vec_id,
+           array_to_string(array_agg(k ORDER BY m), '-') AS codes,
+           ROUND(list_sum(array_agg(dist ORDER BY m)), 6) AS err
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: split each vector into {_PQ_M} subvectors of
+    {_PQ_SUB} dims, assign each to the nearest of {_PQ_K} codewords
+    (L2, ties to the lowest codeword id), emit the code string plus
+    the total quantization error. The codebook here is the
+    deterministic sampled one (subvectors of the first {_PQ_K}
+    vectors) so the oracle can replay it exactly; production training
+    runs a few k-means iterations the same distributed way as
+    embedding_label_centroids and only the codebook values change.
+
+    Scale: the codebook is K×D doubles — broadcast once (a real
+    codebook is 256×D, same story); encoding is one mapInPandas pass,
+    distances computed as a fused (n, M, K, sub) numpy reduction, no
+    shuffle at all. Codes are M small ints per vector — the 64-dim
+    float vector compresses 16x, which is what lets an ANN scan at
+    100 TB keep its working set in memory. All double math mirrors
+    the oracle's fold order bit-for-bit (sequential sums over the
+    8-dim axis), so argmin ties cannot diverge."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb = np.asarray(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
+        ]
+    ).reshape(_PQ_K, _PQ_M, _PQ_SUB)
+    bc = spark.sparkContext.broadcast(cb)
+
+    def encode(batches):
+        cbs = bc.value  # (K, M, sub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(
+                pdf["embedding"].tolist(), dtype=np.float64
+            ).reshape(len(pdf), _PQ_M, _PQ_SUB)
+            # (n, M, K): sum over the sub axis is a sequential
+            # 8-element reduce — same IEEE order as the oracle's
+            # list_sum fold.
+            diff = vecs[:, :, None, :] - cbs.transpose(1, 0, 2)[None]
+            dist = (diff * diff).sum(axis=-1)
+            codes = dist.argmin(axis=2)  # first min = lowest k
+            err = dist.min(axis=2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": [
+                        "-".join(str(int(c)) for c in row) for row in codes
+                    ],
+                    "err": np.round(err, 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, codes string, err double"
+    )
+
+
+@query(
+    "embedding_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS k,
+             [CAST(x AS DOUBLE) for x in embedding] AS e
+      FROM embeddings WHERE vec_id < {_PQ_K}),
+    v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+      FROM embeddings),
+    ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    d AS (
+      SELECT v.vec_id, ms.m, cb.k,
+             list_sum([(v.e[i] - cb.e[i]) * (v.e[i] - cb.e[i])
+                       for i in range(ms.m * {_PQ_SUB} + 1,
+                                      ms.m * {_PQ_SUB} + {_PQ_SUB} + 1)])
+               AS dist
+      FROM v CROSS JOIN ms CROSS JOIN cb),
+    best AS (
+      SELECT vec_id, m, k, dist,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, k) AS rn
+      FROM d),
+    q AS (SELECT e FROM v ORDER BY vec_id LIMIT 1),
+    lut AS (
+      SELECT ms.m, cb.k,
+             list_sum([(q.e[i] - cb.e[i]) * (q.e[i] - cb.e[i])
+                       for i in range(ms.m * {_PQ_SUB} + 1,
+                                      ms.m * {_PQ_SUB} + {_PQ_SUB} + 1)])
+               AS qd
+      FROM q CROSS JOIN ms CROSS JOIN cb),
+    est AS (
+      SELECT b.vec_id,
+             list_sum(array_agg(l.qd ORDER BY b.m)) AS est_dist
+      FROM best b JOIN lut l ON l.m = b.m AND l.k = b.k
+      WHERE b.rn = 1
+      GROUP BY b.vec_id)
+    SELECT vec_id, ROUND(est_dist, 6) AS est_dist
+    FROM est
+    WHERE vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+    ORDER BY est_dist, vec_id
+    LIMIT 10
+    """,
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving path: asymmetric distance computation. The query
+    vector is NOT quantized; per subspace a K-entry lookup table of
+    query→codeword distances is built once, and each database
+    vector's estimated distance is just M table lookups summed —
+    the scan never touches the original floats.
+
+    Scale: the LUT is M×K doubles broadcast with the codebook; the
+    per-vector work is O(M) int indexing in a fused numpy gather, and
+    the top-k is TakeOrderedAndProject (per-partition heads, driver
+    merge). This is the IVFPQ memory story: at 100 TB the scan reads
+    codes (8 bytes/vector), not embeddings (256 bytes/vector)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb = np.asarray(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
+        ]
+    ).reshape(_PQ_K, _PQ_M, _PQ_SUB)
+    q_row = emb.orderBy("vec_id").select("vec_id", "embedding").first()
+    q = np.asarray(q_row["embedding"], dtype=np.float64).reshape(
+        _PQ_M, _PQ_SUB
+    )
+    # LUT[m, k] = ||q_sub[m] - codeword[k, m]||^2, same sequential
+    # 8-dim reduce as the oracle's fold.
+    qdiff = q[None] - cb  # (K, M, sub)
+    lut = (qdiff * qdiff).sum(axis=-1).T  # (M, K)
+    bc = spark.sparkContext.broadcast((cb, lut))
+    q_vec_id = int(q_row["vec_id"])
+
+    def adc(batches):
+        cbs, luts = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(
+                pdf["embedding"].tolist(), dtype=np.float64
+            ).reshape(len(pdf), _PQ_M, _PQ_SUB)
+            diff = vecs[:, :, None, :] - cbs.transpose(1, 0, 2)[None]
+            codes = (diff * diff).sum(axis=-1).argmin(axis=2)  # (n, M)
+            est = luts[np.arange(_PQ_M)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "est_dist": np.round(est, 6)}
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        adc, "vec_id long, est_dist double"
+    )
+    return (
+        scored.filter(F.col("vec_id") != q_vec_id)
+        .orderBy(F.asc("est_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
