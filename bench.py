@@ -65,6 +65,11 @@ HEADLINE = [
     "doc_tfidf_search",
     "value_outliers_by_type",
     "doc_rank_fusion",
+    "doc_unigram_perplexity",
+    "minhash_jaccard_estimates",
+    "embedding_pq_codes",
+    "embedding_pq_adc_topk",
+    "sql_q7_bilateral_trade",
 ]
 
 

@@ -41,3 +41,67 @@ def bucketed_join(
     matching bucket specs the physical plan carries no Exchange —
     the test asserts that property on the executed plan."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def zorder_key(scaled: list, bits: int = 16):
+    """Z-order (Morton) key: interleave the low `bits` bits of the
+    given already-scaled non-negative integer Columns (bit j of
+    column i lands at position j * n_cols + i). Sorting by this key
+    before writing clusters rows so parquet row-group min/max stats
+    prune scans filtering on ANY subset of the columns — the
+    open-source Spark analog of Delta's OPTIMIZE ZORDER BY. Built
+    entirely from Catalyst expressions (shiftleft / bitwise OR
+    folds), so key computation pipelines with the scan."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    n = len(scaled)
+    parts = []
+    for i, c in enumerate(scaled):
+        for j in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(c, j).bitwiseAND(F.lit(1)), j * n + i
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def write_zordered(
+    df: DataFrame, out_path: str, cols: list[str], bits: int = 12
+) -> None:
+    """Sort by the interleaved Z-key of `cols` (min-max scaled to
+    2^bits buckets each) and write parquet. One range-partitioned
+    sort at write time buys multi-column data skipping on every
+    later scan."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+    )
+    scaled = []
+    b = F.broadcast(bounds)
+    joined = df.crossJoin(b)
+    for c in cols:
+        lo, hi = F.col(f"min_{c}"), F.col(f"max_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1))
+        scaled.append(
+            F.least(
+                F.floor(
+                    (F.col(c) - lo) * (1 << bits) / span
+                ).cast("long"),
+                F.lit((1 << bits) - 1),
+            )
+        )
+    keyed = joined.withColumn("__zkey", zorder_key(scaled, bits))
+    (
+        keyed.repartitionByRange(
+            max(df.sparkSession.sparkContext.defaultParallelism, 8), "__zkey"
+        )
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"min_{c}" for c in cols], *[f"max_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

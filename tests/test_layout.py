@@ -48,3 +48,42 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered write must cluster BOTH key columns: every output
+    file's min-max span on each column is a fraction of the global
+    span (that locality is exactly what row-group stats pruning
+    exploits), and no rows are lost or duplicated."""
+    from se_data_pipeline_spark.sources.layout import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = str(tmp_path / "li_z")
+    write_zordered(li, out, ["l_orderkey", "l_partkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    assert back.columns == ["l_orderkey", "l_partkey", "l_quantity"]
+
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("l_partkey").alias("p_lo"),
+            F.max("l_partkey").alias("p_hi"),
+            F.min("l_orderkey").alias("o_lo"),
+            F.max("l_orderkey").alias("o_hi"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_orderkey"), F.max("l_orderkey"),
+    ).first()
+    span_p, span_o = g[1] - g[0], g[3] - g[2]
+    avg_p = sum(r["p_hi"] - r["p_lo"] for r in per_file) / len(per_file)
+    avg_o = sum(r["o_hi"] - r["o_lo"] for r in per_file) / len(per_file)
+    # a random layout would give ~full span per file on both axes
+    assert avg_p < span_p * 0.8
+    assert avg_o < span_o * 0.8
