@@ -63,6 +63,62 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token estimation: GPT-2-style pre-tokenizer regex splits
+# (contractions / letter runs / digit runs / punctuation runs, each
+# with optional leading space), then ceil(len/4) subword units per
+# pre-token — the standard chars-per-token budgeting heuristic when
+# the real tokenizer isn't on the cluster.
+# --------------------------------------------------------------------------
+_BPE_SPLIT = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@query(
+    "doc_bpe_token_estimate",
+    oracle=f"""
+    WITH pt AS (
+      SELECT doc_id,
+             regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')
+               AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_pretokens,
+           CAST(list_sum([(length(t) + 3) // 4 for t in toks]) AS BIGINT)
+             AS est_subwords,
+           ROUND(CAST(list_sum([length(t) for t in toks]) AS DOUBLE)
+                 / list_sum([(length(t) + 3) // 4 for t in toks]), 6)
+             AS chars_per_subword
+    FROM pt
+    """,
+)
+def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-count estimation (the training-budget signal):
+    GPT-2's pre-tokenizer split as a pure regexp_extract_all
+    expression, each pre-token contributing ceil(len/4) estimated
+    subwords. Row-local, zero shuffles, whole-stage codegen; swap the
+    heuristic for a real tokenizer via the Arrow batch path only if
+    exact counts are worth the Python stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_SPLIT), 0)
+    sub = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+    )
+    chars = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_pretokens"),
+        sub.alias("est_subwords"),
+        F.round(chars.cast("double") / sub, 6).alias("chars_per_subword"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Quality scoring (length/diversity/stopword mix) — the curation
 # filter a 100 TB text pipeline runs before training.
 # --------------------------------------------------------------------------
