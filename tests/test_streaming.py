@@ -366,3 +366,44 @@ def test_streaming_near_dup_matches_batch_lsh(spark, sf_dir):
     # the stream may flag more (transitive chains share buckets with
     # the chain head, not necessarily pairwise with each other)
     assert batch_dups <= stream_dups
+
+
+def test_maintain_hourly_rollup_upserts_to_parquet(spark, sf_dir, tmp_path):
+    """The incremental materialized hourly tier must equal the batch
+    aggregate after the stream drains — and stay equal after a second
+    run over the same checkpoint (upsert idempotence, no dup rows)."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import maintain_hourly_rollup
+
+    out = str(tmp_path / "hourly_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = maintain_hourly_rollup(read_events_stream(spark, sf_dir), out, ckpt)
+    q.awaitTermination(120)
+
+    def snapshot():
+        return {
+            (r["window_start"], r["event_type"]): (
+                r["n_events"],
+                r["sum_value"],
+            )
+            for r in spark.read.parquet(out)
+            .select("window_start", "event_type", "n_events", "sum_value")
+            .collect()
+        }
+
+    got = snapshot()
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events_hourly_tumbling(spark, sf_dir)
+        .withColumn("window_start", F.col("window_start").cast("timestamp"))
+        .collect()
+    }
+    assert len(got) == len(expected)
+    assert got == expected
+
+    # replay over the same checkpoint: no new data -> store unchanged
+    q2 = maintain_hourly_rollup(read_events_stream(spark, sf_dir), out, ckpt)
+    q2.awaitTermination(120)
+    assert snapshot() == got
