@@ -447,3 +447,61 @@ def test_zorder_key_exact_morton_order(spark):
     assert quadrant == (
         [(0, 0)] * 4 + [(1, 0)] * 4 + [(0, 1)] * 4 + [(1, 1)] * 4
     )
+
+
+# ---------------------------------------------- vectorized hash kernel
+
+
+def test_prefix_hash_kernel_property():
+    """Property test: the vectorized prefix-sum span-hash kernel must
+    equal the scalar per-char fold for arbitrary ASCII token streams,
+    and bail out (None) on non-ASCII so callers hit the scalar path."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from se_data_pipeline_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        TOKEN_SEP,
+        shingle_hashes_np,
+        token_hashes_np,
+    )
+
+    def fold(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+        return h
+
+    ascii_token = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=0,
+        max_size=12,
+    ).filter(lambda t: " " not in t)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(ascii_token, min_size=0, max_size=30))
+    def check(toks):
+        text = TOKEN_SEP.join(toks) if toks else ""
+        got = token_hashes_np(text)
+        want = np.asarray(
+            [fold(t) for t in text.split(TOKEN_SEP)], dtype=np.int64
+        )
+        assert got is not None and np.array_equal(got, want)
+
+        sh = shingle_hashes_np(text, 5)
+        ts = text.split(TOKEN_SEP)
+        want_sh = (
+            np.asarray(
+                [fold(" ".join(ts[i : i + 5])) for i in range(len(ts) - 4)],
+                dtype=np.int64,
+            )
+            if len(ts) >= 5
+            else np.empty(0, dtype=np.int64)
+        )
+        assert np.array_equal(sh, want_sh)
+
+    check()
+    assert token_hashes_np("héllo wörld") is None
+    assert shingle_hashes_np("ü a b c d e", 5) is None
