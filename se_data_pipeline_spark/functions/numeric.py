@@ -27,22 +27,35 @@ def round_half_up(x, decimals: int = 6):
     return np.sign(x) * np.floor(np.abs(np.multiply(x, p)) + 0.5) / p
 
 
-def zorder_key(a, b, bits: int = 16):
-    """Morton (Z-order) interleave of two non-negative ints, as a pure
-    Catalyst expression (unrolled bit picks — no UDF): bit i of `a`
-    lands at position 2i, bit i of `b` at 2i+1.
+def zorder_key_n(scaled: list, bits: int = 16):
+    """Morton (Z-order) interleave of N non-negative integer Columns,
+    as a pure Catalyst expression (unrolled shiftleft/bitwise-OR
+    folds — no UDF): bit j of column i lands at position j * N + i.
 
-    Sorting/range-partitioning a write by this key clusters BOTH
-    dimensions at once, so later scans filtering on either column (or
-    both) skip most files via row-group min/max stats — the
+    Sorting/range-partitioning a write by this key clusters ALL the
+    dimensions at once, so later scans filtering on any subset of the
+    columns skip most files via row-group min/max stats — the
     multi-dimensional layout trick behind Z-ordered table formats,
-    available here with plain parquet. All terms stay < 2^(2*bits)
-    (ANSI-overflow-safe for bits <= 31)."""
+    available here with plain parquet. Total key width is
+    N * bits <= 63. `sources.layout.write_zordered` wires this into
+    a min-max-scaled sorted parquet write."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        abit = F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long")
-        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
-        key = key + abit * F.lit(1 << (2 * i)) + bbit * F.lit(1 << (2 * i + 1))
-    return key
+    n = len(scaled)
+    parts = []
+    for i, c in enumerate(scaled):
+        for j in range(bits):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(c, j).bitwiseAND(F.lit(1)), j * n + i
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Two-column Morton interleave: bit i of `a` at position 2i, bit
+    i of `b` at 2i+1 — the N=2 case of zorder_key_n."""
+    return zorder_key_n([a, b], bits)

@@ -44,28 +44,13 @@ def bucketed_join(
 
 
 def zorder_key(scaled: list, bits: int = 16):
-    """Z-order (Morton) key: interleave the low `bits` bits of the
-    given already-scaled non-negative integer Columns (bit j of
-    column i lands at position j * n_cols + i). Sorting by this key
-    before writing clusters rows so parquet row-group min/max stats
-    prune scans filtering on ANY subset of the columns — the
-    open-source Spark analog of Delta's OPTIMIZE ZORDER BY. Built
-    entirely from Catalyst expressions (shiftleft / bitwise OR
-    folds), so key computation pipelines with the scan."""
-    from functools import reduce
+    """Alias of functions.numeric.zorder_key_n (kept here because the
+    layout writer is where users reach for it): Morton-interleave the
+    low `bits` bits of already-scaled non-negative integer Columns —
+    the open-source Spark analog of Delta's OPTIMIZE ZORDER BY."""
+    from se_data_pipeline_spark.functions.numeric import zorder_key_n
 
-    from pyspark.sql import functions as F
-
-    n = len(scaled)
-    parts = []
-    for i, c in enumerate(scaled):
-        for j in range(bits):
-            parts.append(
-                F.shiftleft(
-                    F.shiftright(c, j).bitwiseAND(F.lit(1)), j * n + i
-                )
-            )
-    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+    return zorder_key_n(scaled, bits)
 
 
 def write_zordered(
