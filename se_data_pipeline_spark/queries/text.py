@@ -63,6 +63,55 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Text normalization: the first pass of every corpus cleaning
+# pipeline — casefold, strip control characters, collapse runs of
+# whitespace, trim — plus the fingerprint of the normalized form
+# (what exact-dedup should hash, so trivially-reformatted copies
+# collapse).
+# --------------------------------------------------------------------------
+@query(
+    "doc_normalized",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[\x00-\x1F\x7F]', ' ', 'g'),
+             ' +', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[\x00-\x1F\x7F]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS norm_fp,
+           length(text) - length(trim(regexp_replace(
+             regexp_replace(lower(text), '[\x00-\x1F\x7F]', ' ', 'g'),
+             ' +', ' ', 'g'))) AS n_chars_removed
+    FROM documents
+    """,
+)
+def doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (row-local, whole-stage codegen,
+    zero shuffles): casefold → control chars to spaces → collapse
+    whitespace runs → trim, with the md5 of the normalized form as
+    the dedup fingerprint and a removed-chars count as the cleaning
+    signal. Unicode NFC belongs here too for non-ASCII corpora — add
+    it as an Arrow-batched unicodedata kernel when needed (Spark has
+    no builtin normalizer; this fixture corpus is ASCII)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col("text")), "[\\x00-\\x1F\\x7F]", " "
+            ),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_fp"),
+        (F.length("text") - F.length(norm)).alias("n_chars_removed"),
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE-ish token estimation: GPT-2-style pre-tokenizer regex splits
 # (contractions / letter runs / digit runs / punctuation runs, each
 # with optional leading space), then ceil(len/4) subword units per
@@ -758,6 +807,77 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         n_agree.alias("n_agree"),
         F.round(n_agree / float(_MINHASH_K), 6).alias("est_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup canonical corpus: the END PRODUCT of the LSH pipeline —
+# drop every document that shares a MinHash band bucket with an
+# earlier document, keep the survivors.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_near_canonical",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)]) AS s
+      FROM ({_SQL_TOKS})),
+    e AS (
+      SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(0, [ascii(c) for c in string_split(x.sh, '')]),
+               (acc, c) -> (acc * 31 + c) % {_MH_P}) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(s) AS sh FROM sh) x),
+    perms AS (SELECT unnest(range({_MINHASH_K})) AS perm),
+    mins AS (
+      SELECT e.doc_id, p.perm,
+             MIN((CAST(2 * p.perm + 1 AS BIGINT) * e.h
+                  + 31 * p.perm + 7) % {_MH_P}) AS mh
+      FROM e CROSS JOIN perms p
+      GROUP BY e.doc_id, p.perm),
+    bands AS (
+      SELECT doc_id, CAST(perm // {_MINHASH_BAND_ROWS} AS BIGINT) AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm) AS sig
+      FROM mins GROUP BY doc_id, band),
+    dupes AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes)
+    """,
+)
+def dedup_near_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor materialization: a document survives unless
+    it shares any MinHash band bucket with an EARLIER (lower doc_id)
+    document — the keep-first policy over the LSH candidate relation,
+    i.e. what the corpus actually trains on after dedup.
+
+    Scale: the dupe set derives from the same 16-long signatures as
+    minhash_lsh_candidates (tiny shuffle rows); the removal itself is
+    a left-anti join of documents against the dupe ids — one
+    broadcast-or-shuffle anti-join, no text comparison at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    bands = docs.repartition(par).mapInPandas(
+        _mh_band_rows, "doc_id long, band long, sig string"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    dupes = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", "source", "lang", "n_chars"
     )
 
 

@@ -373,6 +373,54 @@ def running_totals_tws(stream: DataFrame) -> DataFrame:
     )
 
 
+def near_dup_bucket_tws(docs_stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of near_dup_bucket_stream:
+    identical bucket-first semantics via the Spark 4 typed-state API
+    (ValueState per bucket key) — parity pinned by test. Same runtime
+    requirements as running_totals_tws (RocksDB provider +
+    protobuf)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from se_data_pipeline_spark.queries.text import _mh_band_rows
+
+    bands = docs_stream.select("doc_id", "text").mapInPandas(
+        _mh_band_rows, "doc_id long, band long, sig string"
+    )
+
+    class BucketFirst(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._first = handle.getValueState("first", "first_doc long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._first.get()
+            first = prev[0] if prev is not None else None
+            out = []
+            for pdf in rows:
+                for doc_id in sorted(int(v) for v in pdf["doc_id"]):
+                    if first is None:
+                        first = doc_id
+                    out.append((doc_id, key[0], key[1], first))
+            self._first.update((first,))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "band", "sig", "first_doc"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return bands.groupBy("band", "sig").transformWithStateInPandas(
+        statefulProcessor=BucketFirst(),
+        outputStructType=(
+            "doc_id long, band long, sig string, first_doc long"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def click_purchase_attribution(stream: DataFrame, horizon: str = "10 minutes") -> DataFrame:
     """Stream-stream interval join: attribute each purchase to the
     same user's clicks in the preceding `horizon`. Both sides carry

@@ -407,3 +407,58 @@ def test_maintain_hourly_rollup_upserts_to_parquet(spark, sf_dir, tmp_path):
     q2 = maintain_hourly_rollup(read_events_stream(spark, sf_dir), out, ckpt)
     q2.awaitTermination(120)
     assert snapshot() == got
+
+
+def test_tws_near_dup_matches_legacy_api(spark, sf_dir):
+    """The transformWithState near-dup filter must emit exactly the
+    same (doc, bucket, first_doc) rows as the applyInPandasWithState
+    form — the API-migration parity pin for the dedup operator."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf, absent here",
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        near_dup_bucket_stream,
+        near_dup_bucket_tws,
+        read_documents_stream,
+    )
+
+    _run_to_memory(
+        spark,
+        near_dup_bucket_stream(read_documents_stream(spark, sf_dir)),
+        "t_nd_legacy",
+        "append",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _run_to_memory(
+            spark,
+            near_dup_bucket_tws(read_documents_stream(spark, sf_dir)),
+            "t_nd_tws",
+            "append",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    legacy = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, band, sig, first_doc FROM t_nd_legacy"
+        ).collect()
+    }
+    tws = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, band, sig, first_doc FROM t_nd_tws"
+        ).collect()
+    }
+    assert legacy == tws and len(tws) > 0
