@@ -652,3 +652,127 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("est_dist"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "embedding_pq_train_step",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS k,
+             [CAST(x AS DOUBLE) for x in embedding] AS e
+      FROM embeddings WHERE vec_id < {_PQ_K}),
+    v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+      FROM embeddings),
+    ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    ds AS (SELECT unnest(range({_PQ_SUB})) AS dim),
+    d AS (
+      SELECT v.vec_id, ms.m, cb.k,
+             list_sum([(v.e[i] - cb.e[i]) * (v.e[i] - cb.e[i])
+                       for i in range(ms.m * {_PQ_SUB} + 1,
+                                      ms.m * {_PQ_SUB} + {_PQ_SUB} + 1)])
+               AS dist
+      FROM v CROSS JOIN ms CROSS JOIN cb),
+    assign AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, k) AS rn
+        FROM d) WHERE rn = 1),
+    means AS (
+      SELECT a.m, a.k, ds.dim,
+             AVG(v.e[a.m * {_PQ_SUB} + ds.dim + 1]) AS c,
+             COUNT(*) AS n
+      FROM assign a JOIN v ON v.vec_id = a.vec_id CROSS JOIN ds
+      GROUP BY a.m, a.k, ds.dim),
+    grid AS (
+      SELECT ms.m, cb.k AS k, ds.dim,
+             cb.e[ms.m * {_PQ_SUB} + ds.dim + 1] AS init
+      FROM ms CROSS JOIN cb CROSS JOIN ds)
+    SELECT g.m, g.k, g.dim,
+           ROUND(COALESCE(mn.c, g.init), 6) AS centroid,
+           COALESCE(mn.n, 0) AS n_assigned
+    FROM grid g
+    LEFT JOIN means mn ON mn.m = g.m AND mn.k = g.k AND mn.dim = g.dim
+    """,
+)
+def embedding_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration of PQ codebook training:
+    assign every vector's subvector to its nearest current codeword,
+    then recompute each codeword as the mean of its assignment set
+    (empty clusters keep their previous codeword). Iterating this
+    query IS k-means — the pagerank-style unrolled-iteration pattern
+    applied to quantizer training.
+
+    Scale: the mapInPandas stage emits per-Arrow-batch PARTIAL
+    (sum, count) rows per (subspace, codeword, dim) — at most
+    M*K*SUB rows per batch regardless of batch size, the map-side
+    combine that makes distributed k-means shuffle-light. The only
+    shuffle is the (m, k, dim)-keyed final aggregation of those
+    partials (≤ 1024 groups)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb = np.asarray(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
+        ]
+    ).reshape(_PQ_K, _PQ_M, _PQ_SUB)
+    bc = spark.sparkContext.broadcast(cb)
+
+    def partials(batches):
+        cbs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(
+                pdf["embedding"].tolist(), dtype=np.float64
+            ).reshape(len(pdf), _PQ_M, _PQ_SUB)
+            diff = vecs[:, :, None, :] - cbs.transpose(1, 0, 2)[None]
+            codes = (diff * diff).sum(axis=-1).argmin(axis=2)  # (n, M)
+            rows = []
+            for m in range(_PQ_M):
+                for k in range(_PQ_K):
+                    sel = vecs[codes[:, m] == k, m, :]  # (n_sel, SUB)
+                    if not len(sel):
+                        continue
+                    s = sel.sum(axis=0)
+                    for dim in range(_PQ_SUB):
+                        rows.append((m, k, dim, float(s[dim]), len(sel)))
+            yield pd.DataFrame(
+                rows, columns=["m", "k", "dim", "s", "n"]
+            )
+
+    agg = (
+        emb.select("embedding")
+        .mapInPandas(partials, "m long, k long, dim long, s double, n long")
+        .groupBy("m", "k", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    # full (m, k, dim) grid with the initial codeword for empty
+    # clusters — built from the tiny driver-side codebook.
+    grid = spark.createDataFrame(
+        [
+            (m, k, dim, float(cb[k, m, dim]))
+            for m in range(_PQ_M)
+            for k in range(_PQ_K)
+            for dim in range(_PQ_SUB)
+        ],
+        "m long, k long, dim long, init double",
+    )
+    return grid.join(F.broadcast(agg), ["m", "k", "dim"], "left").select(
+        "m",
+        "k",
+        "dim",
+        F.round(
+            F.coalesce(F.col("s") / F.col("n"), F.col("init")), 6
+        ).alias("centroid"),
+        F.coalesce("n", F.lit(0)).alias("n_assigned"),
+    )
