@@ -112,6 +112,62 @@ def doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus vocabulary profile: the one-row corpus health check run
+# before/after every curation pass — vocabulary size, hapax share
+# (tokens seen once: OCR noise / garbled extraction inflate it),
+# token mass concentration in the head.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_vocab_profile",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(toks) AS t FROM ({_SQL_TOKS})),
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT SUM(c) AS total FROM vocab),
+    top AS (SELECT SUM(c) AS head FROM (
+              SELECT c FROM vocab ORDER BY c DESC, t LIMIT 10))
+    SELECT (SELECT COUNT(*) FROM vocab) AS vocab_size,
+           (SELECT COUNT(*) FROM vocab WHERE c = 1) AS hapax_count,
+           (SELECT CAST(total AS BIGINT) FROM tot) AS total_tokens,
+           ROUND((SELECT head FROM top) * 1.0
+                 / (SELECT total FROM tot), 6) AS top10_token_share
+    """,
+)
+def corpus_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus vocabulary profile: |vocab|, hapax count, total
+    token mass, and the share held by the 10 most frequent tokens.
+
+    Scale: one explode + one token-keyed aggregate (combiner-friendly
+    counts), then three tiny aggregates over the vocab table — the
+    head share uses a TakeOrderedAndProject top-10, never a full
+    sort. Everything after the vocab groupBy is vocabulary-sized,
+    not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    profile = vocab.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax_count"),
+        F.sum("c").alias("total_tokens"),
+    )
+    head = (
+        vocab.orderBy(F.desc("c"), F.asc("t"))
+        .limit(10)
+        .agg(F.sum("c").alias("head"))
+    )
+    return profile.crossJoin(F.broadcast(head)).select(
+        "vocab_size",
+        "hapax_count",
+        "total_tokens",
+        F.round(F.col("head") * 1.0 / F.col("total_tokens"), 6).alias(
+            "top10_token_share"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE-ish token estimation: GPT-2-style pre-tokenizer regex splits
 # (contractions / letter runs / digit runs / punctuation runs, each
 # with optional leading space), then ceil(len/4) subword units per
