@@ -69,7 +69,10 @@ HEADLINE = [
     "minhash_jaccard_estimates",
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
+    "embedding_pq_train_step",
     "sql_q7_bilateral_trade",
+    "dedup_near_canonical",
+    "corpus_vocab_profile",
 ]
 
 
