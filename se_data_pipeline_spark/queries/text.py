@@ -745,7 +745,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures are 16 longs/doc regardless of document size,
     so the candidate join shuffles tiny rows; the quadratic blowup of
     the naive shingle self-join never happens. This is the 100 TB
-    front-end for ngram_jaccard_pairs' exact verification.
+    front-end for ngram_jaccard_pairs' exact verification. The
+    signature stage appears on both self-join sides in the STATIC
+    plan, but AQE plans a ReusedExchange at runtime (verified on the
+    executed plan), so the Python kernel physically runs once; for a
+    multi-query dedup campaign, materialize the band table once and
+    share it.
 
     The signature is computed row-locally in one Arrow-batched numpy
     pass (shingle-hash → k permutations → per-band min-signature).
