@@ -1418,6 +1418,8 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.count()  # scalar: graph size (driver-side by design —
     # a count, not a collect of rows)
+    if nn == 0:  # empty graph: no ranks, not a 1/0 teleport term
+        return spark.createDataFrame([], "node string, pagerank double")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ranks = nodes.select("node", F.lit(1.0 / nn).alias("pr"))
     for _ in range(_PR_ITers):

@@ -509,6 +509,10 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not cb_rows:  # empty table: no codebook, empty result
+        return spark.createDataFrame(
+            [], "vec_id long, codes string, err double"
+        )
     cb = np.asarray(
         [
             np.asarray(r["embedding"], dtype=np.float64)
@@ -612,6 +616,8 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not cb_rows:  # empty table: no codebook/query vector
+        return spark.createDataFrame([], "vec_id long, est_dist double")
     cb = np.asarray(
         [
             np.asarray(r["embedding"], dtype=np.float64)
@@ -719,6 +725,10 @@ def embedding_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not cb_rows:  # empty table: nothing to train
+        return spark.createDataFrame(
+            [], "m long, k long, dim long, centroid double, n_assigned long"
+        )
     cb = np.asarray(
         [
             np.asarray(r["embedding"], dtype=np.float64)
