@@ -70,7 +70,8 @@ def order_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_suppkey),
     mx AS (SELECT MAX(n_ok) AS max_ok, MAX(n_total) AS max_total FROM stats)
     SELECT s.s_name, st.n_total, st.n_ok,
-           ROUND(st.n_ok * 1.0 / mx.max_ok + st.n_total * 1.0 / mx.max_total, 6)
+           ROUND(st.n_ok * 1.0 / NULLIF(mx.max_ok, 0)
+                 + st.n_total * 1.0 / NULLIF(mx.max_total, 0), 6)
              AS score
     FROM stats st
     CROSS JOIN mx
@@ -109,9 +110,12 @@ def supplier_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_total",
             "n_ok",
+            # try_divide: nobody passed the gate -> max_ok = 0 ->
+            # NULL score term, not a DIVIDE_BY_ZERO crash (oracle:
+            # NULLIF)
             F.round(
-                F.col("n_ok") / F.col("max_ok")
-                + F.col("n_total") / F.col("max_total"),
+                F.try_divide(F.col("n_ok"), F.col("max_ok"))
+                + F.try_divide(F.col("n_total"), F.col("max_total")),
                 6,
             ).alias("score"),
         )

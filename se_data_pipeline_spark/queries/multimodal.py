@@ -43,6 +43,10 @@ def _payload_stats_batches(
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
             n = len(b)
+            if n == 0:  # empty payload: NULL stats (mirrors SQL
+                # aggregates over an empty list), not a 1/0 crash
+                rows.append((doc_id, 0, None, None, None))
+                continue
             s1 = int(b.sum())
             s2 = int((b * b).sum())
             mean = s1 / n

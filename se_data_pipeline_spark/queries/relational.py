@@ -561,7 +561,8 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(CASE WHEN p.p_type = 'ECONOMY'
                           THEN l.l_extendedprice * (1 - l.l_discount)
                           ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS economy_share
+                 / NULLIF(SUM(l.l_extendedprice * (1 - l.l_discount)), 0),
+                 6) AS economy_share
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY p.p_brand
@@ -583,7 +584,10 @@ def brand_economy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(economy, 2).alias("economy_revenue"),
             F.round(total, 2).alias("total_revenue"),
-            F.round(economy / total, 6).alias("economy_share"),
+            # try_divide: a brand whose revenue is all-zero yields
+            # NULL share, not an ANSI DIVIDE_BY_ZERO crash (oracle:
+            # NULLIF denominator)
+            F.round(F.try_divide(economy, total), 6).alias("economy_share"),
         )
     )
 

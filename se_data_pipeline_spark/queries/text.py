@@ -191,8 +191,8 @@ _BPE_SPLIT = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
            CAST(list_sum([(length(t) + 3) // 4 for t in toks]) AS BIGINT)
              AS est_subwords,
            ROUND(CAST(list_sum([length(t) for t in toks]) AS DOUBLE)
-                 / list_sum([(length(t) + 3) // 4 for t in toks]), 6)
-             AS chars_per_subword
+                 / NULLIF(list_sum([(length(t) + 3) // 4 for t in toks]), 0),
+                 6) AS chars_per_subword
     FROM pt
     """,
 )
@@ -219,7 +219,10 @@ def doc_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).cast("long").alias("n_pretokens"),
         sub.alias("est_subwords"),
-        F.round(chars.cast("double") / sub, 6).alias("chars_per_subword"),
+        # try_divide: an empty/whitespace-only doc has zero subwords
+        F.round(F.try_divide(chars.cast("double"), sub), 6).alias(
+            "chars_per_subword"
+        ),
     )
 
 
@@ -1363,13 +1366,18 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # transform(sequence(1, size-1), i -> concat(t[i], ' ', t[i+1]))
     # written with element_at (1-based) so Spark and DuckDB index
-    # identically.
+    # identically. The size guard matters: Spark's sequence(1, 0) is
+    # the DESCENDING [1, 0] (DuckDB's range(1, 0) is empty), so a
+    # 1-token document would index out of bounds without it; guarded,
+    # such docs simply produce no n-grams — same as the oracle.
     bi = toks.select(
         "doc_id",
         F.explode(
             F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
                 "transform(sequence(1, size(t) - 1), "
-                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+                "ELSE array() END"
             )
         ).alias("g"),
     )
@@ -1377,9 +1385,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
+                "CASE WHEN size(t) >= 3 THEN "
                 "transform(sequence(1, size(t) - 2), "
                 "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), "
-                "' ', element_at(t, i + 2)))"
+                "' ', element_at(t, i + 2))) "
+                "ELSE array() END"
             )
         ).alias("g"),
     )

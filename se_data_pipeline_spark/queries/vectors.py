@@ -509,7 +509,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    if not cb_rows:  # empty table: no codebook, empty result
+    if len(cb_rows) < _PQ_K:  # not enough sample vectors for a codebook
         return spark.createDataFrame(
             [], "vec_id long, codes string, err double"
         )
@@ -616,7 +616,7 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    if not cb_rows:  # empty table: no codebook/query vector
+    if len(cb_rows) < _PQ_K:  # not enough sample vectors for a codebook
         return spark.createDataFrame([], "vec_id long, est_dist double")
     cb = np.asarray(
         [
@@ -725,7 +725,7 @@ def embedding_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
-    if not cb_rows:  # empty table: nothing to train
+    if len(cb_rows) < _PQ_K:  # not enough sample vectors for a codebook
         return spark.createDataFrame(
             [], "m long, k long, dim long, centroid double, n_assigned long"
         )

@@ -32,3 +32,47 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as exc:  # noqa: BLE001 — we report them all
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf_dir(spark, tmp_path_factory):
+    """1-row tables with edge values: zero prices/values (ANSI
+    division traps), an EMPTY document and a 1-token document (no
+    n-grams, no subwords), a single embedding (smaller than the PQ
+    codebook)."""
+    import datetime as _dt
+
+    d = str(tmp_path_factory.mktemp("degen_sf"))
+    dt = _dt.datetime
+    rows = {
+        "region": [(0, "R")],
+        "nation": [(0, "N", 0)],
+        "customer": [(1, "c", 0, 0.0, "SEG")],
+        "supplier": [(1, "s", 0, 0.0)],
+        "part": [(1, "p", "B", "T", 1, 0.0)],
+        "orders": [(1, 1, "O", 0.0, dt(2020, 1, 1), "P")],
+        "lineitem": [
+            (1, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "N", "O", dt(2020, 1, 2))
+        ],
+        "events": [(1, dt(2020, 1, 1), 1, "view", 0.0, "{}")],
+        "documents": [(0, "", "en", "src0", 0), (1, "a", "en", "src0", 1)],
+        "embeddings": [(0, [0.0] * 64, 0)],
+    }
+    for name, ddl in RELATIONAL_SCHEMAS.items():
+        spark.createDataFrame(rows[name], ddl).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_every_query_survives_degenerate_rows(spark, degenerate_sf_dir):
+    """Zero sums, empty strings, single tokens, sub-codebook vector
+    counts: with ANSI mode on, an unguarded division or array index
+    here is a production crash, not a NaN."""
+    failures = []
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            fn(spark, degenerate_sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)
