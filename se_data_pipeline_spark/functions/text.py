@@ -217,7 +217,9 @@ def simhash_udf(bits: int = SIMHASH_BITS):
 
     ks = np.arange(bits)
 
-    def one(text: str) -> int:
+    def one(text: str) -> int | None:
+        if text is None:  # NULL text -> NULL fingerprint (SQL parity)
+            return None
         arr = token_hashes_np(text)
         if arr is None:  # non-ASCII: scalar fold, same math
             hs = []
@@ -232,7 +234,7 @@ def simhash_udf(bits: int = SIMHASH_BITS):
 
     @pandas_udf(LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        return pd.Series([one(t) for t in texts], dtype="int64")
+        return pd.Series([one(t) for t in texts], dtype="Int64")
 
     return _simhash
 
@@ -249,6 +251,8 @@ def word_shingles_udf(k: int = 5):
     from pyspark.sql.types import ArrayType, StringType
 
     def one(text: str) -> list[str]:
+        if text is None:  # NULL text -> no shingles
+            return []
         toks = text.split(TOKEN_SEP)
         if len(toks) < k:
             return []
@@ -280,6 +284,8 @@ def shingle_hash_udf(k: int = 5):
         return h
 
     def one(text: str) -> list[int]:
+        if text is None:  # NULL text -> no shingles
+            return []
         toks = text.split(TOKEN_SEP)
         if len(toks) < k:
             return []

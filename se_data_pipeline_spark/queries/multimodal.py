@@ -41,6 +41,9 @@ def _payload_stats_batches(
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:  # NULL payload: NULL stats row
+                rows.append((doc_id, None, None, None, None))
+                continue
             b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
             n = len(b)
             if n == 0:  # empty payload: NULL stats (mirrors SQL
@@ -123,6 +126,9 @@ def _frame_feature_batches(
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:  # NULL payload: NULL feature row
+                out.append((doc_id, None, None, None, None, None))
+                continue
             b = np.frombuffer(bytes(payload), dtype=np.uint8)
             n_frames = max(len(b) // _FRAME_BYTES, 1)
             frames = b[: n_frames * _FRAME_BYTES].reshape(n_frames, -1)

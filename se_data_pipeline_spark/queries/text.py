@@ -643,6 +643,8 @@ def _mh_signature(text: str):
         shingle_hashes_np,
     )
 
+    if text is None:  # NULL text -> no signature (row skipped)
+        return None
     arr = shingle_hashes_np(text, 5)
     if arr is None:  # non-ASCII fallback: scalar fold
         toks = text.split(TOKEN_SEP)

@@ -85,7 +85,8 @@ def embedding_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = max(spark.sparkContext.defaultParallelism, 8)
     qvec = emb.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
     rows = (
-        emb.repartition(par)
+        emb.filter(F.col("embedding").isNotNull())
+        .repartition(par)
         .select("vec_id", "label", F.col("embedding").alias("v"))
         .crossJoin(F.broadcast(qvec))
     )
@@ -388,6 +389,7 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 3
     emb = load_table(spark, sf_dir, "embeddings")
     par = max(spark.sparkContext.defaultParallelism, 8)
+    emb = emb.filter(F.col("embedding").isNotNull())
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -503,7 +505,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     cb_rows = (
         emb.filter(F.col("vec_id") < _PQ_K)
         .select("vec_id", "embedding")
@@ -610,7 +614,9 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     cb_rows = (
         emb.filter(F.col("vec_id") < _PQ_K)
         .select("vec_id", "embedding")
@@ -719,7 +725,9 @@ def embedding_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     cb_rows = (
         emb.filter(F.col("vec_id") < _PQ_K)
         .select("vec_id", "embedding")

@@ -76,3 +76,60 @@ def test_every_query_survives_degenerate_rows(spark, degenerate_sf_dir):
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(spark, tmp_path_factory):
+    """Tables carrying NULLs in every nullable column: NULL document
+    text, NULL embedding, NULL event value/type, NULL prices — the
+    shapes real lakes contain that synthetic fixtures usually don't."""
+    import datetime as _dt
+
+    d = str(tmp_path_factory.mktemp("null_sf"))
+    dt = _dt.datetime
+    rows = {
+        "region": [(0, "R"), (1, None)],
+        "nation": [(0, "N", 0), (1, None, None)],
+        "customer": [(1, "c", 0, 1.0, "SEG"), (2, None, None, None, None)],
+        "supplier": [(1, "s", 0, 1.0), (2, None, None, None)],
+        "part": [
+            (1, "p", "B", "T", 1, 1.0),
+            (2, None, None, None, None, None),
+        ],
+        "orders": [
+            (1, 1, "O", 1.0, dt(2020, 1, 1), "P"),
+            (2, 2, None, None, None, None),
+        ],
+        "lineitem": [
+            (1, 1, 1, 1, 1.0, 1.0, 0.1, 0.1, "N", "O", dt(2020, 1, 2)),
+            (2, 2, 2, 1, None, None, None, None, None, None, None),
+        ],
+        "events": [
+            (1, dt(2020, 1, 1), 1, "view", 1.0, "{}"),
+            (2, dt(2020, 1, 2), 2, None, None, None),
+        ],
+        "documents": [
+            (0, "a b c d e f", "en", "src0", 11),
+            (1, None, None, None, None),
+        ],
+        "embeddings": [(i, [0.1] * 64, 0) for i in range(16)]
+        + [(99, None, None)],
+    }
+    for name, ddl in RELATIONAL_SCHEMAS.items():
+        spark.createDataFrame(rows[name], ddl).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_every_query_survives_nulls(spark, null_sf_dir):
+    """NULL text/embedding/payload must flow as no-signature /
+    no-score / NULL-stats rows through every Python kernel — never an
+    AttributeError on None inside an executor."""
+    failures = []
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            fn(spark, null_sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)
