@@ -146,8 +146,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -160,7 +160,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(
             "event_type",
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            # try_cast: a malformed '$.k' yields NULL (skipped by
+            # SUM), not an ANSI CAST_INVALID_INPUT job failure
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         )
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
@@ -898,10 +900,10 @@ def events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6)
+           ROUND(AVG(TRY_CAST(json_extract(props, '$.k') AS INTEGER)), 6)
              AS avg_k,
            CAST(COUNT(*) FILTER (
-             WHERE CAST(json_extract(props, '$.k') AS INTEGER) > 90)
+             WHERE TRY_CAST(json_extract(props, '$.k') AS INTEGER) > 90)
              AS BIGINT) AS n_k_high
     FROM events
     GROUP BY event_type
@@ -918,7 +920,9 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shredded subcolumns in Spark 4) so repeated queries skip the
     parse entirely — the JSON-string form here pays it per query."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
+    # try_variant_get: a non-numeric '$.k' yields NULL, not an
+    # INVALID_VARIANT_CAST job failure
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

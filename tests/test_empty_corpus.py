@@ -133,3 +133,47 @@ def test_every_query_survives_nulls(spark, null_sf_dir):
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(spark, tmp_path_factory):
+    """Non-ASCII corpus: multibyte text (exercises every scalar
+    non-ASCII fallback end-to-end) and non-numeric JSON field values
+    (ANSI try_cast / try_variant_get paths)."""
+    import datetime as _dt
+
+    d = str(tmp_path_factory.mktemp("uni_sf"))
+    dt = _dt.datetime
+    uni = "héllo wörld ü ß 中文 🙂 a b c d e f g h i j"
+    rows = {
+        "region": [(0, "Région")],
+        "nation": [(0, "Ñation", 0)],
+        "customer": [(1, "çustömer", 0, 1.0, "SEG")],
+        "supplier": [(1, "süpplier", 0, 1.0)],
+        "part": [(1, "pärt", "B", "T", 1, 1.0)],
+        "orders": [(1, 1, "O", 1.0, dt(2020, 1, 1), "P")],
+        "lineitem": [
+            (1, 1, 1, 1, 1.0, 1.0, 0.1, 0.1, "N", "O", dt(2020, 1, 2))
+        ],
+        "events": [(1, dt(2020, 1, 1), 1, "view", 1.0, '{"k": "vä"}')],
+        "documents": [
+            (0, uni, "de", "src0", len(uni)),
+            (1, uni + " zz", "de", "src1", len(uni) + 3),
+        ],
+        "embeddings": [(i, [0.1] * 64, 0) for i in range(16)],
+    }
+    for name, ddl in RELATIONAL_SCHEMAS.items():
+        spark.createDataFrame(rows[name], ddl).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_every_query_survives_unicode_and_bad_json(spark, unicode_sf_dir):
+    failures = []
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            fn(spark, unicode_sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)
