@@ -110,6 +110,20 @@ def main() -> None:
             if name not in per_query or dt < per_query[name]:
                 per_query[name] = dt
 
+    # Machine-speed calibration: a fixed, data-independent JVM job
+    # (hash-aggregate over spark.range(400M)). Hosts differ run-to-run
+    # (VM placement, CPU steal); dividing any query time by calib_sec
+    # yields a host-normalized figure comparable across rounds.
+    calib = None
+    for _pass in range(3):
+        t0 = time.perf_counter()
+        spark.range(400_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s", "count(1) AS n"
+        ).toPandas()
+        dt = round(time.perf_counter() - t0, 3)
+        if calib is None or dt < calib:
+            calib = dt
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -119,6 +133,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "n_queries": len(HEADLINE),
+                "calib_sec": calib,
                 "sf": sf,
             }
         )
