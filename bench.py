@@ -111,14 +111,14 @@ def main() -> None:
                 per_query[name] = dt
 
     # Machine-speed calibration: a fixed, data-independent JVM job
-    # (hash-aggregate over spark.range(400M)). Hosts differ run-to-run
+    # (hash-aggregate over spark.range(4B)). Hosts differ run-to-run
     # (VM placement, CPU steal); dividing any query time by calib_sec
     # yields a host-normalized figure comparable across rounds.
     calib = None
     for _pass in range(3):
         t0 = time.perf_counter()
-        spark.range(400_000_000).selectExpr(
-            "sum(id * 2654435761 % 1000003) AS s", "count(1) AS n"
+        spark.range(4_000_000_000).selectExpr(
+            "sum(id % 1000003 * 2654435761 % 1000003) AS s", "count(1) AS n"
         ).toPandas()
         dt = round(time.perf_counter() - t0, 3)
         if calib is None or dt < calib:
