@@ -314,3 +314,31 @@ def word_shingles(text: Column, k: int = 5) -> Column:
             lambda i: F.array_join(F.slice(t, i + 1, k), " "),
         )
     )).otherwise(F.array().cast("array<string>"))
+
+
+def positional_windows_udf(k: int = 5):
+    """All k-token windows of a document in POSITIONAL order — unlike
+    `word_shingles_udf` the windows are NOT deduplicated, because the
+    consumer (exact-passage dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better") merges window hits
+    back into maximal duplicated token spans, and that needs every
+    occurrence with its offset. Arrow-batched for the same
+    interpreted-HOF-cost reason documented on `word_shingles_udf`;
+    the window's position is recovered downstream with `posexplode`,
+    so the UDF returns a plain array<string>."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    def one(text: str) -> list[str]:
+        if text is None:  # NULL text -> no windows
+            return []
+        toks = text.split(TOKEN_SEP)
+        if len(toks) < k:
+            return []
+        return [TOKEN_SEP.join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    @pandas_udf(ArrayType(StringType()))
+    def _windows(texts: pd.Series) -> pd.Series:
+        return pd.Series([one(t) for t in texts])
+
+    return _windows

@@ -20,6 +20,7 @@ from se_data_pipeline_spark.functions.text import (
     distinct_token_ratio,
     lang_marker_score,
     mean_token_length,
+    positional_windows_udf,
     rolling_hash,
     simhash_udf,
     token_count,
@@ -1418,3 +1419,150 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bi_doc.join(tri_doc, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-passage detection (substring-level dedup).
+# --------------------------------------------------------------------------
+_PASSAGE_K = 5
+
+
+@query(
+    "doc_duplicate_passages",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKS}),
+    w AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[pos:pos + {_PASSAGE_K - 1}], ' ') AS win
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {_PASSAGE_K} + 1))
+                     AS pos
+            FROM toks)
+    ),
+    d AS (SELECT win FROM w GROUP BY win
+          HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+    f AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) <= {_PASSAGE_K}
+                      THEN 0 ELSE 1 END AS new_span
+          FROM m),
+    s AS (SELECT doc_id, pos,
+                 SUM(new_span) OVER
+                   (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM f),
+    ps AS (SELECT doc_id, span_id,
+                  MAX(pos) - MIN(pos) + {_PASSAGE_K} AS span_tokens,
+                  COUNT(*) AS n_windows
+           FROM s GROUP BY doc_id, span_id),
+    pd AS (SELECT doc_id,
+                  CAST(SUM(n_windows) AS BIGINT)    AS n_dup_windows,
+                  CAST(COUNT(*) AS BIGINT)          AS n_dup_spans,
+                  CAST(SUM(span_tokens) AS BIGINT)  AS dup_tokens
+           FROM ps GROUP BY doc_id)
+    SELECT b.doc_id,
+           COALESCE(pd.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(pd.n_dup_spans, 0)   AS n_dup_spans,
+           COALESCE(pd.dup_tokens, 0)    AS dup_tokens,
+           ROUND(CASE WHEN b.nt > 0
+                      THEN CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) / b.nt
+                      ELSE 0.0 END, 6)   AS dup_coverage
+    FROM (SELECT doc_id,
+                 COALESCE(len(string_split(text, ' ')), 0) AS nt
+          FROM documents) b
+    LEFT JOIN pd USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def doc_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-PASSAGE detection: which token spans of each
+    document also appear verbatim in at least one other document
+    (Lee et al. 2022, ExactSubstr dedup — here over k-token windows
+    instead of a suffix array, the standard dataflow re-expression).
+
+    Plan, built for 100 TB:
+      1. positional k-token windows per doc (Arrow-batched UDF +
+         `posexplode` — one row per window occurrence);
+      2. windows travel the shuffle as an 8-byte `xxhash64`, never as
+         strings (the hash is only a join key; the output exposes no
+         hash, so oracle parity is unaffected by the hash function);
+      3. inverted index: group windows by hash, keep hashes seen in
+         ≥2 DISTINCT docs — partial map-side aggregation applies, no
+         doc×doc pair blowup anywhere;
+      4. hits join back (both sides hash-partitioned on the same key)
+         and overlapping/adjacent windows merge into MAXIMAL
+         duplicated spans per doc with the gaps-and-islands pattern
+         (lag → new-span flag → running sum), windowed per doc_id —
+         no global window;
+      5. per-doc rollup LEFT-joined onto `documents` so clean docs
+         report zeros (coverage ratio is ANSI-safe on empty docs).
+
+    Extends the reference's whole-item dedup (ledger membership,
+    data_pipeline.py:27-439,576) to sub-document granularity — the
+    form that matters for LLM training corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = _PASSAGE_K
+    from pyspark.sql import Window as W
+
+    w = (
+        docs.select(
+            "doc_id",
+            F.posexplode(positional_windows_udf(k)(F.col("text"))).alias(
+                "pos", "win"
+            ),
+        )
+        .select("doc_id", "pos", F.xxhash64("win").alias("h"))
+    )
+    dup_h = (
+        w.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    win_doc = W.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        w.join(dup_h, "h")
+        .select("doc_id", "pos")
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("pos") - F.lag("pos").over(win_doc) <= k, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("span_id", F.sum("new_span").over(win_doc))
+    )
+    per_span = spans.groupBy("doc_id", "span_id").agg(
+        (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    per_doc = per_span.groupBy("doc_id").agg(
+        F.sum("n_windows").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.coalesce(token_count(F.col("text")), F.lit(0)).alias("nt"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("nt") > 0,
+                    F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                    / F.col("nt"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )

@@ -505,3 +505,41 @@ def test_prefix_hash_kernel_property():
     check()
     assert token_hashes_np("héllo wörld") is None
     assert shingle_hashes_np("ü a b c d e", 5) is None
+
+
+def test_doc_duplicate_passages_span_merge(spark, tmp_path):
+    """Crafted corpus: docs A and B share one verbatim 7-token
+    passage (=> 3 overlapping 5-windows merging into ONE span of 7
+    tokens each side); doc C is clean; doc D is too short to window.
+    Exercises window extraction, the >=2-distinct-docs inverted
+    index, gaps-and-islands merging, and the zero-fill left join."""
+    import os
+
+    from se_data_pipeline_spark.queries import all_queries
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        (1, "intro one two " + shared + " tail xx yy"),
+        (2, "other lead in " + shared + " closing words here"),
+        (3, "completely unrelated text with no repeats at all ok"),
+        (4, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # minimal documents table on disk so load_table() finds it
+    d = str(tmp_path / "sf")
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["doc_duplicate_passages"](spark, d).collect()
+    }
+    assert len(out) == 4
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        assert r["n_dup_windows"] == 3  # 7-token run -> 3 k=5 windows
+        assert r["n_dup_spans"] == 1  # ...merged into one span
+        assert r["dup_tokens"] == 7
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[4]["n_dup_windows"] == 0 and out[4]["dup_coverage"] == 0.0
+    n1 = len(rows[0][1].split(" "))
+    assert abs(out[1]["dup_coverage"] - round(7 / n1, 6)) < 1e-9
