@@ -1566,3 +1566,187 @@ def doc_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus heavy hitters: top-k tokens by occurrence count.
+# --------------------------------------------------------------------------
+@query(
+    "doc_top_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(toks) AS token FROM ({_SQL_TOKS})),
+    td AS (SELECT token, doc_id, COUNT(*) AS c
+           FROM t WHERE token <> '' GROUP BY token, doc_id),
+    g AS (SELECT token,
+                 CAST(SUM(c) AS BIGINT)   AS n_occurrences,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM td GROUP BY token)
+    SELECT token, n_occurrences, n_docs
+    FROM g ORDER BY n_occurrences DESC, token LIMIT 50
+    """,
+)
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: the 50 most frequent tokens with
+    their document frequency — the vocabulary-pruning / stopword-
+    mining primitive.
+
+    Scale shape: the (token, doc_id) pre-aggregation runs with
+    map-side partial combine, the per-token rollup then aggregates
+    ~|vocab| rows (sum + count instead of a COUNT(DISTINCT) expand —
+    document frequency falls out of the first level for free), and
+    the final ORDER BY ... LIMIT 50 is a TakeOrderedAndProject
+    (per-partition top-k, never a global sort). Deterministic
+    tiebreak (count desc, token asc) keeps the cut oracle-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).filter(F.length("token") > 0)
+    td = t.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    g = td.groupBy("token").agg(
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return g.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/val/test splits: split assignment is a function
+# of the NEAR-DUP CLUSTER, never the individual document.
+# --------------------------------------------------------------------------
+@query(
+    "leakage_safe_splits",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SQL_JACCARD_EDGES},
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node),
+    cc AS (SELECT src AS doc_id, MIN(node) AS cluster_id
+           FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           COALESCE(cc.cluster_id, d.doc_id) AS group_id,
+           CASE WHEN COALESCE(cc.cluster_id, d.doc_id) % 10 <= 7
+                  THEN 'train'
+                WHEN COALESCE(cc.cluster_id, d.doc_id) % 10 = 8
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN cc USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: documents are first grouped into near-dup clusters
+    (transitive closure over the verified n-gram-Jaccard pair graph,
+    same machinery as `dedup_connected_components`), then the SPLIT
+    IS A DETERMINISTIC FUNCTION OF THE CLUSTER ID (mod-10 bucketing:
+    8/1/1) — so two near-identical documents always land in the same
+    split. Hash-the-document splitting, the naive approach, puts ~2×
+    near-dups of every train doc into eval at web scale; this is the
+    standard fix (cluster- or URL-grouped splitting).
+
+    Singleton docs (no near-dup edge) form their own group. All
+    joins are key-partitioned; the iterative closure is the
+    localCheckpoint-per-round loop documented on
+    `dedup_connected_components`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cc = dedup_connected_components(spark, sf_dir)
+    g = docs.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("group_id")
+    )
+    return g.select(
+        "doc_id",
+        "group_id",
+        F.when(F.col("group_id") % 10 <= 7, F.lit("train"))
+        .when(F.col("group_id") % 10 == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick linear quality classifier (fastText-style scorer).
+# --------------------------------------------------------------------------
+@query(
+    "doc_hash_classifier_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             [x for x in string_split(text, ' ') if x <> ''] AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             [ (CAST(list_reduce(
+                   list_prepend(0, [ascii(c) for c in string_split(tk, '')]),
+                   (acc, c) -> (acc * 31 + c) % 1000003) AS BIGINT)
+                * 2654435761) % 1000003 - 501001
+               for tk in toks] AS ws
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(1.0 / (1.0 + exp(
+             -(CAST(list_sum(ws) AS DOUBLE))
+              / (289000.0 * sqrt(n_tokens)))), 6) AS score,
+           CASE WHEN list_sum(ws) >= 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM h WHERE n_tokens > 0
+    ORDER BY doc_id
+    """,
+)
+def doc_hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear text classifier (the fastText/VW recipe):
+    token → feature bucket via the portable rolling hash, bucket →
+    fixed pseudo-random weight (a public Knuth-multiplicative mix of
+    the bucket id — standing in for trained weights, which would ship
+    as a broadcast array), document score = sigmoid of the normalized
+    weight sum. This is how production quality/toxicity filters run
+    at corpus scale: O(tokens) per doc, embarrassingly parallel.
+
+    Engineered for exactness: the weight SUM is integer arithmetic
+    (order-independent — a float sum would make the result depend on
+    Spark's partition-merge order vs the oracle's sequential fold),
+    floats appear only in the final per-row sigmoid, and the
+    keep/drop label thresholds on the exact integer sum. Everything
+    is one Catalyst HOF pass per row: no UDF, no shuffle, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_nz = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    ws = F.transform(
+        toks_nz,
+        lambda t: (
+            F.aggregate(
+                F.split(t, ""),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_003,
+            )
+            * 2654435761
+        )
+        % 1_000_003
+        - 501_001,
+    )
+    sum_w = F.aggregate(ws, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(toks_nz)
+    out = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        sum_w.alias("sw"),
+    ).filter(F.col("n_tokens") > 0)
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -F.col("sw").cast("double")
+                / (F.lit(289000.0) * F.sqrt("n_tokens"))
+            )
+        ),
+        6,
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        F.when(F.col("sw") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    ).orderBy("doc_id")

@@ -794,3 +794,62 @@ def embedding_pq_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.coalesce("n", F.lit(0)).alias("n_assigned"),
     )
+
+
+@query(
+    "semantic_dedup_keep",
+    oracle=f"""
+    WITH b AS (
+      SELECT *,
+             (CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[14] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[28] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[42] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM b a JOIN b b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_SQL_COS_AB} >= {_NEAR_DUP_COS}),
+    d AS (SELECT vec_b AS vec_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors
+          FROM p GROUP BY vec_b)
+    SELECT e.vec_id,
+           COALESCE(d.n_dup_neighbors, 0) AS n_dup_neighbors,
+           d.vec_id IS NULL AS kept
+    FROM embeddings e LEFT JOIN d USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup DECISION, SemDeDup-style
+    (Abbas et al. 2023): after LSH-bucketed near-dup pair discovery
+    (`embedding_near_dup_pairs` — reused verbatim as the candidate
+    stage), every vector with a near-duplicate of SMALLER id is
+    dropped; the min-id member of each duplicate neighborhood
+    survives. The same deterministic survivor rule as
+    `dedup_exact_groups`, lifted from exact-hash equality to cosine
+    similarity.
+
+    Emits per vector: how many smaller-id near-dups it has, and the
+    keep/drop verdict — the frame a curation pipeline semi-joins
+    against the corpus. Scale: pair discovery is bucket-bounded (no
+    all-pairs), the verdict is one groupBy on vec_b plus a key-
+    partitioned left join; nothing touches the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(spark, sf_dir)
+    d = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_neighbors")
+    )
+    return (
+        emb.select("vec_id")
+        .join(d, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_dup_neighbors", F.lit(0).cast("long")).alias(
+                "n_dup_neighbors"
+            ),
+            F.col("n_dup_neighbors").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
