@@ -347,3 +347,99 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(
         F.col("rk") <= F.ceil(F.col("frac") * F.col("cnt")).cast("int")
     ).select("doc_id", "source", F.round("frac", 2).alias("mix_frac"))
+
+
+# --------------------------------------------------------------------------
+# Cross-modal curation funnel: text-quality gate × semantic dedup.
+# --------------------------------------------------------------------------
+_JOINT_QUALITY_MIN = 0.33
+
+
+@query(
+    "corpus_joint_curation",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    q AS (
+      SELECT doc_id,
+             0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+           + 0.3 * least(1.0, len(toks) / 150.0)
+           + 0.3 * (CAST(len(list_filter(toks,
+                 t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                    / len(toks)) AS quality
+      FROM t),
+    b AS (
+      SELECT *,
+             (CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[14] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[28] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[42] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM b a JOIN b b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_sum([CAST(a.embedding[i+1] AS DOUBLE)
+                      * CAST(b.embedding[i+1] AS DOUBLE)
+                      for i in range(64)])
+            / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              for x in a.embedding]))
+               * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                for x in b.embedding])))
+            >= 0.45),
+    dropped AS (SELECT DISTINCT vec_b AS doc_id FROM p)
+    SELECT d.doc_id,
+           ROUND(q.quality, 6)                       AS quality,
+           ROUND(q.quality, 6)
+             >= CAST({_JOINT_QUALITY_MIN} AS DOUBLE) AS passed_text,
+           dropped.doc_id IS NULL                    AS kept_semantic,
+           ROUND(q.quality, 6)
+             >= CAST({_JOINT_QUALITY_MIN} AS DOUBLE)
+             AND dropped.doc_id IS NULL              AS selected
+    FROM documents d
+    JOIN q USING (doc_id)
+    LEFT JOIN dropped USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_joint_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-MODAL curation funnel: a document survives iff it
+    (a) passes the TEXT quality gate (composite lexical score from
+    `doc_quality_score`) AND (b) survives SEMANTIC dedup in
+    embedding space (`semantic_dedup_keep`, joined on the aligned
+    doc_id/vec_id key). This is the join shape every multimodal
+    training pipeline runs — per-modality signals computed
+    independently (and cheaply, in parallel), then one key-
+    partitioned join to make the keep decision; no signal ever needs
+    the other modality's raw payload.
+
+    Docs without an embedding row default to kept_semantic=true
+    (nothing to dedup against) via the LEFT join. Output keeps ALL
+    docs with their per-gate verdicts so downstream can audit funnel
+    attrition, not just the survivors."""
+    from se_data_pipeline_spark.queries.text import doc_quality_score
+    from se_data_pipeline_spark.queries.vectors import semantic_dedup_keep
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    q = doc_quality_score(spark, sf_dir)
+    sem = semantic_dedup_keep(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("kept").alias("kept_sem")
+    )
+    out = (
+        docs.join(q, "doc_id")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            (
+                F.col("quality") >= F.lit(_JOINT_QUALITY_MIN)
+            ).alias("passed_text"),
+            F.coalesce("kept_sem", F.lit(True)).alias("kept_semantic"),
+            (
+                (F.col("quality") >= F.lit(_JOINT_QUALITY_MIN))
+                & F.coalesce("kept_sem", F.lit(True))
+            ).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+    return out

@@ -932,3 +932,63 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k") > 90, 1).otherwise(0)).alias("n_k_high"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Native session windows (gap-based) — the built-in operator twin of
+# the hand-rolled lag/islands `user_sessions`.
+# --------------------------------------------------------------------------
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts)
+                  < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS ns
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM o)
+    SELECT user_id,
+           MIN(ts)                       AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+           COUNT(*)                      AS n_events,
+           ROUND(SUM(value), 6)          AS sum_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with Spark's NATIVE `session_window`
+    (30-min inactivity gap) — the exact operator the streaming path
+    uses under a watermark, here run in batch so the oracle can pin
+    its semantics: a session's end is last_event + gap, and an event
+    exactly at the gap boundary starts a NEW session (strict `<`,
+    matched in the oracle's islands formulation).
+
+    `user_sessions` derives the same sessions by hand (lag + running
+    sum) because it needs per-event session ids; this is the
+    aggregate-only form — one shuffle on user_id, session merging is
+    done by the SessionWindow physical operator, no second window
+    pass. At scale the state is bounded per user, and skewed users
+    split cleanly because the shuffle key is user_id alone."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
