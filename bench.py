@@ -73,6 +73,13 @@ HEADLINE = [
     "sql_q7_bilateral_trade",
     "dedup_near_canonical",
     "corpus_vocab_profile",
+    "doc_duplicate_passages",
+    "doc_top_tokens",
+    "leakage_safe_splits",
+    "doc_hash_classifier_score",
+    "semantic_dedup_keep",
+    "events_session_windows",
+    "corpus_joint_curation",
 ]
 
 
