@@ -992,3 +992,153 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable-sketch rollup: per-day HLL sketches union-merged to a
+# global estimate — the pre-aggregated-sketch-table pattern.
+# --------------------------------------------------------------------------
+@query(
+    "events_distinct_sketch_rollup",
+    oracle="""
+    WITH g AS (SELECT COUNT(DISTINCT user_id) AS eg FROM events)
+    SELECT date_trunc('day', ts)   AS day,
+           COUNT(*)                AS n_events,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE                    AS daily_within_5pct,
+           TRUE                    AS union_within_5pct
+    FROM events CROSS JOIN g
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def events_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user rollup via MERGEABLE Datasketches HLL sketches
+    (Spark 4 `hll_sketch_agg` / `hll_union_agg`): each day aggregates
+    its users into a fixed-size sketch once, and ANY coarser rollup
+    (here: global) is a union of the daily sketches — no rescan of
+    the raw events. At 100 TB this is the only sane architecture for
+    distinct-count dashboards: a sketch table is ~KB/day regardless
+    of cardinality, re-aggregates associatively across any grouping,
+    and never re-reads the fact table.
+
+    Like `supplier_distinct_parts_approx`, sketch estimates are
+    engine-specific, so the driver-checkable output is the accuracy
+    CONTRACT: booleans asserting the per-day estimate and the
+    union-merged global estimate land within ±5% of exact twins
+    computed in the same pass (HLL lgK=12 ⇒ ~1.6% RSE, so the
+    contract holds with margin). The oracle asserts the same
+    booleans against DuckDB's exact distincts."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    global_row = (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_g")
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.agg(F.countDistinct("user_id").alias("exact_g"))
+            )
+        )
+        .select(
+            (
+                F.abs(F.col("est_g") - F.col("exact_g"))
+                <= F.col("exact_g") * 0.05
+            ).alias("union_within_5pct")
+        )
+    )
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            "n_users_exact",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk") - F.col("n_users_exact")
+                )
+                <= F.col("n_users_exact") * 0.05
+            ).alias("daily_within_5pct"),
+        )
+        .crossJoin(F.broadcast(global_row))
+        .select(
+            "day",
+            "n_events",
+            "n_users_exact",
+            "daily_within_5pct",
+            "union_within_5pct",
+        )
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# Theta-sketch set algebra: audience overlap without a join.
+# --------------------------------------------------------------------------
+@query(
+    "events_user_overlap_sketch",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    i AS (SELECT COUNT(*) AS nb FROM (SELECT * FROM a INTERSECT
+                                      SELECT * FROM b))
+    SELECT (SELECT COUNT(*) FROM a) AS n_view_exact,
+           (SELECT COUNT(*) FROM b) AS n_purchase_exact,
+           nb                       AS n_both_exact,
+           TRUE                     AS inter_within_5pct,
+           TRUE                     AS only_view_within_5pct
+    FROM i
+    """,
+)
+def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation with Datasketches THETA sketches
+    (Spark 4 `theta_sketch_agg` + `theta_intersection` /
+    `theta_difference`): |view ∩ purchase| and |view \\ purchase|
+    estimated from two fixed-size sketches — no distinct-user
+    materialization, no join between the two audiences. The sketch
+    algebra is what makes audience analytics tractable at 100 TB:
+    each segment is sketched once (one pass, mergeable across
+    partitions/days), and every pairwise overlap/exclusion question
+    afterward is O(sketch) driver math, not O(data) joins.
+
+    Contract output (same pattern as the HLL rollup): exact twins
+    computed via set ops in the same job, booleans assert the theta
+    estimates land within ±5% (theta sketches are EXACT below their
+    sampling threshold of ~4K distincts, and ~2% RSE above)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ska = a.agg(
+        F.theta_sketch_agg("user_id").alias("ska"),
+        F.countDistinct("user_id").alias("n_view_exact"),
+    )
+    skb = b.agg(
+        F.theta_sketch_agg("user_id").alias("skb"),
+        F.countDistinct("user_id").alias("n_purchase_exact"),
+    )
+    both = a.intersect(b).agg(F.count(F.lit(1)).alias("n_both_exact"))
+    row = ska.crossJoin(F.broadcast(skb)).crossJoin(F.broadcast(both))
+    est_i = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("ska"), F.col("skb"))
+    )
+    est_d = F.theta_sketch_estimate(
+        F.theta_difference(F.col("ska"), F.col("skb"))
+    )
+    exact_d = F.col("n_view_exact") - F.col("n_both_exact")
+    return row.select(
+        "n_view_exact",
+        "n_purchase_exact",
+        "n_both_exact",
+        (
+            F.abs(est_i - F.col("n_both_exact"))
+            <= F.greatest(F.col("n_both_exact") * 0.05, F.lit(1.0))
+        ).alias("inter_within_5pct"),
+        (
+            F.abs(est_d - exact_d) <= F.greatest(exact_d * 0.05, F.lit(1.0))
+        ).alias("only_view_within_5pct"),
+    )
