@@ -945,7 +945,7 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER
                     (PARTITION BY user_id ORDER BY ts)
-                  < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS ns
+                  <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS ns
       FROM events),
     s AS (
       SELECT user_id, ts, value,
@@ -965,8 +965,9 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (30-min inactivity gap) — the exact operator the streaming path
     uses under a watermark, here run in batch so the oracle can pin
     its semantics: a session's end is last_event + gap, and an event
-    exactly at the gap boundary starts a NEW session (strict `<`,
-    matched in the oracle's islands formulation).
+    exactly at the gap boundary MERGES into the running session
+    (inclusive `<=`, pinned by test and matched in the oracle's
+    islands formulation).
 
     `user_sessions` derives the same sessions by hand (lag + running
     sum) because it needs per-event session ids; this is the

@@ -628,3 +628,61 @@ def progress_listener(spark: SparkSession, log: list) -> "object":
     listener = _Listener()
     spark.streams.addListener(listener)
     return listener
+
+
+def maintain_distinct_sketches(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Incremental DISTINCT-COUNT maintenance via mergeable HLL
+    sketches: each micro-batch aggregates its rows into per-day user
+    sketches (`hll_sketch_agg`) and `hll_union_agg`-merges them into
+    a tiny parquet sketch store — the streaming twin of
+    `events_distinct_sketch_rollup`.
+
+    Why sketches are the RIGHT streaming state for distinct counts:
+    (a) insertion is idempotent per value, so replayed or late events
+    can never inflate the user count — no watermark, dedup state, or
+    exactly-once sink machinery is needed for the estimate itself
+    (the n_events counter, a plain sum, stays at-least-once and is
+    labeled so); (b) the union is commutative/associative, so event-
+    time order is irrelevant; (c) the store is O(days × sketch size),
+    KB-scale forever, so the whole-store re-merge each batch is
+    driver-cheap while 100 TB of raw history never gets rescanned."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(
+                F.hll_sketch_agg("user_id").alias("sk"),
+                F.count(F.lit(1)).alias("n_events_at_least_once"),
+            )
+            .localCheckpoint()  # decouple from the streaming plan
+        )
+        if batch.isEmpty():
+            return
+        try:
+            existing = spark.read.parquet(out_dir)
+            merged = (
+                existing.unionByName(batch)
+                .groupBy("day")
+                .agg(
+                    F.hll_union_agg("sk").alias("sk"),
+                    F.sum("n_events_at_least_once").alias(
+                        "n_events_at_least_once"
+                    ),
+                )
+                # materialize BEFORE overwriting the path being read
+                .localCheckpoint()
+            )
+        except Exception:  # first batch: no store yet
+            merged = batch
+        merged.write.mode("overwrite").parquet(out_dir)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )

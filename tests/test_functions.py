@@ -543,3 +543,67 @@ def test_doc_duplicate_passages_span_merge(spark, tmp_path):
     assert out[4]["n_dup_windows"] == 0 and out[4]["dup_coverage"] == 0.0
     n1 = len(rows[0][1].split(" "))
     assert abs(out[1]["dup_coverage"] - round(7 / n1, 6)) < 1e-9
+
+
+def test_session_window_strict_gap_boundary(spark, tmp_path):
+    """An event exactly 30 minutes after the previous one starts a
+    running session merged (inclusive gap boundary); one second
+    later it opens a new session. Pins the semantics the oracle
+    mirrors with `<= INTERVAL 30 MINUTE`."""
+    import datetime as dt
+    import os
+
+    from se_data_pipeline_spark.queries import all_queries
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 10: gap exactly 30 min -> MERGES (inclusive boundary)
+        (1, t0, 1.0, "view", 10, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1.0, "view", 10, "{}"),
+        # user 20: gap 30:01 -> two sessions
+        (3, t0, 1.0, "view", 20, "{}"),
+        (4, t0 + dt.timedelta(minutes=30, seconds=1), 1.0, "view", 20, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, value double, "
+        "event_type string, user_id bigint, props string",
+    )
+    d = str(tmp_path / "sf")
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+
+    out = all_queries()["events_session_windows"](spark, d).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[10]) == 1  # boundary event merges (inclusive)
+    s = by_user[10][0]
+    assert s["n_events"] == 2
+    assert s["session_end"] == t0 + dt.timedelta(minutes=60)
+    assert len(by_user[20]) == 2
+
+
+def test_leakage_safe_splits_cluster_consistency(spark):
+    """Every near-dup pair must land in the SAME split — the whole
+    point of cluster-keyed splitting — and the split map must cover
+    every document exactly once."""
+    from se_data_pipeline_spark.queries import all_queries
+
+    sf_dir = "/root/testdata/sf0.01"
+    qs = all_queries()
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in qs["leakage_safe_splits"](spark, sf_dir).collect()
+    }
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert len(splits) == n_docs
+    pairs = (
+        qs["ngram_jaccard_pairs"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    assert pairs, "fixture should contain near-dup pairs"
+    for r in pairs:
+        assert splits[r["doc_a"]] == splits[r["doc_b"]]

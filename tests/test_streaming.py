@@ -462,3 +462,66 @@ def test_tws_near_dup_matches_legacy_api(spark, sf_dir):
         ).collect()
     }
     assert legacy == tws and len(tws) > 0
+
+
+def test_maintain_distinct_sketches_matches_exact(spark, sf_dir, tmp_path):
+    """After the stream drains, each day's HLL estimate must land
+    within the +-5% contract of the exact per-day distinct user
+    count (exact at fixture cardinalities), and a checkpoint replay
+    must leave the store unchanged (sketch insertion is idempotent
+    per value; no new data -> no new batch)."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.catalog import load_table
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_distinct_sketches,
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "sketch_store")
+    ckpt = str(tmp_path / "ckpt_sk")
+
+    q = maintain_distinct_sketches(read_events_stream(spark, sf_dir), out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["day"]: (r["est"], r["n_events_at_least_once"])
+        for r in spark.read.parquet(out)
+        .select(
+            "day",
+            F.hll_sketch_estimate("sk").alias("est"),
+            "n_events_at_least_once",
+        )
+        .collect()
+    }
+    exact = {
+        r["day"]: (r["nd"], r["ne"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.count(F.lit(1)).alias("ne"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for day, (nd, ne) in exact.items():
+        est, ne_got = got[day]
+        assert abs(est - nd) <= max(0.05 * nd, 1.0)
+        assert ne_got == ne
+
+    q2 = maintain_distinct_sketches(
+        read_events_stream(spark, sf_dir), out, ckpt
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["day"]: (r["est"], r["n_events_at_least_once"])
+        for r in spark.read.parquet(out)
+        .select(
+            "day",
+            F.hll_sketch_estimate("sk").alias("est"),
+            "n_events_at_least_once",
+        )
+        .collect()
+    }
+    assert got2 == got
