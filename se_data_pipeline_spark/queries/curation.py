@@ -443,3 +443,65 @@ def corpus_joint_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES).
+# --------------------------------------------------------------------------
+@query(
+    "weighted_corpus_sample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    q AS (
+      SELECT doc_id,
+             ROUND(
+               0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * least(1.0, len(toks) / 150.0)
+             + 0.3 * (CAST(len(list_filter(toks,
+                   t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                      / len(toks)), 6) AS w
+      FROM t),
+    k AS (
+      SELECT doc_id, w,
+             ln((CAST(doc_id % 1000003 * 2654435761 % 1000003 AS DOUBLE)
+                 + 0.5) / 1000003) / w AS skey
+      FROM q WHERE w > 0)
+    SELECT doc_id, w AS weight, ROUND(skey, 6) AS sample_key
+    FROM k ORDER BY skey DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, quality-proportional
+    (Efraimidis & Spirakis 2006 A-ES): each doc gets the key
+    ln(u)/w — u a deterministic hash-uniform in (0,1), w its quality
+    score — and the sample is the top-k by key. One expression pass
+    plus a TakeOrderedAndProject top-k: no global sort, no rejection
+    loop, no driver RNG, and the same sample on every engine/run
+    (the hash replaces an RNG exactly like `doc_stratified_sample`).
+
+    This is the quality-weighted corpus subsetting step (DoReMi-style
+    mixtures, quality-upweighted pretraining subsets) in its
+    shuffle-free form; ranking by u^(1/w) and by ln(u)/w is
+    order-equivalent, the log form just avoids pow underflow at tiny
+    weights. Weight = the ROUNDED quality score, which is pinned
+    engine-identical by `doc_quality_score`'s oracle."""
+    from se_data_pipeline_spark.queries.text import doc_quality_score
+
+    q = doc_quality_score(spark, sf_dir).filter(F.col("quality") > 0)
+    u = (
+        (F.col("doc_id") % 1_000_003 * 2654435761 % 1_000_003).cast(
+            "double"
+        )
+        + 0.5
+    ) / 1_000_003
+    k = q.select(
+        "doc_id",
+        F.col("quality").alias("weight"),
+        (F.log(u) / F.col("quality")).alias("skey"),
+    )
+    return (
+        k.orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "weight", F.round("skey", 6).alias("sample_key"))
+    )
