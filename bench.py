@@ -80,6 +80,9 @@ HEADLINE = [
     "semantic_dedup_keep",
     "events_session_windows",
     "corpus_joint_curation",
+    "events_distinct_sketch_rollup",
+    "events_user_overlap_sketch",
+    "weighted_corpus_sample",
 ]
 
 
