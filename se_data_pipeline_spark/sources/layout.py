@@ -90,3 +90,75 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def write_training_shards(
+    docs: DataFrame, out_dir: str, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic hash-sharded corpus emission — the layout an LLM
+    data loader consumes: shard = pmod(xxhash64(doc_id), n_shards),
+    one parquet file per shard directory, plus a per-shard MANIFEST
+    (doc count, token count, byte size) returned as a DataFrame.
+
+    Why this shape at 100 TB: hash sharding balances shard sizes
+    regardless of doc_id distribution and is reproducible across
+    runs (resumable jobs re-derive the same shard for a doc);
+    repartitioning BY THE SHARD COLUMN guarantees each shard's rows
+    land in exactly one task, so each shard directory holds exactly
+    one file (no small-files problem, no cross-shard file). The
+    manifest aggregates in the same shuffle shape and is what a
+    training launcher reads instead of listing 100k files."""
+    from pyspark.sql import functions as F
+
+    sharded = docs.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.sum(F.length("text")).alias("n_bytes"),
+        )
+        .orderBy("shard")
+    )
+
+
+def compact_table(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_records_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a directory of (possibly many
+    tiny) parquet files into files of ~target_records_per_file rows.
+    Returns the number of input files compacted.
+
+    The two knobs that matter: maxRecordsPerFile caps file SIZE
+    without a shuffle, and AQE's coalescePartitions merges the read
+    splits so the writer does not emit one file per input split —
+    together they bound files from both directions. Streaming sinks
+    and per-batch upserts (maintain_hourly_rollup) accrete small
+    files; a periodic compaction pass keeps scan planning O(files)
+    cheap. On Delta/Iceberg this is OPTIMIZE; this is the
+    plain-parquet equivalent."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(in_dir)
+    n_in = df.select(F.input_file_name()).distinct().count()
+    (
+        df.coalesce(
+            max(1, df.count() // max(1, target_records_per_file) or 1)
+        )
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .parquet(out_dir)
+    )
+    return n_in

@@ -87,3 +87,59 @@ def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
     # a random layout would give ~full span per file on both axes
     assert avg_p < span_p * 0.8
     assert avg_o < span_o * 0.8
+
+
+def test_write_training_shards_one_file_per_shard(spark, tmp_path):
+    """Every shard directory holds exactly ONE parquet file, every
+    doc lands in exactly one shard, and the manifest matches the
+    read-back contents."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.catalog import load_table
+    from se_data_pipeline_spark.sources.layout import write_training_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, n_shards=8).collect()
+
+    assert [r["shard"] for r in manifest] == sorted(
+        {r["shard"] for r in manifest}
+    )
+    assert sum(r["n_docs"] for r in manifest) == docs.count()
+    for r in manifest:
+        files = glob.glob(os.path.join(out, f"shard={r['shard']}", "*.parquet"))
+        assert len(files) == 1, files
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    got = {
+        r["shard"]: (r["n_docs"], r["n_bytes"])
+        for r in back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_bytes"),
+        )
+        .collect()
+    }
+    want = {r["shard"]: (r["n_docs"], r["n_bytes"]) for r in manifest}
+    assert got == want
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    """64 tiny input files compact into a bounded handful."""
+    import glob
+
+    from se_data_pipeline_spark.sources.layout import compact_table
+
+    src = str(tmp_path / "tiny")
+    dst = str(tmp_path / "compacted")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    n_in = compact_table(spark, src, dst, target_records_per_file=5_000)
+    assert n_in == 64
+    out_files = glob.glob(f"{dst}/*.parquet")
+    assert 1 <= len(out_files) <= 3
+    assert spark.read.parquet(dst).count() == 10_000
