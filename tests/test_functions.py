@@ -607,3 +607,75 @@ def test_leakage_safe_splits_cluster_consistency(spark):
     assert pairs, "fixture should contain near-dup pairs"
     for r in pairs:
         assert splits[r["doc_a"]] == splits[r["doc_b"]]
+
+
+def test_duplicate_passages_property_vs_python_reference(spark, tmp_path):
+    """Property test: the distributed passage-dedup pipeline must
+    equal a direct per-corpus Python reference (set-of-windows
+    membership + interval merging) on randomized tiny-alphabet
+    corpora, where cross-doc window collisions are dense by
+    construction."""
+    import os
+    import random
+
+    from se_data_pipeline_spark.queries import all_queries
+
+    k = 5
+
+    def reference(corpus: dict[int, list[str]]):
+        wins: dict[tuple, set] = {}
+        for d, toks in corpus.items():
+            for i in range(max(0, len(toks) - k + 1)):
+                wins.setdefault(tuple(toks[i : i + k]), set()).add(d)
+        dup = {w for w, ds in wins.items() if len(ds) >= 2}
+        out = {}
+        for d, toks in corpus.items():
+            pos = [
+                i
+                for i in range(max(0, len(toks) - k + 1))
+                if tuple(toks[i : i + k]) in dup
+            ]
+            spans = []
+            for p in pos:
+                if spans and p - spans[-1][1] <= k:
+                    spans[-1][1] = p
+                else:
+                    spans.append([p, p])
+            n_tok = len(toks)
+            dup_tok = sum(b - a + k for a, b in spans)
+            out[d] = (
+                len(pos),
+                len(spans),
+                dup_tok,
+                round(dup_tok / n_tok, 6) if n_tok else 0.0,
+            )
+        return out
+
+    rng = random.Random(7)
+    for trial in range(3):
+        corpus = {
+            d: [rng.choice("ab") for _ in range(rng.randint(0, 30))]
+            for d in range(1, 13)
+        }
+        rows = [(d, " ".join(toks)) for d, toks in corpus.items()]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        sf = str(tmp_path / f"sf_{trial}")
+        df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+
+        got = {
+            r["doc_id"]: (
+                r["n_dup_windows"],
+                r["n_dup_spans"],
+                r["dup_tokens"],
+                r["dup_coverage"],
+            )
+            for r in all_queries()["doc_duplicate_passages"](
+                spark, sf
+            ).collect()
+        }
+        # NOTE: splitting "" on " " yields one empty token, matching
+        # the engine's whitespace tokenizer; reference must match.
+        want = reference(
+            {d: (t.split(" ") if t else [""]) for d, t in rows}
+        )
+        assert got == want, f"trial {trial}"

@@ -525,3 +525,61 @@ def test_maintain_distinct_sketches_matches_exact(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got2 == got
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """`session_window` is the same operator in streaming: the
+    stateful streaming aggregation (complete mode, availableNow)
+    over the events file stream must equal the batch
+    `events_session_windows` result exactly."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.queries import all_queries
+    from se_data_pipeline_spark.streaming.jobs import read_events_stream
+
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt_sessions")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in all_queries()["events_session_windows"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
