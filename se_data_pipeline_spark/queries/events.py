@@ -1143,3 +1143,58 @@ def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_d - exact_d) <= F.greatest(exact_d * 0.05, F.lit(1.0))
         ).alias("only_view_within_5pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted two-stage aggregation: identical results, bounded task.
+# --------------------------------------------------------------------------
+@query(
+    "events_salted_heavy_user_rollup",
+    oracle="""
+    SELECT user_id,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           MAX(value)           AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_salted_heavy_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rollup via EXPLICIT two-stage salting: stage 1 groups
+    on (user_id, salt) — salt = pmod(xxhash64(event_id), 16) — so a
+    mega-user's rows split across 16 reducers; stage 2 merges the 16
+    partial (count, sum, max) rows per user. Result is bit-identical
+    to the direct GROUP BY (count/sum/max are associative; the sum
+    re-associates but the oracle's 6dp round absorbs float order).
+
+    When to reach for this at 100 TB: AQE's skew handling splits
+    skewed JOIN partitions, but a skewed AGGREGATION key still lands
+    on one reducer after the map-side partial agg — which saves you
+    only when partial aggregation is effective (high per-partition
+    key locality). A hot key whose rows arrive spread across 100k map
+    tasks defeats it: every map task emits a partial row for the hot
+    key and ONE reducer still merges 100k of them — fine for count/
+    sum, fatal for high-cardinality state like collect_list or
+    count-distinct expands. Salting bounds stage-2 fan-in to exactly
+    n_salts rows per user, independent of cluster width. The salt is
+    hash-derived (deterministic, replay-stable), never random()."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("m"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.round(F.sum("s"), 6).alias("sum_value"),
+            F.max("m").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -148,3 +148,60 @@ def test_ewma_chunked_mega_user_skew(spark, tmp_path):
         for r in events_ewma_chunked(spark, sdir).collect()
     }
     assert plain == chunked
+
+
+def test_salted_rollup_on_mega_user_skew(spark, tmp_path):
+    """One user owns 90% of events; the salted two-stage rollup must
+    equal the direct groupBy exactly, and its stage-1 output must
+    actually split the mega-user across multiple salt groups."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.queries import all_queries
+
+    n = 50_000
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2024-05-01 00:00:00").cast("timestamp_ntz")
+            + F.make_interval(mins=(F.col("id") % 1000).cast("int"))
+        ).alias("ts"),
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("user_id"),
+        F.lit("view").alias("event_type"),
+        (F.col("id") % 13).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    d = str(tmp_path / "sf_skew")
+    ev.write.parquet(os.path.join(d, "events.parquet"))
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in all_queries()["events_salted_heavy_user_rollup"](
+            spark, d
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in spark.read.parquet(os.path.join(d, "events.parquet"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[7][0] == 45_000  # the mega-user really is 90%
+
+    n_salt_groups = (
+        spark.read.parquet(os.path.join(d, "events.parquet"))
+        .filter(F.col("user_id") == 7)
+        .select(F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt"))
+        .distinct()
+        .count()
+    )
+    assert n_salt_groups == 16
