@@ -1781,3 +1781,58 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs co-ordered in one order.
+# --------------------------------------------------------------------------
+@query(
+    "part_cooccurrence_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the top part PAIRS that
+    appear together in the same order at least twice — the
+    association-rule / recommender candidate generator.
+
+    The self-join fans out quadratically PER ORDER, not per table:
+    after the distinct (order, part) projection, an order with m
+    parts emits C(m,2) pairs, and m is bounded by order size (~7 in
+    TPC-H shapes, bounded by basket size in any real catalog) — so
+    total pairs ≈ rows × (m-1)/2, a constant factor, NOT an O(n²)
+    blowup. The join shuffles both sides on l_orderkey (equi-key),
+    the pair count is a map-side-combinable aggregate, and the final
+    cut is TakeOrderedAndProject. The HAVING >= 2 support floor is
+    the standard a-priori pruning step."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

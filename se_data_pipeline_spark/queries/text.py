@@ -1750,3 +1750,62 @@ def doc_hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("label"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Per-source quantile-calibrated quality filtering (FineWeb-style).
+# --------------------------------------------------------------------------
+@query(
+    "doc_quality_percentile_by_source",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             ROUND(
+               0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * least(1.0, len(toks) / 150.0)
+             + 0.3 * (CAST(len(list_filter(toks,
+                   t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                      / len(toks)), 6) AS quality
+      FROM t)
+    SELECT doc_id, source, quality,
+           ROUND(percent_rank() OVER
+                   (PARTITION BY source
+                    ORDER BY quality, doc_id), 6) AS quality_pct,
+           percent_rank() OVER
+             (PARTITION BY source ORDER BY quality, doc_id)
+             >= 0.5 AS keep_top_half
+    FROM q
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_percentile_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SOURCE quantile calibration of the quality score: each
+    document's percentile rank is computed within its own source
+    (domain), and the keep-gate thresholds on that rank — so a noisy
+    source and a clean source each contribute their best half instead
+    of one absolute threshold silently dropping whole domains (the
+    FineWeb/CCNet practice of per-dump, per-language thresholds).
+
+    Window is PARTITIONED BY SOURCE — bounded state per domain, never
+    a global sort; tiebreak on doc_id makes percent_rank
+    deterministic under equal scores. Weight column is the pinned
+    6dp-rounded quality, so the rank order is engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    q = doc_quality_score(spark, sf_dir).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    pct = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(pct, 6).alias("quality_pct"),
+        (pct >= 0.5).alias("keep_top_half"),
+    ).orderBy("doc_id")
