@@ -1198,3 +1198,128 @@ def events_salted_heavy_user_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Linear-interpolation gap fill (the third fill policy after
+# zeros [gap_filled] and LOCF).
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_interpolated",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             ROUND(SUM(value), 6) AS v
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+          FROM b GROUP BY 1),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM r),
+    j AS (
+      SELECT g.event_type, g.h, b.v
+      FROM grid g
+      LEFT JOIN b ON b.event_type = g.event_type AND b.h = g.h),
+    x AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wp AS ph,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wn AS nh
+      FROM j
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, h AS bucket,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE ROUND(pv + (nv - pv)
+                       * (date_diff('hour', ph, h) * 1.0
+                          / date_diff('hour', ph, nh)), 6) END
+             AS value_filled,
+           CASE WHEN v IS NOT NULL THEN 'observed'
+                WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+                ELSE 'interpolated' END AS src
+    FROM x
+    ORDER BY event_type, bucket
+    """,
+)
+def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill policy #3: LINEAR interpolation between the nearest
+    observed hours on each side (policy #1 zeros =
+    `events_hourly_gap_filled`, #2 LOCF = `events_hourly_locf`).
+    Leading/trailing gaps have only one neighbor and take its value
+    ('edge'); interior gaps blend by the hour fraction.
+
+    Shape: the dense spine is built per event_type with
+    sequence()+explode (never a cross join), and BOTH direction
+    windows (running last-non-null backward, first-non-null forward)
+    partition on event_type — two window passes over the same
+    partitioning, one exchange. The fraction arithmetic uses exact
+    integer hour differences (micros/3.6e9) so the oracle's
+    date_diff form is bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    r = b.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = r.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(b, ["event_type", "h"], "left")
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    hm = _ts_micros(F.col("h"))
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    x = j.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        _ts_micros(F.last(obs_h, ignorenulls=True).over(wp)).alias("pm"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        _ts_micros(F.first(obs_h, ignorenulls=True).over(wn)).alias("nm"),
+        hm.alias("hm"),
+    )
+    hour = 3_600_000_000
+    frac = ((F.col("hm") - F.col("pm")) / hour * 1.0) / (
+        (F.col("nm") - F.col("pm")) / hour
+    )
+    return x.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.round(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6
+            )
+        )
+        .alias("value_filled"),
+        F.when(F.col("v").isNotNull(), F.lit("observed"))
+        .when(
+            F.col("pv").isNull() | F.col("nv").isNull(), F.lit("edge")
+        )
+        .otherwise(F.lit("interpolated"))
+        .alias("src"),
+    ).orderBy("event_type", "bucket")
