@@ -83,6 +83,10 @@ HEADLINE = [
     "events_distinct_sketch_rollup",
     "events_user_overlap_sketch",
     "weighted_corpus_sample",
+    "events_salted_heavy_user_rollup",
+    "doc_quality_percentile_by_source",
+    "part_cooccurrence_pairs",
+    "events_hourly_interpolated",
 ]
 
 
