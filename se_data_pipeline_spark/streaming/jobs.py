@@ -104,9 +104,32 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """T1: stateful exactly-once-per-key dedup — the streaming form of
-    the ingest-ledger anti-join. State is evicted past the watermark,
-    so memory is bounded by the lateness horizon, not history."""
+    the ingest-ledger anti-join.
+
+    CAVEAT this variant carries deliberately: dropDuplicates on a
+    key subset WITHOUT the event-time column keeps state for every
+    key ever seen — the watermark does NOT evict it (eviction
+    requires the watermark column in the subset). That is the right
+    trade when the key universe is bounded (an ingest ledger of
+    video ids); for unbounded keys use
+    `dedup_events_within_watermark` below."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def dedup_events_within_watermark(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    guarantees dedup among events whose times fall within the
+    watermark delay of each other and EVICTS key state once the
+    watermark passes it — memory is bounded by the lateness horizon,
+    not by key-universe history. This is the only dedup shape that
+    survives an unbounded key space (event ids at 100 TB/day);
+    duplicates arriving farther apart than the delay are by contract
+    not caught (route those to the batch ledger anti-join)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def maintain_hourly_rollup(

@@ -583,3 +583,58 @@ def test_streaming_session_windows_match_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_dedup_within_watermark_bounded_state(spark, sf_dir, tmp_path):
+    """Duplicated rows arriving in a LATER micro-batch (same event
+    times, so inside the watermark) must be suppressed, and the
+    result must equal the batch distinct-by-key."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import (
+        dedup_events_within_watermark,
+    )
+
+    src_dir = str(tmp_path / "dup_stream")
+    os.makedirs(src_dir)
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .orderBy("event_id")
+        .limit(500)
+    )
+    base.coalesce(1).write.parquet(str(tmp_path / "f1"))
+    base.coalesce(1).write.parquet(str(tmp_path / "f2"))
+    for i, d in enumerate(("f1", "f2")):
+        (src,) = [
+            f
+            for f in os.listdir(str(tmp_path / d))
+            if f.endswith(".parquet")
+        ]
+        shutil.copy(
+            os.path.join(str(tmp_path / d), src),
+            os.path.join(src_dir, f"part-{i}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)  # dups land in batch 2
+        .parquet(src_dir)
+    )
+    q = (
+        dedup_events_within_watermark(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT event_id FROM dedup_wm").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 500
+    assert set(ids) == {r["event_id"] for r in base.collect()}
