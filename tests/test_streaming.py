@@ -622,6 +622,8 @@ def test_dedup_within_watermark_bounded_state(spark, sf_dir, tmp_path):
         spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1)  # dups land in batch 2
         .parquet(src_dir)
+        # watermarks need TIMESTAMP; parquet ships TIMESTAMP_NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     q = (
         dedup_events_within_watermark(stream)
