@@ -1809,3 +1809,76 @@ def doc_quality_percentile_by_source(
         F.round(pct, 6).alias("quality_pct"),
         (pct >= 0.5).alias("keep_top_half"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing document embeddings (text -> vector bridge).
+# --------------------------------------------------------------------------
+_FH_DIMS = 16
+
+
+@query(
+    "doc_hashed_embeddings",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             [x for x in string_split(text, ' ') if x <> ''] AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, len(toks) AS n,
+             unnest([CAST(list_reduce(
+               list_prepend(0, [ascii(c) for c in string_split(tk, '')]),
+               (acc, c) -> (acc * 31 + c) % 1000003) AS BIGINT)
+               % {_FH_DIMS} for tk in toks]) AS dim
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+           COUNT(*) AS n_tokens,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(n), 6) AS weight
+    FROM h GROUP BY doc_id, dim
+    ORDER BY doc_id, dim
+    """,
+)
+def doc_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document vectors (the hashing-trick featurizer,
+    Weinberger et al. 2009): token → portable rolling hash → one of
+    {_FH_DIMS} buckets; a document's vector is its L1-normalized
+    bucket histogram, emitted EXPLODED as (doc_id, dim, weight) rows
+    — the layout every sparse-vector consumer (ANN index builder,
+    linear model trainer) ingests directly, and the layout that
+    hash-compares engine-to-engine (array columns don't).
+
+    This is the bridge from the text table into the vector family:
+    corpora without model embeddings still get dedup/ANN/clustering
+    over these hashed vectors. One explode + one combiner-friendly
+    (doc_id, dim) aggregate; dimensionality is a constant, so the
+    shuffle is bounded by docs × min(tokens, dims) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_nz = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    dims = F.transform(
+        toks_nz,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_003,
+        )
+        % _FH_DIMS,
+    )
+    base = docs.select(
+        "doc_id", F.size(toks_nz).alias("n"), F.explode(dims).alias("dim")
+    )
+    return (
+        base.groupBy("doc_id", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.count(F.lit(1)) * 1.0 / F.any_value(F.col("n")), 6
+            ).alias("weight"),
+        )
+        .select(
+            "doc_id",
+            F.col("dim").cast("int").alias("dim"),
+            "n_tokens",
+            "weight",
+        )
+        .orderBy("doc_id", "dim")
+    )
