@@ -1323,3 +1323,69 @@ def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("interpolated"))
         .alias("src"),
     ).orderBy("event_type", "bucket")
+
+
+# --------------------------------------------------------------------------
+# Funnel latency: time-to-convert distribution (view -> purchase).
+# --------------------------------------------------------------------------
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT user_id,
+             date_diff('second', t_view, t_buy) AS secs
+      FROM f WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+                   AND t_buy >= t_view)
+    SELECT COUNT(*)                                   AS n_converted,
+           CAST(MIN(secs) AS BIGINT)                  AS min_secs,
+           ROUND(quantile_cont(secs, 0.5), 6)         AS median_secs,
+           ROUND(quantile_cont(secs, 0.9), 6)         AS p90_secs,
+           CAST(MAX(secs) AS BIGINT)                  AS max_secs
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel LATENCY (the companion to `event_funnel`'s conversion
+    counts): per user, the seconds between first 'view' and first
+    'purchase', summarized as exact quantiles. Same minimal-shuffle
+    shape the funnel rewrite uses — ONE groupBy(user_id) with
+    conditional MIN aggregates (no per-stage scans, no joins), then
+    a 1-row exact-percentile aggregate over the per-user frame
+    (which is already tiny relative to events). percentile_cont
+    needs its per-group values, but the group count here is 1 and
+    the input is |users|, not |events| — bounded by design."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    d = f.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(
+        # boundary-crossing seconds (trunc each side first) — the
+        # date_diff('second', ...) semantic the oracle uses
+        (
+            F.floor(_ts_micros(F.col("t_buy")) / 1_000_000)
+            - F.floor(_ts_micros(F.col("t_view")) / 1_000_000)
+        )
+        .cast("long")
+        .alias("secs")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("secs").alias("min_secs"),
+        F.round(F.expr("percentile(secs, 0.5)"), 6).alias("median_secs"),
+        F.round(F.expr("percentile(secs, 0.9)"), 6).alias("p90_secs"),
+        F.max("secs").alias("max_secs"),
+    )
