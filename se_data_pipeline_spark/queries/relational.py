@@ -1836,3 +1836,86 @@ def part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation via broadcast quantile boundaries (no global
+# window — the scale-correct form of ntile(4)).
+# --------------------------------------------------------------------------
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(floor(epoch(MAX(o_orderdate)) / 86400) AS BIGINT)
+               AS r_days,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_spent
+      FROM orders GROUP BY 1),
+    q AS (
+      SELECT quantile_cont(r_days,      [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(n_orders,    [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(total_spent, [0.25, 0.5, 0.75]) AS mq
+      FROM o)
+    SELECT c_custkey, n_orders, total_spent,
+           1 + CAST(r_days > rq[1] AS INTEGER)
+             + CAST(r_days > rq[2] AS INTEGER)
+             + CAST(r_days > rq[3] AS INTEGER)      AS r_tile,
+           1 + CAST(n_orders > fq[1] AS INTEGER)
+             + CAST(n_orders > fq[2] AS INTEGER)
+             + CAST(n_orders > fq[3] AS INTEGER)    AS f_tile,
+           1 + CAST(total_spent > mq[1] AS INTEGER)
+             + CAST(total_spent > mq[2] AS INTEGER)
+             + CAST(total_spent > mq[3] AS INTEGER) AS m_tile
+    FROM o CROSS JOIN q
+    ORDER BY c_custkey
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation — with
+    the quartile assignment done via EXACT QUANTILE BOUNDARIES
+    computed in a 1-row aggregate and broadcast back, not ntile()
+    over a global window: ntile's global sort funnels every customer
+    through one task (the unpartitioned-Window class this repo's
+    plan audit hard-fails), while boundary-compare is one groupBy +
+    one broadcast join and scales with the customer table.
+
+    The trade is that boundary TIES all land in the lower tile
+    (quantile-threshold semantics) instead of ntile's forced equal
+    bucket sizes — the correct behavior for segmentation, where two
+    equal customers must never land in different segments."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.floor(
+            F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+            / 86_400_000_000
+        ).alias("r_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )
+    q = o.agg(
+        F.expr("percentile(r_days, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(n_orders, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(total_spent, array(0.25, 0.5, 0.75))").alias(
+            "mq"
+        ),
+    )
+
+    def tile(col: str, qcol: str):
+        c = F.lit(1)
+        for i in range(3):
+            c = c + (F.col(col) > F.col(qcol)[i]).cast("int")
+        return c
+
+    return (
+        o.crossJoin(F.broadcast(q))
+        .select(
+            "c_custkey",
+            "n_orders",
+            "total_spent",
+            tile("r_days", "rq").alias("r_tile"),
+            tile("n_orders", "fq").alias("f_tile"),
+            tile("total_spent", "mq").alias("m_tile"),
+        )
+        .orderBy("c_custkey")
+    )
