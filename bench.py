@@ -87,6 +87,9 @@ HEADLINE = [
     "doc_quality_percentile_by_source",
     "part_cooccurrence_pairs",
     "events_hourly_interpolated",
+    "funnel_time_to_convert",
+    "customer_rfm_segments",
+    "doc_hashed_embeddings",
 ]
 
 
