@@ -1358,7 +1358,10 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row exact-percentile aggregate over the per-user frame
     (which is already tiny relative to events). percentile_cont
     needs its per-group values, but the group count here is 1 and
-    the input is |users|, not |events| — bounded by design."""
+    the input is |users|, not |events| — and at production user
+    counts the exact percentile (kept here for oracle decidability)
+    swaps to the mergeable `percentile_approx` sketch, same as
+    `customer_rfm_segments`."""
     ev = load_table(spark, sf_dir, "events")
     f = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(

@@ -1883,7 +1883,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     The trade is that boundary TIES all land in the lower tile
     (quantile-threshold semantics) instead of ntile's forced equal
     bucket sizes — the correct behavior for segmentation, where two
-    equal customers must never land in different segments."""
+    equal customers must never land in different segments.
+
+    The boundary aggregate here uses EXACT percentile so the DuckDB
+    oracle is decidable; its buffer gathers all values in one
+    reducer, so at production cardinalities the same query swaps in
+    `percentile_approx` (mergeable KLL-style sketch, partial-agg
+    friendly) for the three boundaries — the assignment logic is
+    unchanged and boundary error only shifts customers within one
+    tile of the cut."""
     orders = load_table(spark, sf_dir, "orders")
     o = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.floor(
