@@ -221,3 +221,55 @@ def test_probe_plan_shapes(spark):
     for r in q:
         assert len(r["snrss"]) == len(r["acss"]) >= 1
         assert all(p["label"] == "Speech" for seg in r["acss"] for p in seg)
+
+
+def test_build_corpus_end_to_end(spark, tmp_path):
+    """The full corpus build: survivors = selected docs only, each in
+    exactly one split directory; no near-dup pair straddles splits;
+    manifest totals match what is on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.plans.corpus_build import build_corpus
+    from se_data_pipeline_spark.queries import all_queries
+
+    sf_dir = "/root/testdata/sf0.01"
+    out = str(tmp_path / "corpus")
+    manifest = build_corpus(spark, sf_dir, out, n_shards=4).collect()
+    qs = all_queries()
+
+    expected = {
+        r["doc_id"]
+        for r in qs["corpus_joint_curation"](spark, sf_dir)
+        .filter("selected")
+        .collect()
+    }
+    on_disk = {}
+    for split in ("train", "val", "test"):
+        p = os.path.join(out, split)
+        has_shards = os.path.exists(p) and any(
+            e.startswith("shard=") for e in os.listdir(p)
+        )
+        if has_shards:
+            for r in spark.read.parquet(p).select("doc_id").collect():
+                assert r["doc_id"] not in on_disk, "doc in two splits"
+                on_disk[r["doc_id"]] = split
+    assert set(on_disk) == expected
+
+    pair_splits = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["ngram_jaccard_pairs"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    for a, b in pair_splits:
+        if a in on_disk and b in on_disk:
+            assert on_disk[a] == on_disk[b]
+
+    total_manifest = sum(r["n_docs"] for r in manifest)
+    assert total_manifest == len(expected)
+    for r in manifest:
+        p = os.path.join(out, r["split"], f"shard={r['shard']}")
+        n = spark.read.parquet(p).count()
+        assert n == r["n_docs"]
