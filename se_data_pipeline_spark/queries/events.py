@@ -1392,3 +1392,149 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(secs, 0.9)"), 6).alias("p90_secs"),
         F.max("secs").alias("max_secs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal anomaly detection: hour-of-day baseline vs actual.
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             EXTRACT(hour FROM ts)  AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    base AS (
+      SELECT hod,
+             AVG(n)                    AS mu,
+             stddev_pop(n)             AS sigma
+      FROM hourly GROUP BY hod)
+    SELECT h.h AS bucket, CAST(h.hod AS INTEGER) AS hod, h.n,
+           ROUND(b.mu, 6) AS baseline,
+           ROUND((h.n - b.mu) / b.sigma, 6) AS zscore
+    FROM hourly h JOIN base b USING (hod)
+    WHERE b.sigma > 0 AND abs((h.n - b.mu) / b.sigma) >= 2.0
+    ORDER BY bucket
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each hour's event count
+    is scored against the BASELINE FOR ITS OWN HOUR-OF-DAY (mean ±
+    sigma across the history), so a quiet 3am hour isn't flagged
+    just for being quieter than noon — the standard ops-analytics
+    trick before reaching for models.
+
+    Two combiner-friendly aggregates (hour grain, then 24-row
+    hour-of-day baseline) and a broadcast join of the 24-row
+    baseline back onto the hourly series; the z-score filter
+    pipelines with the join. No windows at all."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy("hod").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(base), "hod")
+        .filter((F.col("sigma") > 0) & (F.abs(z) >= 2.0))
+        .select(
+            F.col("h").alias("bucket"),
+            F.col("hod").cast("int").alias("hod"),
+            "n",
+            F.round("mu", 6).alias("baseline"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Global running backlog WITHOUT a global window: per-year partials
+# + broadcast offsets (the distributed-prefix-sum pattern).
+# --------------------------------------------------------------------------
+@query(
+    "orders_daily_backlog",
+    oracle="""
+    WITH deltas AS (
+      SELECT day, SUM(d) AS delta FROM (
+        SELECT date_trunc('day', o_orderdate) AS day, 1 AS d
+        FROM orders
+        UNION ALL
+        SELECT date_trunc('day', l.shipday) AS day, -1 AS d
+        FROM (SELECT l_orderkey, MAX(l_shipdate) AS shipday
+              FROM lineitem GROUP BY 1) l)
+      GROUP BY day)
+    SELECT day,
+           CAST(SUM(delta) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS open_orders
+    FROM deltas
+    ORDER BY day
+    """,
+)
+def orders_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: +1 on order day, −1 on the
+    order's LAST ship day, cumulative over days — the interval →
+    delta-event → prefix-sum transformation every 'how many X were
+    open at time T' question reduces to.
+
+    The cumulative sum is GLOBAL but is computed WITHOUT a global
+    window (this repo's plan audit hard-fails those): per-YEAR
+    running sums are windowed with partitionBy(year), the per-year
+    totals (≤ a few dozen rows) aggregate into broadcastable year
+    START OFFSETS via a driver-free second pass, and each day's
+    backlog = its year offset + its within-year running sum — the
+    classic two-level distributed prefix sum (same pattern as the
+    chunked EWMA's per-day affine transfer). The day-grain pre-agg
+    means every window input is |days|, but no single task ever
+    sorts all days."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    starts = orders.select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.lit(1).alias("d"),
+    )
+    ends = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("shipday"))
+        .select(
+            F.date_trunc("day", "shipday").alias("day"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+        .withColumn("yr", F.year("day"))
+    )
+    w_in = (
+        W.partitionBy("yr")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = deltas.withColumn("run_in_year", F.sum("delta").over(w_in))
+    year_totals = deltas.groupBy("yr").agg(F.sum("delta").alias("yt"))
+    # year offsets: ≤ tens of rows — an unpartitioned window would be
+    # harmless here, but the audit rule is absolute, so fold them
+    # with a strictly-smaller self-join instead.
+    a, b = year_totals.alias("a"), year_totals.alias("b")
+    offsets = (
+        a.join(b, F.col("b.yr") < F.col("a.yr"), "left")
+        .groupBy(F.col("a.yr").alias("yr"))
+        .agg(F.coalesce(F.sum("b.yt"), F.lit(0)).alias("offset"))
+    )
+    return (
+        within.join(F.broadcast(offsets), "yr")
+        .select(
+            "day",
+            (F.col("offset") + F.col("run_in_year"))
+            .cast("long")
+            .alias("open_orders"),
+        )
+        .orderBy("day")
+    )
