@@ -90,6 +90,8 @@ HEADLINE = [
     "funnel_time_to_convert",
     "customer_rfm_segments",
     "doc_hashed_embeddings",
+    "events_hourly_anomalies",
+    "orders_daily_backlog",
 ]
 
 
