@@ -1882,3 +1882,77 @@ def doc_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "dim")
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal n-gram novelty: what share of a doc's shingles is NEW
+# relative to all earlier docs (corpus-growth / contribution curve).
+# --------------------------------------------------------------------------
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)])
+        AS s
+      FROM ({_SQL_TOKS})),
+    e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM e GROUP BY g)
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty
+    FROM e JOIN firsts f USING (g)
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal NOVELTY score: the share of a document's distinct
+    5-token shingles whose FIRST occurrence (min doc_id, the
+    ingestion-order proxy) is this document — i.e. how much genuinely
+    new text a doc contributes vs recombining what the corpus already
+    holds. Summed over ingestion order this is the corpus-growth
+    curve; per-doc it is the keep-signal incremental crawls use
+    (a doc that is 95% previously-seen shingles adds little even if
+    it is no one's near-duplicate).
+
+    Same inverted-index scale shape as the dedup family: shingles
+    shuffle as xxhash64 keys, first-occurrence is a combiner-friendly
+    MIN per shingle, and the verdict join is key-partitioned on the
+    same hash — no pair materialization at all here, so this is the
+    CHEAPEST of the cross-doc text signals."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = docs.select(
+        "doc_id",
+        F.explode(word_shingles_udf(5)(F.col("text"))).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("h"))
+    firsts = e.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        e.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("first_doc") == F.col("doc_id"), 1
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
