@@ -709,3 +709,30 @@ def maintain_distinct_sketches(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_stream_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Stream-static dimension enrichment with dead-letter routing:
+    the event stream LEFT-joins a broadcast static dimension, then
+    splits into (enriched, unmatched). Unmatched rows — events whose
+    key the dimension doesn't know — go to the dead-letter branch
+    instead of silently carrying nulls downstream (T4, the typed
+    error-routing discipline from the acquire stage, applied to
+    reference-data gaps).
+
+    Scale/streaming notes: a stream-STATIC join needs no watermark
+    and no state — each micro-batch hash-joins against the broadcast
+    table (re-resolved per batch, so a reloaded dimension snapshot
+    is picked up on the next trigger); only stream-STREAM joins pay
+    interval-bounded state. The broadcast hint is correct for
+    dimension-sized tables; drop it and AQE picks the strategy for
+    fact-sized reference data."""
+    enriched = stream.join(F.broadcast(dim), on, "left")
+    dim_cols = [c for c in dim.columns if c != on]
+    matched = enriched.filter(F.col(dim_cols[0]).isNotNull())
+    dead_letter = stream.join(F.broadcast(dim), on, "left_anti")
+    return matched, dead_letter

@@ -640,3 +640,45 @@ def test_dedup_within_watermark_bounded_state(spark, sf_dir, tmp_path):
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids)) == 500
     assert set(ids) == {r["event_id"] for r in base.collect()}
+
+
+def test_enrich_stream_with_dimension_routes_unmatched(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment: matched rows carry the
+    dimension attributes; events with unknown keys land complete in
+    the dead-letter branch; no row is lost or duplicated."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import (
+        enrich_stream_with_dimension,
+        read_events_stream,
+    )
+
+    # dimension knows only even user ids
+    dim = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.lit("known"))
+    )
+    matched, dead = enrich_stream_with_dimension(
+        read_events_stream(spark, sf_dir), dim
+    )
+    for name, df in (("m_enr", matched), ("d_enr", dead)):
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    m = spark.sql("SELECT user_id, tier FROM m_enr").collect()
+    d = spark.sql("SELECT user_id FROM d_enr").collect()
+    assert m and d
+    assert all(r["user_id"] % 2 == 0 and r["tier"] == "known" for r in m)
+    assert all(r["user_id"] % 2 == 1 for r in d)
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(m) + len(d) == total
