@@ -233,3 +233,54 @@ def test_sorted_write_produces_skippable_rowgroup_stats(spark, sf_dir, tmp_path)
     tbl = pq.read_table(files[0], columns=["l_shipdate"])
     col = tbl.column(0).to_pylist()
     assert col == sorted(col)
+
+
+def test_passage_dedup_shuffles_hashes_not_strings(spark, sf_dir):
+    """doc_duplicate_passages' inverted index must key on xxhash64 —
+    window STRINGS must never reach a shuffle (8-byte keys vs ~40-byte
+    text at 100 TB is the difference between a tractable and an
+    untractable exchange)."""
+    from se_data_pipeline_spark.queries import all_queries
+
+    df = all_queries()["doc_duplicate_passages"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "xxhash64" in plan
+    for frag in plan.split("Exchange")[1:]:
+        key = frag[:120]
+        assert "win" not in key, f"window string in shuffle key: {key}"
+
+
+def test_backlog_has_no_unpartitioned_window(spark, sf_dir):
+    """orders_daily_backlog claims a two-level prefix sum with no
+    global window — hold it to that."""
+    import tools.plan_audit as pa
+
+    from se_data_pipeline_spark.queries import all_queries
+
+    df = all_queries()["orders_daily_backlog"](spark, sf_dir)
+    plan = plan_of(df)
+    assert pa.count_unpartitioned_windows(plan) == 0
+    assert "Window" in plan  # the per-year running sum is windowed
+
+
+def test_salted_rollup_two_aggregates(spark, sf_dir):
+    """The salted rollup must actually be two-stage: two distinct
+    HashAggregate key sets ((user_id, salt) then (user_id))."""
+    from se_data_pipeline_spark.queries import all_queries
+
+    df = all_queries()["events_salted_heavy_user_rollup"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "salt" in plan and plan.count("HashAggregate") >= 4
+
+
+def test_rfm_broadcasts_quantile_boundaries(spark, sf_dir):
+    """RFM's boundary frame is a 1-row broadcast (BroadcastNestedLoop
+    crossJoin), never a sort-based ntile window."""
+    import tools.plan_audit as pa
+
+    from se_data_pipeline_spark.queries import all_queries
+
+    df = all_queries()["customer_rfm_segments"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert pa.count_unpartitioned_windows(plan) == 0
