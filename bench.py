@@ -92,6 +92,7 @@ HEADLINE = [
     "doc_hashed_embeddings",
     "events_hourly_anomalies",
     "orders_daily_backlog",
+    "doc_ngram_novelty",
 ]
 
 
