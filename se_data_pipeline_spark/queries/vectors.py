@@ -853,3 +853,99 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH q AS ({_SQL_QVEC}),
+    brute AS (
+      SELECT e.vec_id FROM embeddings e CROSS JOIN q
+      ORDER BY {_SQL_COS} DESC, e.vec_id LIMIT 10),
+    b AS (
+      SELECT *,
+             (CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[14] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[28] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[42] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    qb AS (SELECT qq.embedding AS q, b2.bucket AS qbucket
+           FROM (SELECT embedding, vec_id FROM embeddings
+                 ORDER BY vec_id LIMIT 1) qq
+           JOIN b b2 ON b2.vec_id = qq.vec_id),
+    lsh AS (
+      SELECT e.vec_id FROM b e CROSS JOIN qb q
+      WHERE e.bucket = q.qbucket
+      ORDER BY {_SQL_COS} DESC, e.vec_id LIMIT 10),
+    flat AS (SELECT label, unnest(embedding) AS v,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM embeddings),
+    c AS (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS ctr
+          FROM flat GROUP BY label, pos),
+    dist AS (SELECT c.label,
+                    SUM((c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))
+                        * (c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE)))
+                      AS d2
+             FROM c CROSS JOIN q GROUP BY c.label),
+    cell AS (SELECT label FROM dist ORDER BY d2, label LIMIT 1),
+    ivf AS (
+      SELECT e.vec_id FROM embeddings e
+      JOIN cell ON e.label = cell.label
+      CROSS JOIN q
+      ORDER BY {_SQL_COS} DESC, e.vec_id LIMIT 10),
+    r AS (
+      SELECT 'ivf' AS method,
+             (SELECT COUNT(*) FROM ivf) AS n_retrieved,
+             (SELECT COUNT(*) FROM ivf JOIN brute USING (vec_id))
+               AS n_overlap
+      UNION ALL
+      SELECT 'lsh',
+             (SELECT COUNT(*) FROM lsh),
+             (SELECT COUNT(*) FROM lsh JOIN brute USING (vec_id)))
+    SELECT method,
+           CAST(n_retrieved AS BIGINT) AS n_retrieved,
+           CAST(n_overlap AS BIGINT)   AS n_overlap,
+           ROUND(CAST(n_overlap AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM r ORDER BY method
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the approximate ANN paths MEASURED against the
+    exact brute-force baseline — the accuracy-contract report every
+    ANN deployment publishes alongside its latency numbers. For the
+    standard query vector: how many of brute-force's true top-10
+    does each index variant (LSH sign-buckets, IVF cell probe)
+    actually return?
+
+    Everything is a composition of the already-oracle-checked kNN
+    queries: brute/LSH/IVF top-10 id sets, semi-join overlap counts
+    (each a 10-row frame — the joins are trivially broadcast), one
+    2-row report out. At production scale this EXACT query is the
+    recall monitor: run it over a sampled query set per index build;
+    brute-force cost is bounded by sample_size × one scan, and the
+    approximate paths reuse the serving index."""
+    brute10 = embedding_knn_brute(spark, sf_dir).limit(10).select("vec_id")
+    variants = {
+        "lsh": embedding_knn_lsh(spark, sf_dir).select("vec_id"),
+        "ivf": embedding_knn_ivf(spark, sf_dir).select("vec_id"),
+    }
+    reports = []
+    for method, df in sorted(variants.items()):
+        n_ret = df.agg(F.count(F.lit(1)).alias("n_retrieved"))
+        n_ov = df.join(F.broadcast(brute10), "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_overlap")
+        )
+        reports.append(
+            n_ret.crossJoin(F.broadcast(n_ov)).select(
+                F.lit(method).alias("method"),
+                "n_retrieved",
+                "n_overlap",
+                F.round(F.col("n_overlap").cast("double") / 10, 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
