@@ -93,6 +93,7 @@ HEADLINE = [
     "events_hourly_anomalies",
     "orders_daily_backlog",
     "doc_ngram_novelty",
+    "ann_recall_report",
 ]
 
 

@@ -923,7 +923,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-row report out. At production scale this EXACT query is the
     recall monitor: run it over a sampled query set per index build;
     brute-force cost is bounded by sample_size × one scan, and the
-    approximate paths reuse the serving index."""
+    approximate paths reuse the serving index.
+
+    Expect LOW recall on this fixture and that is the point: the
+    synthetic embeddings are near-uniform random, so true top-10
+    neighborhoods have almost no locality for 4 hyperplanes / a
+    label-cell probe to capture (~0.1-0.2 here). Real embedding
+    tables cluster, and this report is exactly how you discover your
+    bucket/probe budget is too small before production does."""
     brute10 = embedding_knn_brute(spark, sf_dir).limit(10).select("vec_id")
     variants = {
         "lsh": embedding_knn_lsh(spark, sf_dir).select("vec_id"),
