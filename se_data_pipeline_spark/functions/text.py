@@ -342,3 +342,39 @@ def positional_windows_udf(k: int = 5):
         return pd.Series([one(t) for t in texts])
 
     return _windows
+
+
+def token_hash_dims_udf(n_dims: int):
+    """Arrow-batched per-token feature-hash dims: the rolling hash of
+    each NON-EMPTY token mod n_dims, in order — vectorized via the
+    prefix-sum span-hash kernel (same integer math as the Catalyst
+    HOF form, pinned by the doc_hashed_embeddings oracle), with the
+    scalar fold as the non-ASCII fallback. Same motivation as
+    `simhash_udf`: the nested per-char aggregate is interpreted
+    per row per token in Catalyst; one numpy pass per Arrow batch is
+    ~3-10× cheaper on real corpora."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def one(text: str) -> list[int]:
+        if text is None:
+            return []
+        toks = [t for t in text.split(TOKEN_SEP) if t]
+        if not toks:
+            return []
+        arr = token_hashes_np(TOKEN_SEP.join(toks))
+        if arr is None:  # non-ASCII: scalar fold, same math
+            hs = []
+            for tok in toks:
+                h = 0
+                for ch in tok:
+                    h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+                hs.append(h)
+            arr = np.asarray(hs, dtype=np.int64)
+        return (arr % n_dims).astype("int32").tolist()
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _dims(texts: pd.Series) -> pd.Series:
+        return pd.Series([one(t) for t in texts])
+
+    return _dims

@@ -1852,19 +1852,19 @@ def doc_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     over these hashed vectors. One explode + one combiner-friendly
     (doc_id, dim) aggregate; dimensionality is a constant, so the
     shuffle is bounded by docs × min(tokens, dims) rows."""
+    from se_data_pipeline_spark.functions.text import token_hash_dims_udf
+
     docs = load_table(spark, sf_dir, "documents")
-    toks_nz = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
-    dims = F.transform(
-        toks_nz,
-        lambda t: F.aggregate(
-            F.split(t, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_003,
-        )
-        % _FH_DIMS,
-    )
+    # vectorized numpy kernel, not the interpreted per-char HOF fold
+    # (same integer math — the oracle pins equivalence). The UDF
+    # result is materialized in its OWN select first: referencing a
+    # UDF call from two expressions of one projection (size +
+    # explode) makes Catalyst evaluate it per consumer — measured
+    # ~100x slower than the materialize-once form.
     base = docs.select(
-        "doc_id", F.size(toks_nz).alias("n"), F.explode(dims).alias("dim")
+        "doc_id", token_hash_dims_udf(_FH_DIMS)(F.col("text")).alias("ds")
+    ).select(
+        "doc_id", F.size("ds").alias("n"), F.explode("ds").alias("dim")
     )
     return (
         base.groupBy("doc_id", "dim")
