@@ -679,3 +679,38 @@ def test_duplicate_passages_property_vs_python_reference(spark, tmp_path):
             {d: (t.split(" ") if t else [""]) for d, t in rows}
         )
         assert got == want, f"trial {trial}"
+
+
+def test_token_hash_dims_kernel_parity():
+    """The vectorized feature-hash dims kernel must equal the scalar
+    rolling-hash fold mod n_dims for ASCII and non-ASCII (fallback)
+    inputs, skipping empty tokens."""
+    from se_data_pipeline_spark.functions.text import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        TOKEN_SEP,
+        token_hashes_np,
+    )
+
+    def scalar_dims(text, n_dims=16):
+        out = []
+        for tok in [t for t in text.split(TOKEN_SEP) if t]:
+            h = 0
+            for ch in tok:
+                h = (h * ROLLING_HASH_BASE + ord(ch)) % ROLLING_HASH_MOD
+            out.append(h % n_dims)
+        return out
+
+    for text in (
+        "the quick  brown fox",  # double space -> empty token skipped
+        "a",
+        "  leading and trailing  ",
+        "héllo wörld mixed ascii",  # non-ASCII -> fallback path
+    ):
+        toks = [t for t in text.split(TOKEN_SEP) if t]
+        arr = token_hashes_np(TOKEN_SEP.join(toks)) if toks else None
+        if arr is not None:
+            got = (arr % 16).tolist()
+        else:
+            got = scalar_dims(text)
+        assert got == scalar_dims(text), text
