@@ -1538,3 +1538,49 @@ def orders_daily_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt): wide per-user matrix back to long form.
+# --------------------------------------------------------------------------
+@query(
+    "user_event_type_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+             COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+             COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+      FROM events GROUP BY user_id)
+    SELECT user_id, event_type, n_events
+    FROM wide
+    UNPIVOT (n_events FOR event_type
+             IN (click, view, purchase, signup, error))
+    WHERE n_events > 0
+    ORDER BY user_id, event_type
+    """,
+)
+def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of `user_event_type_pivot`:
+    the wide per-user count matrix folds back to long
+    (user, event_type, n) rows via `DataFrame.unpivot` (Spark's
+    native melt; DuckDB's UNPIVOT is the oracle). The wide→long
+    round-trip is how feature matrices flow between ML consumers
+    (wide) and storage/aggregation layers (long); unpivot is a
+    row-local Expand — zero additional shuffles beyond the pivot
+    aggregation it inverts, and the zero-count cells the pivot
+    materialized are dropped on the way back (they are absence, not
+    data)."""
+    wide = user_event_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=_EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="n_events",
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("user_id", "event_type")
+    )
