@@ -505,3 +505,88 @@ def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "weight", F.round("skey", 6).alias("sample_key"))
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel attrition report: one row summarizing the whole curation run.
+# --------------------------------------------------------------------------
+@query(
+    "corpus_funnel_report",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    q AS (
+      SELECT doc_id,
+             ROUND(
+               0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             + 0.3 * least(1.0, len(toks) / 150.0)
+             + 0.3 * (CAST(len(list_filter(toks,
+                   t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                      / len(toks)), 6) AS quality
+      FROM t),
+    b AS (
+      SELECT *,
+             (CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[14] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[28] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[42] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM b a JOIN b b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_sum([CAST(a.embedding[i+1] AS DOUBLE)
+                      * CAST(b.embedding[i+1] AS DOUBLE)
+                      for i in range(64)])
+            / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              for x in a.embedding]))
+               * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                for x in b.embedding])))
+            >= 0.45),
+    dropped AS (SELECT DISTINCT vec_b AS doc_id FROM p),
+    v AS (
+      SELECT d.doc_id,
+             q.quality >= CAST({_JOINT_QUALITY_MIN} AS DOUBLE) AS pt,
+             dropped.doc_id IS NULL AS ks
+      FROM documents d
+      JOIN q USING (doc_id)
+      LEFT JOIN dropped USING (doc_id))
+    SELECT COUNT(*)                                    AS n_total,
+           CAST(SUM(CASE WHEN pt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_passed_text,
+           CAST(SUM(CASE WHEN ks THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept_semantic,
+           CAST(SUM(CASE WHEN pt AND ks THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           ROUND(SUM(CASE WHEN pt AND ks THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6)                        AS keep_rate
+    FROM v
+    """,
+)
+def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row attrition report over the curation funnel — the run
+    summary a corpus-build job logs/alerts on (keep-rate collapsing
+    to ~0 or jumping to ~1 is the canonical sign a gate broke). Pure
+    aggregation over the per-doc verdict frame from
+    `corpus_joint_curation`: conditional-sum counts per gate plus
+    the final keep rate; adds one 1-row aggregate to the funnel's
+    own plan, nothing else."""
+    v = corpus_joint_curation(spark, sf_dir)
+    return v.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("passed_text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_passed_text"),
+        F.sum(F.when(F.col("kept_semantic"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept_semantic"),
+        F.sum(F.when(F.col("selected"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+        F.round(
+            F.sum(F.when(F.col("selected"), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+    )
