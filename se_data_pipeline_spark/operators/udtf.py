@@ -62,3 +62,53 @@ def split_sentences(df, id_col: str = "doc_id", text_col: str = "text"):
         f"SELECT s.* FROM __udtf_docs, "
         f"LATERAL sentence_split({id_col}, {text_col}) s"
     )
+
+
+def make_kv_parse_udtf():
+    """Polymorphic UDTF with a static `analyze` (Spark 4): parses
+    'k=v;k=v' property strings into one row per pair, and derives its
+    OUTPUT SCHEMA at plan time from the constant `keys` argument —
+    the schema-from-arguments capability that fixed-returnType UDTFs
+    (SentenceSplit above) cannot express. This is how a config-driven
+    extractor ships as one operator instead of one UDTF per layout:
+    the analyzer sees the requested keys, the optimizer sees real
+    typed columns, and column pruning applies downstream as usual.
+
+    Returned lazily from a factory because @udtf classes bind to the
+    active SparkSession at registration, and tests create/tear down
+    sessions."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    class KVParse:
+        @staticmethod
+        def analyze(
+            row_id: AnalyzeArgument,
+            props: AnalyzeArgument,
+            keys: AnalyzeArgument,
+        ) -> AnalyzeResult:
+            if not isinstance(keys.value, str) or not keys.value:
+                raise ValueError(
+                    "keys must be a non-empty constant string, e.g. 'a,b'"
+                )
+            fields = [StructField("row_id", LongType())]
+            for k in keys.value.split(","):
+                fields.append(StructField(k.strip(), StringType()))
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, row_id: int, props: str, keys: str):
+            wanted = [k.strip() for k in keys.split(",")]
+            pairs = {}
+            if props:
+                for item in props.split(";"):
+                    if "=" in item:
+                        k, v = item.split("=", 1)
+                        pairs[k.strip()] = v.strip()
+            yield (row_id, *[pairs.get(k) for k in wanted])
+
+    return udtf(KVParse)

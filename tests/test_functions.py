@@ -714,3 +714,24 @@ def test_token_hash_dims_kernel_parity():
         else:
             got = scalar_dims(text)
         assert got == scalar_dims(text), text
+
+
+def test_kv_parse_udtf_schema_from_arguments(spark):
+    """The analyze()-polymorphic UDTF must derive typed output
+    columns from the constant keys argument at plan time, and parse
+    rows accordingly (missing keys -> NULL)."""
+    from se_data_pipeline_spark.operators.udtf import make_kv_parse_udtf
+
+    spark.udtf.register("kv_parse", make_kv_parse_udtf())
+    spark.createDataFrame(
+        [(1, "a=x;b=y"), (2, "b=z;c=w"), (3, None)],
+        "row_id bigint, props string",
+    ).createOrReplaceTempView("kv_rows")
+
+    out = spark.sql(
+        """SELECT t.* FROM kv_rows,
+           LATERAL kv_parse(row_id, props, 'a,b') t"""
+    )
+    assert [f.name for f in out.schema.fields] == ["row_id", "a", "b"]
+    rows = {r["row_id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: ("x", "y"), 2: (None, "z"), 3: (None, None)}
