@@ -893,6 +893,12 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cell ON e.label = cell.label
       CROSS JOIN q
       ORDER BY {_SQL_COS} DESC, e.vec_id LIMIT 10),
+    probes AS (
+      SELECT xor(qbucket, m) AS bucket FROM qb,
+             (SELECT unnest([0, 1, 2, 4, 8]) AS m)),
+    mlsh AS (
+      SELECT e.vec_id FROM b e JOIN probes USING (bucket) CROSS JOIN qb q
+      ORDER BY {_SQL_COS} DESC, e.vec_id LIMIT 10),
     r AS (
       SELECT 'ivf' AS method,
              (SELECT COUNT(*) FROM ivf) AS n_retrieved,
@@ -901,7 +907,11 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'lsh',
              (SELECT COUNT(*) FROM lsh),
-             (SELECT COUNT(*) FROM lsh JOIN brute USING (vec_id)))
+             (SELECT COUNT(*) FROM lsh JOIN brute USING (vec_id))
+      UNION ALL
+      SELECT 'lsh_multiprobe',
+             (SELECT COUNT(*) FROM mlsh),
+             (SELECT COUNT(*) FROM mlsh JOIN brute USING (vec_id)))
     SELECT method,
            CAST(n_retrieved AS BIGINT) AS n_retrieved,
            CAST(n_overlap AS BIGINT)   AS n_overlap,
@@ -934,6 +944,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute10 = embedding_knn_brute(spark, sf_dir).limit(10).select("vec_id")
     variants = {
         "lsh": embedding_knn_lsh(spark, sf_dir).select("vec_id"),
+        "lsh_multiprobe": embedding_knn_lsh_multiprobe(
+            spark, sf_dir
+        ).select("vec_id"),
         "ivf": embedding_knn_ivf(spark, sf_dir).select("vec_id"),
     }
     reports = []
@@ -956,3 +969,70 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("method")
+
+
+@query(
+    "embedding_knn_lsh_multiprobe",
+    oracle=f"""
+    WITH b AS (
+      SELECT *,
+             (CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[14] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[28] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[42] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    qb AS (SELECT qq.embedding AS q, b2.bucket AS qbucket
+           FROM (SELECT embedding, vec_id FROM embeddings
+                 ORDER BY vec_id LIMIT 1) qq
+           JOIN b b2 ON b2.vec_id = qq.vec_id),
+    probes AS (
+      SELECT xor(qbucket, m) AS bucket FROM qb,
+             (SELECT unnest([0, 1, 2, 4, 8]) AS m))
+    SELECT e.vec_id, e.bucket, ROUND({_SQL_COS}, 6) AS cos_sim
+    FROM b e JOIN probes USING (bucket) CROSS JOIN qb q
+    ORDER BY {_SQL_COS} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def embedding_knn_lsh_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-PROBE LSH ANN: score the query's own sign-bucket PLUS
+    every bucket at Hamming distance 1 (flip each of the 4
+    hyperplane bits) — 5 of 16 buckets. Multi-probe is the standard
+    recall lever for LSH (Lv et al. 2007): a near neighbor that
+    lands a hair on the other side of ONE hyperplane is recovered
+    without adding tables or rebuilding anything; `ann_recall_report`
+    measures the gain against single-probe.
+
+    Scale shape is unchanged from single-probe: the probe set is a
+    5-row broadcast joined on the bucket key (partition pruning when
+    the table is bucket-partitioned), candidates ≈ 5/16 of the data
+    instead of 1/16 — the recall/cost dial, turned explicitly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    bucketed = emb.repartition(par).withColumn(
+        "bucket", sign_bucket(F.col("embedding"), [0, 13, 27, 41])
+    )
+    qrow = (
+        bucketed.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("embedding").alias("q"), F.col("bucket").alias("qbucket")
+        )
+    )
+    masks = spark.range(0, 1).select(
+        F.explode(F.array(*[F.lit(m) for m in (0, 1, 2, 4, 8)])).alias("m")
+    )
+    probes = qrow.crossJoin(masks).select(
+        "q", (F.col("qbucket").bitwiseXOR(F.col("m"))).alias("bucket")
+    )
+    rows = bucketed.join(F.broadcast(probes), "bucket").select(
+        "vec_id", "bucket", F.col("embedding").alias("v"), "q"
+    )
+    return (
+        _score_against_query(rows, "bucket")
+        .orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "bucket", F.round("raw_sim", 6).alias("cos_sim"))
+    )
