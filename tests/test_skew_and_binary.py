@@ -205,3 +205,34 @@ def test_salted_rollup_on_mega_user_skew(spark, tmp_path):
         .count()
     )
     assert n_salt_groups == 16
+
+
+def test_passage_dedup_with_universal_boilerplate(spark, tmp_path):
+    """Every document shares one boilerplate sentence (the hottest
+    possible window keys — present in 100% of docs). The inverted
+    index must stay correct: every doc reports the boilerplate span,
+    and a doc whose ENTIRE text is the boilerplate shows full
+    coverage."""
+    import os
+
+    from se_data_pipeline_spark.queries import all_queries
+
+    boiler = "all rights reserved contact us for more info"  # 8 tokens
+    rows = [(i, f"unique{i}a unique{i}b {boiler} tail{i}") for i in range(1, 40)]
+    rows.append((40, boiler))  # pure-boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d = str(tmp_path / "sf_boiler")
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["doc_duplicate_passages"](spark, d).collect()
+    }
+    assert len(out) == 40
+    # 8-token boilerplate -> 4 overlapping k=5 windows, one span of 8
+    for i in range(1, 40):
+        assert out[i]["n_dup_windows"] == 4, i
+        assert out[i]["n_dup_spans"] == 1
+        assert out[i]["dup_tokens"] == 8
+    assert out[40]["dup_tokens"] == 8
+    assert out[40]["dup_coverage"] == 1.0
