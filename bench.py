@@ -94,6 +94,7 @@ HEADLINE = [
     "orders_daily_backlog",
     "doc_ngram_novelty",
     "ann_recall_report",
+    "embedding_knn_lsh_multiprobe",
 ]
 
 
