@@ -95,6 +95,8 @@ HEADLINE = [
     "doc_ngram_novelty",
     "ann_recall_report",
     "embedding_knn_lsh_multiprobe",
+    "events_ab_test_report",
+    "customer_revenue_pareto",
 ]
 
 

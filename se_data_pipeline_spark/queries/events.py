@@ -1584,3 +1584,90 @@ def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_events") > 0)
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample experiment readout (Welch's t) — experimentation family.
+# --------------------------------------------------------------------------
+@query(
+    "events_ab_test_report",
+    oracle="""
+    WITH assign AS (
+      SELECT value,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM events WHERE event_type = 'purchase'),
+    s AS (
+      SELECT arm, COUNT(*) AS n,
+             AVG(value) AS mu,
+             var_samp(value) AS v
+      FROM assign GROUP BY arm),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.mu AS mean_a, b.mu AS mean_b,
+             a.v / a.n + b.v / b.n AS se2,
+             a.v AS va, b.v AS vb
+      FROM (SELECT * FROM s WHERE arm = 'A') a
+      CROSS JOIN (SELECT * FROM s WHERE arm = 'B') b)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+           ROUND((mean_b - mean_a) / sqrt(se2), 6) AS t_stat,
+           ROUND(se2 * se2
+                 / ((va / n_a) * (va / n_a) / (n_a - 1)
+                    + (vb / n_b) * (vb / n_b) / (n_b - 1)), 6)
+             AS df_welch
+    FROM w
+    """,
+)
+def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout with WELCH's t (unequal
+    variances): purchase values split into arms by a deterministic
+    user-id hash (the assignment rule an experimentation platform
+    uses — stable, no RNG), per-arm mean/variance in ONE
+    combiner-friendly aggregate pass, then the t statistic and
+    Welch-Satterthwaite degrees of freedom computed on the two-row
+    frame. This is the entire scale story of A/B analysis: the data
+    pass is a plain groupBy regardless of table size, and all the
+    statistics happen on O(arms) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.filter(F.col("event_type") == "purchase").select(
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+    )
+    s = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mu").alias("mean_a"),
+        F.col("v").alias("va"),
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mu").alias("mean_b"),
+        F.col("v").alias("vb"),
+    )
+    w = a.crossJoin(F.broadcast(b)).withColumn(
+        "se2", F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")
+    )
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_b") - F.col("mean_a")) / F.sqrt("se2"), 6
+        ).alias("t_stat"),
+        F.round(
+            F.col("se2")
+            * F.col("se2")
+            / (
+                (F.col("va") / F.col("n_a"))
+                * (F.col("va") / F.col("n_a"))
+                / (F.col("n_a") - 1)
+                + (F.col("vb") / F.col("n_b"))
+                * (F.col("vb") / F.col("n_b"))
+                / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )

@@ -1927,3 +1927,79 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto concentration at fixed cuts — window-free revenue share.
+# --------------------------------------------------------------------------
+@query(
+    "customer_revenue_pareto",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS s
+      FROM orders GROUP BY o_custkey),
+    thr AS (
+      SELECT quantile_cont(s, 0.9) AS p90,
+             quantile_cont(s, 0.99) AS p99,
+             SUM(s) AS total,
+             COUNT(*) AS n_customers
+      FROM spend)
+    SELECT CAST(n_customers AS BIGINT) AS n_customers,
+           ROUND(total, 2) AS total_revenue,
+           ROUND(SUM(CASE WHEN s >= p90 THEN s ELSE 0 END) / total, 6)
+             AS top10pct_share,
+           ROUND(SUM(CASE WHEN s >= p99 THEN s ELSE 0 END) / total, 6)
+             AS top1pct_share,
+           CAST(SUM(CASE WHEN s >= p90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top10pct
+    FROM spend CROSS JOIN thr
+    GROUP BY n_customers, total
+    """,
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 readout): what share of total
+    revenue the top-10% and top-1% customers hold — computed WINDOW-
+    FREE at fixed quantile cuts: one per-customer aggregate, one
+    1-row exact-percentile + total frame broadcast back, one
+    conditional-sum pass. The full Lorenz curve would need a global
+    cumulative sort (the unpartitioned-window class this repo bans);
+    fixed cuts answer the operative question — 'how concentrated is
+    revenue' — with the same two-aggregate shape at any scale (swap
+    percentile→percentile_approx past memory bounds, per the RFM
+    note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("s")
+    )
+    thr = spend.agg(
+        F.expr("percentile(s, 0.9)").alias("p90"),
+        F.expr("percentile(s, 0.99)").alias("p99"),
+        F.sum("s").alias("total"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    return (
+        spend.crossJoin(F.broadcast(thr))
+        .groupBy("n_customers", "total")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s") >= F.col("p90"), F.col("s")).otherwise(0.0))
+                / F.col("total"),
+                6,
+            ).alias("top10pct_share"),
+            F.round(
+                F.sum(F.when(F.col("s") >= F.col("p99"), F.col("s")).otherwise(0.0))
+                / F.col("total"),
+                6,
+            ).alias("top1pct_share"),
+            F.sum(F.when(F.col("s") >= F.col("p90"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_top10pct"),
+        )
+        .select(
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round("total", 2).alias("total_revenue"),
+            "top10pct_share",
+            "top1pct_share",
+            "n_top10pct",
+        )
+    )
