@@ -97,6 +97,8 @@ HEADLINE = [
     "embedding_knn_lsh_multiprobe",
     "events_ab_test_report",
     "customer_revenue_pareto",
+    "discount_quantity_regression",
+    "user_behavior_entropy",
 ]
 
 

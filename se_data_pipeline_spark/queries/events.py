@@ -1671,3 +1671,59 @@ def events_ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shannon entropy of per-user behavior (information-theoretic family).
+# --------------------------------------------------------------------------
+@query(
+    "user_behavior_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS k
+      FROM events GROUP BY user_id, event_type),
+    t AS (SELECT user_id, SUM(k) AS n FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(t.n AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(-SUM((k * 1.0 / n) * ln(k * 1.0 / n) / ln(2)), 6)
+             AS entropy_bits
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id, t.n
+    ORDER BY c.user_id
+    """,
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each user's event-type distribution —
+    the behavioral-diversity signal (bots/scripts sit near 0; a user
+    doing everything equally approaches log2(5)). Same metric class
+    curation applies to token distributions.
+
+    Two combiner-friendly aggregates on prefixes of the same key
+    ((user, type) then user) — Catalyst plans the second WITHOUT a
+    new exchange since (user_id, event_type) hash-partitioning
+    already co-locates each user — plus one key-local join for the
+    totals. -Σ p·log₂p is computed in codegen, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    t = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") * 1.0 / F.col("n")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(
+                -F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6
+            ).alias("entropy_bits"),
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            "n_types",
+            "entropy_bits",
+        )
+        .orderBy("user_id")
+    )

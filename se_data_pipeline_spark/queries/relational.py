@@ -2003,3 +2003,50 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_top10pct",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Built-in regression aggregates: discount → quantity elasticity.
+# --------------------------------------------------------------------------
+@query(
+    "discount_quantity_regression",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(regr_slope(l_quantity, l_discount), 6)     AS slope,
+           ROUND(regr_intercept(l_quantity, l_discount), 6) AS intercept,
+           ROUND(regr_r2(l_quantity, l_discount), 6)        AS r2,
+           ROUND(corr(l_discount, l_quantity), 6)           AS pearson_r
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def discount_quantity_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares via the BUILT-IN regression
+    aggregates (regr_slope/intercept/r2, SQL:2003): does a deeper
+    discount move quantity, by return flag? These aggregates are the
+    scale-correct way to fit millions of tiny per-group regressions —
+    each is a handful of running moments (sum x, sum y, sum xy, sum
+    x², n) with full map-side partial aggregation, one shuffle total;
+    no ML library, no per-group data collection, no iteration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope("l_quantity", "l_discount"), 6).alias(
+                "slope"
+            ),
+            F.round(
+                F.regr_intercept("l_quantity", "l_discount"), 6
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_quantity", "l_discount"), 6).alias("r2"),
+            F.round(F.corr("l_discount", "l_quantity"), 6).alias(
+                "pearson_r"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
