@@ -1981,14 +1981,28 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         spend.crossJoin(F.broadcast(thr))
         .groupBy("n_customers", "total")
         .agg(
+            # try_divide: an all-zero-revenue corpus (degenerate
+            # sweep) makes total 0 -> NULL share, not an ANSI error
             F.round(
-                F.sum(F.when(F.col("s") >= F.col("p90"), F.col("s")).otherwise(0.0))
-                / F.col("total"),
+                F.try_divide(
+                    F.sum(
+                        F.when(
+                            F.col("s") >= F.col("p90"), F.col("s")
+                        ).otherwise(0.0)
+                    ),
+                    F.col("total"),
+                ),
                 6,
             ).alias("top10pct_share"),
             F.round(
-                F.sum(F.when(F.col("s") >= F.col("p99"), F.col("s")).otherwise(0.0))
-                / F.col("total"),
+                F.try_divide(
+                    F.sum(
+                        F.when(
+                            F.col("s") >= F.col("p99"), F.col("s")
+                        ).otherwise(0.0)
+                    ),
+                    F.col("total"),
+                ),
                 6,
             ).alias("top1pct_share"),
             F.sum(F.when(F.col("s") >= F.col("p90"), 1).otherwise(0))
