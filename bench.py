@@ -99,6 +99,8 @@ HEADLINE = [
     "customer_revenue_pareto",
     "discount_quantity_regression",
     "user_behavior_entropy",
+    "events_markov_transitions",
+    "doc_readability",
 ]
 
 

@@ -1727,3 +1727,60 @@ def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral Markov chain: event-type transition probabilities.
+# --------------------------------------------------------------------------
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    pairs AS (
+      SELECT cur, nxt, COUNT(*) AS k
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    tot AS (SELECT cur, SUM(k) AS n FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt,
+           CAST(p.k AS BIGINT) AS n_transitions,
+           ROUND(p.k * 1.0 / t.n, 6) AS p_transition
+    FROM pairs p JOIN tot t USING (cur)
+    ORDER BY p.cur, p.nxt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type), estimated from every
+    consecutive pair — the sequence-model baseline for session
+    prediction, bot detection (degenerate chains), and funnel design
+    (where probability mass actually flows vs where the funnel
+    assumes it does).
+
+    The only per-event work is one lead() window PARTITIONED BY
+    user_id (bounded state, deterministic (ts, event_id) order);
+    pair and row-normalization aggregates then operate on ≤|types|²
+    rows. A higher-order chain is the same shape with a longer lead
+    key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("k"))
+    tot = pairs.groupBy("cur").agg(F.sum("k").alias("n"))
+    return (
+        pairs.join(tot, "cur")
+        .select(
+            "cur",
+            "nxt",
+            F.col("k").cast("long").alias("n_transitions"),
+            F.round(F.col("k") * 1.0 / F.col("n"), 6).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("cur", "nxt")
+    )

@@ -1956,3 +1956,70 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease, vowel-group syllables).
+# --------------------------------------------------------------------------
+@query(
+    "doc_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len([x for x in string_split(text, ' ') if x <> ''])
+               AS n_words,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_syllables,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS INTEGER)     AS n_words,
+           CAST(n_syllables AS INTEGER) AS n_syllables,
+           CAST(n_sentences AS INTEGER) AS n_sentences,
+           ROUND(206.835
+                 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6  * (n_syllables * 1.0 / n_words), 6)
+             AS flesch_score
+    FROM m WHERE n_words > 0
+    ORDER BY doc_id
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with the standard cheap
+    syllable proxy (maximal vowel-group runs — the heuristic every
+    at-scale readability pass uses, since true syllabification needs
+    a dictionary). Words/sentences/syllables are all single-pass
+    regexp/HOF counts in codegen — zero shuffles, zero UDFs — and
+    the formula is row-local arithmetic. Readability joins length /
+    repetition / perplexity in the quality-signal family; unlike
+    them it is sentence-structure-aware, which is what catches
+    boilerplate lists and keyword stuffing that token stats miss."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_nz = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    n_words = F.size(toks_nz)
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        n_sent.alias("n_sentences"),
+    ).filter(F.col("n_words") > 0)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words") * 1.0 / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables") * 1.0 / F.col("n_words")),
+            6,
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")
