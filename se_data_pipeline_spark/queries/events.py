@@ -1784,3 +1784,55 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cur", "nxt")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square goodness-of-fit: is traffic uniform across event types?
+# --------------------------------------------------------------------------
+@query(
+    "events_type_uniformity_chi2",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, COUNT(*) AS k FROM events GROUP BY event_type),
+    t AS (SELECT SUM(k) AS n, COUNT(*) AS c FROM o)
+    SELECT CAST(t.n AS BIGINT) AS n_events,
+           CAST(t.c AS BIGINT) AS n_types,
+           ROUND(SUM((k - n * 1.0 / c) * (k - n * 1.0 / c)
+                     / (n * 1.0 / c)), 6) AS chi2_stat,
+           CAST(t.c - 1 AS BIGINT) AS df
+    FROM o CROSS JOIN t
+    GROUP BY t.n, t.c
+    """,
+)
+def events_type_uniformity_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square goodness-of-fit of the event-type distribution
+    against uniform — the drift/health check a pipeline runs on every
+    ingest batch (a collapsing event mix means an SDK broke, not that
+    users changed). One groupBy over the data, then the statistic on
+    the |types|-row frame with the expected count broadcast — the
+    same O(data) + O(groups) split as the A/B and entropy queries;
+    swap the uniform expectation for yesterday's observed shares and
+    this is a two-sample drift monitor."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("k"))
+    t = o.agg(
+        F.sum("k").alias("n"), F.count(F.lit(1)).alias("c")
+    )
+    e = F.col("n") * 1.0 / F.col("c")
+    return (
+        o.crossJoin(F.broadcast(t))
+        .groupBy("n", "c")
+        .agg(
+            F.round(
+                F.sum((F.col("k") - e) * (F.col("k") - e) / e), 6
+            ).alias("chi2_stat")
+        )
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            F.col("c").cast("long").alias("n_types"),
+            "chi2_stat",
+            (F.col("c") - 1).cast("long").alias("df"),
+        )
+    )
