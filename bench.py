@@ -125,15 +125,26 @@ def main() -> None:
     # three runs is the reproducible cost of the physical plan
     # itself.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _pass in range(3):
         for name in HEADLINE:
+            if name in errors:
+                continue  # failed on an earlier pass; don't retry 3x
             t0 = time.perf_counter()
             # Arrow-batched materialization (toPandas), not .collect():
             # collect() pickles row objects through the JVM<->Python
             # socket one at a time and costs ~4x more than the window
             # compute itself on 150k-row results; Arrow is the
             # engine's actual serving path for analytic consumers.
-            qs[name](spark, sf_dir).toPandas()
+            try:
+                qs[name](spark, sf_dir).toPandas()
+            except Exception as exc:  # noqa: BLE001 — one bad query
+                # must never zero the whole benchmark (round-3 bench
+                # recorded rc=1 / 0 queries because a single
+                # AnalysisException aborted the run).
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                per_query.pop(name, None)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             if name not in per_query or dt < per_query[name]:
                 per_query[name] = dt
@@ -153,19 +164,18 @@ def main() -> None:
             calib = dt
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "n_queries": len(HEADLINE),
-                "calib_sec": calib,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "n_queries": len(HEADLINE),
+        "calib_sec": calib,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
