@@ -24,6 +24,7 @@ SALT_COL = "__salt"
 _ASOF_ORD = "__asof_ord"
 _ASOF_SIDE = "__asof_side"
 _ASOF_PAYLOAD = "__asof_payload"
+_BLOOM_WORDS = "__bloom_words"
 
 
 def with_salt(df: DataFrame, salt: int) -> DataFrame:
@@ -60,6 +61,80 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return salted_fact.join(replicated_dim, [key, SALT_COL]).drop(SALT_COL)
+
+
+def _bloom_positions(key: Column, n_bits: int, k: int) -> list[Column]:
+    """k bit positions for `key` via Kirsch–Mitzenmacher double
+    hashing over one xxhash64 value: pos_i = (h1 + i*h2) mod n_bits.
+    h1 uses the low bits, h2 disjoint high bits (so the two strides
+    are independent for n_bits ≤ 2^17); every product stays below
+    k * n_bits, so the arithmetic can never trip ANSI overflow."""
+    h = F.xxhash64(key)
+    h1 = F.pmod(h, F.lit(n_bits))
+    # +1 keeps the stride non-zero (h2 == 0 would pin all k probes
+    # to the same bit and inflate the false-positive rate).
+    h2 = F.pmod(F.shiftrightunsigned(h, 17), F.lit(n_bits - 1)) + F.lit(1)
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(k)]
+
+
+def bloom_build(build: DataFrame, key: str | Column, n_bits: int = 1 << 17,
+                k: int = 3) -> list[int]:
+    """Aggregate the build side's join keys into a bloom bitset,
+    returned as n_bits/64 longs (16 KiB at the default 2^17 bits —
+    a broadcast-sized summary of arbitrarily many keys).
+
+    This is the explicit form of the runtime filter Catalyst injects
+    for big joins (InjectRuntimeFilters): at 100 TB, shipping a KB-
+    scale bitset to every probe-side task and filtering BEFORE the
+    shuffle beats shuffling rows that the join will drop anyway. The
+    build job is one explode (k rows/key) + one ≤ n_bits/64-row
+    bit_or aggregation; the collect here materializes the bitset,
+    not data. False positives only reduce pruning efficiency — the
+    caller re-joins exactly, so results stay exact.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    pos = F.explode(
+        F.array(*_bloom_positions(key_col, n_bits, k))
+    ).alias("pos")
+    rows = (
+        build.select(pos)
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * (n_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_prune(probe: DataFrame, key: str | Column, words: list[int],
+                n_bits: int = 1 << 17, k: int = 3) -> DataFrame:
+    """Keep only probe rows whose key might be in the bloom bitset
+    (all k probed bits set). The bitset rides in a broadcast 1-row
+    frame — not a plan literal, so explain() output stays readable —
+    and the membership test is pure Catalyst (element_at + getbit),
+    map-side, before any shuffle the caller adds."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    spark = probe.sparkSession
+    wdf = spark.createDataFrame([(words,)], f"{_BLOOM_WORDS}: array<bigint>")
+    word_of = F.col(_BLOOM_WORDS)
+    cond = None
+    for p in _bloom_positions(key_col, n_bits, k):
+        word = F.element_at(word_of, (F.shiftright(p, 6) + 1).cast("int"))
+        bit = F.getbit(word, p.bitwiseAND(F.lit(63))) == 1
+        cond = bit if cond is None else (cond & bit)
+    return (
+        probe.crossJoin(F.broadcast(wdf))
+        .filter(cond)
+        .drop(_BLOOM_WORDS)
+    )
 
 
 def asof_join(

@@ -2064,3 +2064,72 @@ def discount_quantity_regression(
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Explicit bloom-filter join pruning (the manual form of Catalyst's
+# InjectRuntimeFilters, SURVEY §4.2): the selective dimension side is
+# summarized into a 16 KiB bitset that filters the fact side BEFORE
+# its join shuffle. The final exact join makes false positives
+# harmless, so the oracle is the plain join.
+# --------------------------------------------------------------------------
+@query(
+    "bloom_pruned_urgent_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bloom_pruned_urgent_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue from line items of recent urgent orders, with the
+    lineitem side bloom-pruned on l_orderkey before the join.
+
+    Why this shape matters at 100 TB: the filtered orders side is
+    selective (~4% of orders), but lineitem is the 4x-bigger fact
+    table and a plain shuffled join moves ALL of it. `bloom_build`
+    compresses the surviving orderkeys into a 2^17-bit bitset (16
+    KiB, constant regardless of key count); `bloom_prune` applies it
+    map-side inside the lineitem scan stage, so ~96% of lineitem
+    rows never enter the join exchange. The exact join afterwards
+    drops bloom false positives — results are byte-identical to the
+    plain join, only the shuffle volume changes. This is precisely
+    what Spark's runtime-filter injection does when thresholds
+    trigger; the explicit form works at any size and under any
+    config."""
+    from se_data_pipeline_spark.functions.joins import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    words = bloom_build(orders, "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", words)
+    return (
+        pruned.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            pruned.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -735,3 +735,41 @@ def test_kv_parse_udtf_schema_from_arguments(spark):
     assert [f.name for f in out.schema.fields] == ["row_id", "a", "b"]
     rows = {r["row_id"]: (r["a"], r["b"]) for r in out.collect()}
     assert rows == {1: ("x", "y"), 2: (None, "z"), 3: (None, None)}
+
+
+def test_bloom_prune_keeps_all_members_and_prunes_most(spark):
+    from se_data_pipeline_spark.functions.joins import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.range(0, 200).withColumnRenamed("id", "k")
+    probe = spark.range(0, 20000).withColumnRenamed("id", "k")
+    words = bloom_build(build, "k", n_bits=1 << 14, k=3)
+    assert len(words) == (1 << 14) // 64
+    kept = bloom_prune(probe, "k", words, n_bits=1 << 14, k=3)
+    kept_keys = {r.k for r in kept.collect()}
+    # no false negatives — every build key survives
+    assert set(range(200)) <= kept_keys
+    # pruning actually prunes: 200 members + bounded false positives
+    # (k=3, 600 bits of 16384 set → fp ≈ (600/16384)^3 ≈ 5e-5; give
+    # two orders of magnitude slack so the test can never flake)
+    assert len(kept_keys) < 200 + 100
+
+
+def test_bloom_prune_exact_after_rejoin(spark):
+    from se_data_pipeline_spark.functions.joins import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.range(0, 50).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 1000).withColumnRenamed("id", "k")
+    words = bloom_build(build, "k", n_bits=1 << 10, k=3)
+    got = (
+        bloom_prune(probe, "k", words, n_bits=1 << 10, k=3)
+        .join(build, "k")
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.k for r in got] == [7 * i for i in range(50) if 7 * i < 1000]
