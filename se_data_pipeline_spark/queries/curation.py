@@ -590,3 +590,62 @@ def corpus_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("keep_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contiguous global ID assignment without a global window — the
+# scalable zipWithIndex: range-partition on the sort key, count per
+# partition (a job over ≤ n_partitions rows), turn the counts into
+# per-partition offsets on the driver, then offset + per-partition
+# row_number. Every training pipeline needs stable dense ids (shard
+# addressing, example indexing); the naive ROW_NUMBER() OVER
+# (ORDER BY ...) funnels 100 TB through ONE task.
+# --------------------------------------------------------------------------
+@query(
+    "doc_stable_ids",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             AS stable_id
+    FROM documents
+    """,
+)
+def doc_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based ids in doc_id order, computed with NO
+    unpartitioned window: repartitionByRange(32, doc_id) gives
+    ordered disjoint key ranges (partition i's keys all precede
+    partition i+1's), per-partition counts collect as ≤ 32 rows, a
+    prefix sum over them on the driver yields each partition's global
+    offset, and the id is offset + row_number within the partition.
+    Three narrow stages; the only full-data exchange is the range
+    partitioning itself. Boundaries are deterministic for a fixed
+    lineage (RangePartitioner samples with a fixed seed), so the
+    counts job and the output job see identical partitioning; at
+    cluster scale you'd persist the ranged frame to pin it across
+    the two jobs."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ranged = docs.repartitionByRange(32, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").count().collect()
+    acc = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], acc))
+        acc += row["count"]
+    offsets_df = spark.createDataFrame(
+        offsets, "pid: int, offset: bigint"
+    )
+    w = W.partitionBy("pid").orderBy("doc_id")
+    return (
+        ranged.withColumn("local_rank", F.row_number().over(w))
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_rank") - 1).alias(
+                "stable_id"
+            ),
+        )
+    )

@@ -1836,3 +1836,88 @@ def events_type_uniformity_chi2(
             (F.col("c") - 1).cast("long").alias("df"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Slowly-changing-dimension (type 2) build via gaps-and-islands: the
+# warehouse pattern for turning an event stream into versioned
+# dimension rows with [valid_from, valid_to] ranges.
+# --------------------------------------------------------------------------
+@query(
+    "user_tier_scd2",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             ROUND(SUM(value), 6) AS daily_value
+      FROM events GROUP BY user_id, date_trunc('day', ts)),
+    tiers AS (
+      SELECT user_id, day,
+             CASE WHEN daily_value < 75 THEN 'low'
+                  WHEN daily_value < 200 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM daily),
+    flagged AS (
+      SELECT user_id, day, tier,
+             CASE WHEN tier = LAG(tier) OVER (
+               PARTITION BY user_id ORDER BY day) THEN 0 ELSE 1
+             END AS changed
+      FROM tiers),
+    islands AS (
+      SELECT user_id, day, tier,
+             SUM(changed) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS version
+      FROM flagged)
+    SELECT user_id, CAST(version AS BIGINT) AS version, tier,
+           MIN(day) AS valid_from, MAX(day) AS valid_to,
+           COUNT(*) AS n_days
+    FROM islands
+    GROUP BY user_id, version, tier
+    """,
+)
+def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each user's spend tier: consecutive same-tier
+    days collapse into one versioned interval row (gaps-and-islands:
+    change flag vs LAG, running SUM numbers the islands, one groupBy
+    collapses them).
+
+    Scale shape: the daily rollup is one shuffle on (user_id, day)
+    with full map-side combine; both windows and the final groupBy
+    share the user_id partitioning, so Catalyst plans a single
+    additional exchange — three narrow passes total, no matter how
+    long the history. This is the standard way to build dimension
+    history at warehouse scale: the alternative MERGE-per-batch
+    rewrites the dimension daily; the islands form rebuilds it in
+    one linear pass and is idempotent."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("daily_value"))
+        .withColumn(
+            "tier",
+            F.when(F.col("daily_value") < 75, "low")
+            .when(F.col("daily_value") < 200, "mid")
+            .otherwise("high"),
+        )
+    )
+    order = W.partitionBy("user_id").orderBy("day")
+    flagged = daily.withColumn(
+        "changed",
+        F.when(
+            F.col("tier") == F.lag("tier").over(order), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "version",
+        F.sum("changed").over(
+            order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return islands.groupBy("user_id", "version", "tier").agg(
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
