@@ -101,6 +101,11 @@ HEADLINE = [
     "user_behavior_entropy",
     "events_markov_transitions",
     "doc_readability",
+    "bloom_pruned_urgent_revenue",
+    "user_tier_scd2",
+    "doc_stable_ids",
+    "orders_cdc_merge",
+    "events_quantile_sketch_rollup",
 ]
 
 

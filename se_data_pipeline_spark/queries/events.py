@@ -1921,3 +1921,178 @@ def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("valid_to"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch rollup: fixed-width histogram sketches
+# built per (day, hour), merged to day level by vector addition, day
+# quantiles read off the merged cumulative histogram. The histogram
+# estimate is deterministic, so BOTH engines compute est AND exact
+# and every value is hash-checked (stronger than a TRUE-contract).
+# --------------------------------------------------------------------------
+@query(
+    "events_quantile_sketch_rollup",
+    oracle="""
+    WITH ev AS (
+      SELECT date_trunc('day', ts) AS day,
+             date_trunc('hour', ts) AS hour, value
+      FROM events),
+    n_day AS (
+      SELECT day, COUNT(*) AS n_events FROM ev GROUP BY day),
+    hour_sketch AS (
+      SELECT day, hour, CAST(FLOOR(value / 0.25) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM ev GROUP BY day, hour, bin),
+    day_sketch AS (
+      SELECT day, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM hour_sketch GROUP BY day, bin),
+    day_cum AS (
+      SELECT day, bin, SUM(cnt) OVER (
+        PARTITION BY day ORDER BY bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM day_sketch),
+    est AS (
+      SELECT c.day,
+             MIN(CASE WHEN c.cum >= CEIL(0.5 * n.n_events)
+                 THEN c.bin END) * 0.25 AS p50_est,
+             MIN(CASE WHEN c.cum >= CEIL(0.9 * n.n_events)
+                 THEN c.bin END) * 0.25 AS p90_est
+      FROM day_cum c JOIN n_day n USING (day) GROUP BY c.day),
+    val_cum AS (
+      SELECT day, value, COUNT(*) OVER (
+        PARTITION BY day ORDER BY value
+        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM ev),
+    exact AS (
+      SELECT v.day,
+             MIN(CASE WHEN v.r >= CEIL(0.5 * n.n_events)
+                 THEN v.value END) AS p50_exact,
+             MIN(CASE WHEN v.r >= CEIL(0.9 * n.n_events)
+                 THEN v.value END) AS p90_exact
+      FROM val_cum v JOIN n_day n USING (day) GROUP BY v.day)
+    SELECT n.day, n.n_events,
+           e.p50_est, x.p50_exact,
+           (x.p50_exact >= e.p50_est
+            AND x.p50_exact - e.p50_est < 0.25) AS p50_within_bin,
+           e.p90_est, x.p90_exact,
+           (x.p90_exact >= e.p90_est
+            AND x.p90_exact - e.p90_est < 0.25) AS p90_within_bin
+    FROM n_day n JOIN est e USING (day) JOIN exact x USING (day)
+    ORDER BY n.day
+    """,
+)
+def events_quantile_sketch_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantiles from merged histogram sketches — the mergeable-
+    summary architecture for percentile dashboards at 100 TB:
+
+    1. per (day, hour): value -> fixed-width bin (w=0.25, an exact
+       binary fraction, so bin*w is bit-identical across engines),
+       sparse (bin, count) rows — a KB-scale sketch per hour no
+       matter how many events;
+    2. merge hour sketches to day level: groupBy(day, bin) SUM — the
+       merge is exact vector addition, associative and re-groupable
+       to ANY rollup level (hour->day->week) without re-reading the
+       fact table;
+    3. read p50/p90 off the cumulative merged histogram: first bin
+       whose cumulative count reaches ceil(q*n) is the bin holding
+       the q-th order statistic, so the estimate's error is bounded
+       by the bin width BY CONSTRUCTION.
+
+    The exact per-day order statistics are computed alongside (one
+    partitioned range window) and shipped with within-bin booleans;
+    every column, estimate and exact, is value-hash-checked against
+    DuckDB running the identical algorithm. All windows are
+    partitioned by day — nothing funnels to one task. applyInPandas
+    appears nowhere: the whole sketch is three groupBys and two
+    windows, pure JVM."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    n_day = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    hour_sketch = ev.groupBy(
+        "day", "hour", F.floor(F.col("value") / 0.25).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    day_sketch = hour_sketch.groupBy("day", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    cum_w = (
+        W.partitionBy("day")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    day_cum = day_sketch.withColumn("cum", F.sum("cnt").over(cum_w))
+    est = (
+        day_cum.join(n_day, "day")
+        .groupBy("day")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.ceil(0.5 * F.col("n_events")),
+                        F.col("bin"),
+                    )
+                )
+                * 0.25
+            ).alias("p50_est"),
+            (
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.ceil(0.9 * F.col("n_events")),
+                        F.col("bin"),
+                    )
+                )
+                * 0.25
+            ).alias("p90_est"),
+        )
+    )
+    rank_w = (
+        W.partitionBy("day")
+        .orderBy("value")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    val_cum = ev.withColumn("r", F.count(F.lit(1)).over(rank_w))
+    exact = (
+        val_cum.join(n_day, "day")
+        .groupBy("day")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("r") >= F.ceil(0.5 * F.col("n_events")),
+                    F.col("value"),
+                )
+            ).alias("p50_exact"),
+            F.min(
+                F.when(
+                    F.col("r") >= F.ceil(0.9 * F.col("n_events")),
+                    F.col("value"),
+                )
+            ).alias("p90_exact"),
+        )
+    )
+    return (
+        n_day.join(est, "day")
+        .join(exact, "day")
+        .select(
+            "day",
+            "n_events",
+            "p50_est",
+            "p50_exact",
+            (
+                (F.col("p50_exact") >= F.col("p50_est"))
+                & (F.col("p50_exact") - F.col("p50_est") < 0.25)
+            ).alias("p50_within_bin"),
+            "p90_est",
+            "p90_exact",
+            (
+                (F.col("p90_exact") >= F.col("p90_est"))
+                & (F.col("p90_exact") - F.col("p90_est") < 0.25)
+            ).alias("p90_within_bin"),
+        )
+        .orderBy("day")
+    )

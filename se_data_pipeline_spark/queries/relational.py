@@ -2133,3 +2133,68 @@ def bloom_pruned_urgent_revenue(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# CDC MERGE (upsert + delete apply) without a table format: the
+# warehouse MERGE INTO re-expressed as anti-join + union. The change
+# set is derived deterministically from orders in BOTH engines, so
+# the oracle is plain SQL over the same parquet.
+# --------------------------------------------------------------------------
+@query(
+    "orders_cdc_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    changes AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice + 10.0 AS new_price,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 2 = 0),
+    kept AS (
+      SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+      FROM base b LEFT JOIN changes c ON b.o_orderkey = c.o_orderkey
+      WHERE c.o_orderkey IS NULL)
+    SELECT o_orderkey, o_custkey, o_totalprice FROM kept
+    UNION ALL
+    SELECT o_orderkey, o_custkey, new_price AS o_totalprice
+    FROM changes WHERE op = 'U'
+    """,
+)
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC batch (op column: U = upsert, D = delete) to a
+    base snapshot — MERGE INTO semantics from first principles:
+
+      kept    = base ANTI JOIN changes-on-key   (rows never touched)
+      result  = kept UNION ALL (changes WHERE op='U')
+
+    A matched 'U' replaces the base row, an unmatched 'U' inserts,
+    'D' deletes, untouched rows pass through — exactly the four MERGE
+    branches, in two set operations and ONE join shuffle (the union
+    is exchange-free). At 100 TB the base would be written bucketed
+    on the key (sources/layout.py), making the anti-join co-located
+    and the whole MERGE map-side; AQE handles a skewed change batch.
+    The change set here is derived from orders by key arithmetic so
+    DuckDB can replay it exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    changes = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 10.0).alias("new_price"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    kept = base.join(
+        changes.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    upserts = changes.filter(F.col("op") == "U").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("new_price").alias("o_totalprice"),
+    )
+    return kept.unionByName(upserts)

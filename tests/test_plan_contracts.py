@@ -284,3 +284,45 @@ def test_rfm_broadcasts_quantile_boundaries(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert pa.count_unpartitioned_windows(plan) == 0
+
+
+def test_bloom_prune_filters_before_join_shuffle(spark, sf_dir):
+    """The bloom membership test must evaluate in the probe scan
+    stage (against the 1-row broadcast bitset), upstream of the
+    exact join — that ordering is the whole point of the pruning."""
+    from se_data_pipeline_spark.queries.relational import (
+        bloom_pruned_urgent_revenue,
+    )
+
+    plan = plan_of(bloom_pruned_urgent_revenue(spark, sf_dir))
+    assert "getbit" in plan  # membership test is pure Catalyst
+    # bitset arrives via broadcast, not as a giant plan literal
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    bloom_at = plan.index("getbit")
+    join_at = plan.index("BroadcastHashJoin")
+    assert bloom_at > join_at  # deeper in the tree = runs earlier
+
+
+def test_stable_ids_has_no_unpartitioned_window(spark, sf_dir):
+    from se_data_pipeline_spark.queries.curation import doc_stable_ids
+
+    df = doc_stable_ids(spark, sf_dir)
+    plan = plan_of(df)
+    assert "row_number" in plan
+    # every Window node carries a partition spec (3 bracket groups:
+    # exprs, partition, order) — nothing funnels to one task
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert line.count("[") >= 3, line
+    rows = df.orderBy("stable_id").collect()
+    assert [r.stable_id for r in rows] == list(range(len(rows)))
+
+
+def test_cdc_merge_single_join_shuffle(spark, sf_dir):
+    from se_data_pipeline_spark.queries.relational import orders_cdc_merge
+
+    df = orders_cdc_merge(spark, sf_dir)
+    plan = plan_of(df)
+    # MERGE = one anti join + union; the union adds no exchange
+    assert "LeftAnti" in plan
+    assert "Union" in plan
