@@ -1809,26 +1809,34 @@ def part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear together in the same order at least twice — the
     association-rule / recommender candidate generator.
 
-    The self-join fans out quadratically PER ORDER, not per table:
-    after the distinct (order, part) projection, an order with m
-    parts emits C(m,2) pairs, and m is bounded by order size (~7 in
-    TPC-H shapes, bounded by basket size in any real catalog) — so
-    total pairs ≈ rows × (m-1)/2, a constant factor, NOT an O(n²)
-    blowup. The join shuffles both sides on l_orderkey (equi-key),
-    the pair count is a map-side-combinable aggregate, and the final
-    cut is TakeOrderedAndProject. The HAVING >= 2 support floor is
-    the standard a-priori pruning step."""
+    NOT a self-join: the classic items-a JOIN items-b ON same-order
+    re-shuffles the projection twice and re-evaluates its subtree on
+    both sides. Instead collect_set(l_partkey) per order (ONE shuffle
+    with map-side partial sets — the set also dedups repeat parts),
+    then emit C(m,2) pairs from each sorted basket with an array HOF
+    inside codegen. Fan-out is quadratic PER ORDER, not per table: m
+    is bounded by basket size (~7 here), so pairs ≈ rows × (m-1)/2.
+    The pair count is map-side-combinable and the final cut is
+    TakeOrderedAndProject. The HAVING >= 2 support floor is the
+    standard a-priori pruning step."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        """transform(parts, (x, i) ->
+                             transform(slice(parts, i + 2, size(parts)),
+                                       y -> struct(x AS part_a,
+                                                   y AS part_b)))"""
+                    )
+                )
+            ).alias("pair")
+        )
     )
+    pairs = baskets.select("pair.part_a", "pair.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))

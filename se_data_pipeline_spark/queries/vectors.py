@@ -949,26 +949,33 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("vec_id"),
         "ivf": embedding_knn_ivf(spark, sf_dir).select("vec_id"),
     }
-    reports = []
+    # ONE plan, not one per variant: tag each variant's ids, union,
+    # left-join the broadcast ground truth once, aggregate by tag.
+    # The naive per-variant form re-evaluates the brute-force subtree
+    # for every semi-join (3 full scans) and launches 9 jobs; this
+    # shape scans each subtree exactly once.
+    tagged = None
     for method, df in sorted(variants.items()):
-        n_ret = df.agg(F.count(F.lit(1)).alias("n_retrieved"))
-        n_ov = df.join(F.broadcast(brute10), "vec_id", "left_semi").agg(
-            F.count(F.lit(1)).alias("n_overlap")
+        t = df.select(F.lit(method).alias("method"), "vec_id")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    truth = F.broadcast(brute10.withColumn("brute_hit", F.lit(1)))
+    return (
+        tagged.join(truth, "vec_id", "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_retrieved"),
+            F.count("brute_hit").alias("n_overlap"),
         )
-        reports.append(
-            n_ret.crossJoin(F.broadcast(n_ov)).select(
-                F.lit(method).alias("method"),
-                "n_retrieved",
-                "n_overlap",
-                F.round(F.col("n_overlap").cast("double") / 10, 6).alias(
-                    "recall_at_10"
-                ),
-            )
+        .select(
+            "method",
+            "n_retrieved",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / 10, 6).alias(
+                "recall_at_10"
+            ),
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("method")
+        .orderBy("method")
+    )
 
 
 @query(
