@@ -106,6 +106,8 @@ HEADLINE = [
     "doc_stable_ids",
     "orders_cdc_merge",
     "events_quantile_sketch_rollup",
+    "events_twap",
+    "nation_weighted_median_price",
 ]
 
 

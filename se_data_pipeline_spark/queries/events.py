@@ -2096,3 +2096,55 @@ def events_quantile_sketch_rollup(
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP): for irregular event streams the
+# arithmetic mean over-weights bursts; each value is weighted by how
+# long it remained current (piecewise-constant-until-next-event).
+# --------------------------------------------------------------------------
+@query(
+    "events_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, date_trunc('day', ts) AS day, value,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS t_next
+      FROM events)
+    SELECT user_id, day, COUNT(*) AS n_events,
+           CASE WHEN SUM(t_next - t) IS NULL THEN ROUND(AVG(value), 6)
+                ELSE ROUND(SUM(value * (t_next - t))
+                           / SUM(t_next - t), 6)
+           END AS twap
+    FROM seq
+    GROUP BY user_id, day
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user-day TWAP: value_i weighted by its holding time
+    t_{i+1} - t_i (the last event of the day carries no duration;
+    single-event days fall back to the plain mean, which also dodges
+    ANSI division-by-zero). One shuffle on (user_id, day); the LEAD
+    window and the final groupBy share that partitioning. Durations
+    are integer microsecond differences — timezone-invariant, so the
+    NTZ cast matches DuckDB's naive epoch_us exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        "event_id",
+        "ts",
+        _ts_micros(F.col("ts")).alias("t"),
+    ).withColumn("t_next", F.lead("t").over(w))
+    dur = F.col("t_next") - F.col("t")
+    return seq.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.when(F.sum(dur).isNull(), F.round(F.avg("value"), 6))
+        .otherwise(F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6))
+        .alias("twap"),
+    )

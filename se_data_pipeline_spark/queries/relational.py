@@ -2206,3 +2206,77 @@ def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_price").alias("o_totalprice"),
     )
     return kept.unionByName(upserts)
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median without any UDAF: cumulative-weight windows
+# partitioned per group. percentile()/approx handle unweighted
+# quantiles; the weighted form is the one Spark lacks as a built-in.
+# --------------------------------------------------------------------------
+@query(
+    "nation_weighted_median_price",
+    oracle="""
+    WITH j AS (
+      SELECT s_nationkey, l_extendedprice AS price,
+             l_quantity AS wt, l_orderkey, l_linenumber
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey),
+    tot AS (
+      SELECT s_nationkey, SUM(wt) AS total_wt FROM j
+      GROUP BY s_nationkey),
+    cum AS (
+      SELECT s_nationkey, price, SUM(wt) OVER (
+        PARTITION BY s_nationkey
+        ORDER BY price, l_orderkey, l_linenumber
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM j)
+    SELECT c.s_nationkey,
+           MIN(CASE WHEN c.cw >= t.total_wt / 2 THEN c.price END)
+             AS weighted_median_price
+    FROM cum c JOIN tot t USING (s_nationkey)
+    GROUP BY c.s_nationkey
+    ORDER BY c.s_nationkey
+    """,
+)
+def nation_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median line price per supplier nation: the
+    smallest price whose cumulative weight reaches half the group
+    total — exact, no UDAF, no data collection. The cumulative
+    window and both groupBys all partition on s_nationkey, so the
+    whole query is one shuffle plus a broadcast of the 25-row totals;
+    ties in price are ordered by (orderkey, linenumber) so the
+    running sum is deterministic in both engines. At 100 TB a skewed
+    group serializes its window sort — pre-aggregate equal prices
+    per group first (groupBy(nation, price).sum(wt)) if price
+    cardinality is low."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = li.join(
+        F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select(
+        "s_nationkey",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = j.groupBy("s_nationkey").agg(F.sum("wt").alias("total_wt"))
+    cum_w = (
+        W.partitionBy("s_nationkey")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = j.withColumn("cw", F.sum("wt").over(cum_w))
+    return (
+        cum.join(F.broadcast(tot), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cw") >= F.col("total_wt") / 2, F.col("price")
+                )
+            ).alias("weighted_median_price")
+        )
+        .orderBy("s_nationkey")
+    )
