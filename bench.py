@@ -108,6 +108,7 @@ HEADLINE = [
     "events_quantile_sketch_rollup",
     "events_twap",
     "nation_weighted_median_price",
+    "events_in_purchase_windows",
 ]
 
 

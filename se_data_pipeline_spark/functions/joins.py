@@ -221,3 +221,43 @@ def asof_join(
             ],
         )
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: Column,
+    start_ts: Column,
+    end_ts: Column,
+    band: Column,
+) -> DataFrame:
+    """Point-in-interval equi-ish join that stays linear at scale:
+    match every point row to every interval row (same `on` key) with
+    start_ts <= point_ts < end_ts (half-open; a point inside k
+    overlapping intervals emits k rows).
+
+    A naive range-condition join degenerates to per-key quadratic
+    scans (and can never shuffle-partition on the range). Instead
+    both sides are bucketed onto a time grid of `band` (epoch-unit
+    width): points land in ONE bucket, intervals replicate into the
+    ceil(len/band)+1 buckets they overlap, and the join becomes a
+    plain equi-join on (key, bucket) + an exact residual filter.
+    Replication is bounded by interval_length/band + 1 — pick `band`
+    near the TYPICAL interval length so most intervals copy ~2×.
+    All three *_ts args must be in the same epoch unit as `band`
+    (pass integer columns, e.g. unix_micros casts).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    pts = points.withColumn("__band", F.floor(point_ts / band))
+    ivs = intervals.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(F.floor(start_ts / band), F.floor(end_ts / band))
+        ),
+    )
+    return (
+        pts.join(ivs, keys + ["__band"])
+        .filter((point_ts >= start_ts) & (point_ts < end_ts))
+        .drop("__band")
+    )

@@ -2148,3 +2148,65 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6))
         .alias("twap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Point-in-interval join via time-grid banding (functions/joins.py
+# interval_join): a linear-cost replacement for the range-condition
+# theta join Spark would otherwise plan.
+# --------------------------------------------------------------------------
+@query(
+    "events_in_purchase_windows",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_clicks,
+           ROUND(SUM(c.value), 6) AS click_value
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.ts >= p.ts
+     AND c.ts < p.ts + INTERVAL 6 HOUR
+    GROUP BY p.event_id
+    """,
+)
+def events_in_purchase_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Post-purchase engagement: clicks of the same user inside the
+    6-hour window after each purchase (a click inside two overlapping
+    windows credits both — that is the business semantics).
+
+    The range condition is NOT given to the optimizer as a theta
+    join (per-key quadratic, unpartitionable). interval_join buckets
+    both sides onto a 6-hour epoch grid: each click lands in one
+    bucket, each window replicates into the ≤2 buckets it overlaps,
+    and the match becomes a plain equi-join on (user, bucket) plus
+    an exact residual filter — linear rows, shuffled on a composite
+    key AQE can split if one user dominates."""
+    from se_data_pipeline_spark.functions.joins import interval_join
+
+    band_us = 6 * 3_600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "value", _ts_micros(F.col("ts")).alias("t")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        _ts_micros(F.col("ts")).alias("t_start"),
+        (_ts_micros(F.col("ts")) + F.lit(band_us)).alias("t_end"),
+    )
+    matched = interval_join(
+        clicks,
+        purchases,
+        "user_id",
+        F.col("t"),
+        F.col("t_start"),
+        F.col("t_end"),
+        F.lit(band_us),
+    )
+    return matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 6).alias("click_value"),
+    )

@@ -773,3 +773,27 @@ def test_bloom_prune_exact_after_rejoin(spark):
         .collect()
     )
     assert [r.k for r in got] == [7 * i for i in range(50) if 7 * i < 1000]
+
+
+def test_interval_join_half_open_and_overlap(spark):
+    from se_data_pipeline_spark.functions.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 0), (1, 5), (1, 10), (1, 19), (1, 20), (2, 5)],
+        "k: int, t: bigint",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 5, 20, "b"), (2, 100, 110, "c")],
+        "k: int, s: bigint, e: bigint, iv: string",
+    )
+    got = sorted(
+        (r.t, r.iv)
+        for r in interval_join(
+            pts, ivs, "k", F.col("t"), F.col("s"), F.col("e"), F.lit(7)
+        ).collect()
+    )
+    # t=0,5 in [0,10); t=5,10,19 in [5,20); ends exclusive (10 not in
+    # a, 20 not in b); overlapping windows both credited at t=5; key
+    # 2's point misses its interval entirely. Band=7 exercises
+    # intervals spanning 2-3 buckets.
+    assert got == [(0, "a"), (5, "a"), (5, "b"), (10, "b"), (19, "b")]
