@@ -109,6 +109,7 @@ HEADLINE = [
     "events_twap",
     "nation_weighted_median_price",
     "events_in_purchase_windows",
+    "join_key_skew_report",
 ]
 
 

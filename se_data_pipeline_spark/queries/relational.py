@@ -2280,3 +2280,95 @@ def nation_weighted_median_price(
         )
         .orderBy("s_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnostic: the report to run BEFORE choosing a join
+# strategy at scale — per candidate key: cardinality, hottest key,
+# max/mean ratio, count percentiles, and the salt factor that would
+# level the hottest key to the mean task load.
+# --------------------------------------------------------------------------
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH k1 AS (
+      SELECT 'l_suppkey' AS key_name, CAST(l_suppkey AS BIGINT) AS key
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS BIGINT) FROM orders),
+    c AS (
+      SELECT key_name, key, COUNT(*) AS cnt
+      FROM k1 GROUP BY key_name, key)
+    SELECT key_name,
+           COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           MAX(cnt) AS max_rows,
+           MAX({'c': cnt, 'k': key}).k AS hot_key,
+           ROUND(SUM(cnt) * 1.0 / COUNT(*), 6) AS avg_rows,
+           ROUND(quantile_cont(cnt, 0.5), 6) AS p50_rows,
+           ROUND(quantile_cont(cnt, 0.99), 6) AS p99_rows,
+           ROUND(MAX(cnt) * COUNT(*) * 1.0 / SUM(cnt), 6)
+             AS skew_ratio,
+           CAST(CEIL(MAX(cnt) * COUNT(*) * 1.0 / SUM(cnt)) AS BIGINT)
+             AS suggested_salt
+    FROM c GROUP BY key_name ORDER BY key_name
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of three candidate join keys in one pass each:
+    groupBy(key).count() (map-side combinable — the profile costs one
+    shuffle of the KEY space, not the data), then per-key-space
+    aggregates: hottest key (struct-max, deterministic tie-break),
+    exact count percentiles, max/mean skew ratio, and
+    `suggested_salt` = ceil(skew_ratio) — the replication factor
+    that levels the hottest key to the average (functions/joins.py
+    salted_join / salted_count consume it). The percentile aggregate
+    buffers one value per DISTINCT key; profile a sampled key space
+    first if keys themselves are astronomically many."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = (
+        li.select(
+            F.lit("l_suppkey").alias("key_name"),
+            F.col("l_suppkey").cast("bigint").alias("key"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("l_partkey").alias("key_name"),
+                F.col("l_partkey").cast("bigint").alias("key"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.lit("o_custkey").alias("key_name"),
+                F.col("o_custkey").cast("bigint").alias("key"),
+            )
+        )
+    )
+    c = keyed.groupBy("key_name", "key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    skew = F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt")
+    return (
+        c.groupBy("key_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_rows"),
+            F.max(F.struct(F.col("cnt"), F.col("key")))
+            .getField("key")
+            .alias("hot_key"),
+            F.round(F.sum("cnt") / F.count(F.lit(1)), 6).alias(
+                "avg_rows"
+            ),
+            F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_rows"),
+            F.round(F.expr("percentile(cnt, 0.99)"), 6).alias(
+                "p99_rows"
+            ),
+            F.round(skew, 6).alias("skew_ratio"),
+            F.ceil(skew).alias("suggested_salt"),
+        )
+        .orderBy("key_name")
+    )
