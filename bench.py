@@ -110,6 +110,7 @@ HEADLINE = [
     "nation_weighted_median_price",
     "events_in_purchase_windows",
     "join_key_skew_report",
+    "jaccard_prefix_filter_pairs",
 ]
 
 
