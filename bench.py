@@ -111,6 +111,7 @@ HEADLINE = [
     "events_in_purchase_windows",
     "join_key_skew_report",
     "jaccard_prefix_filter_pairs",
+    "part_graph_triangles",
 ]
 
 

@@ -2372,3 +2372,133 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed triangle counting (degree-oriented wedge join) over the
+# part co-occurrence graph — the graph-analytics pattern beyond
+# pagerank/connected-components: orient edges low->high by (degree,
+# id) so every triangle is counted exactly once at its min vertex
+# and wedge fan-out is bounded by out-degree (~sqrt(E) on real
+# graphs), not raw degree.
+# --------------------------------------------------------------------------
+@query(
+    "part_graph_triangles",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT pa AS v FROM edges UNION ALL SELECT pb FROM edges)
+      GROUP BY v),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e1.pb = e2.pa
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           ROUND(3.0 * (SELECT t FROM tri)
+                 / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+             AS clustering_coeff
+    """,
+)
+def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the co-purchase graph (edges =
+    part pairs co-ordered >= 2 times) + global clustering
+    coefficient 3T/W.
+
+    Scale shape: the naive triangle join explodes at hub nodes
+    (wedges at a degree-d node are d²). Orienting every edge from
+    its lower (degree, id) endpoint to the higher makes the wedge
+    join fan out only over OUT-degree — bounded by ~sqrt(E) after
+    orientation on skewed graphs (Suri & Vassilvitskii 2011, the
+    MapReduce triangle-counting bound) — and counts each triangle
+    exactly once at its minimum vertex, no post-dedup. Three keyed
+    shuffles: degree count, wedge self-join on the pivot, closure
+    probe against the edge set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        """transform(parts, (x, i) ->
+                             transform(slice(parts, i + 2, size(parts)),
+                                       y -> struct(x AS pa, y AS pb)))"""
+                    )
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair.pa", "pair.pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient: src = endpoint with smaller (degree, id)
+    e_deg = (
+        edges.join(deg.withColumnRenamed("v", "pa"), "pa")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.withColumnRenamed("v", "pb").withColumnRenamed(
+                "d", "db"
+            ),
+            "pb",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = e_deg.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("w"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u")) & (F.col("x.w") < F.col("y.w")),
+    ).select(
+        F.col("x.w").alias("pa"), F.col("y.w").alias("pb")
+    )
+    tri = wedges.join(edges, ["pa", "pb"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
