@@ -112,6 +112,7 @@ HEADLINE = [
     "join_key_skew_report",
     "jaccard_prefix_filter_pairs",
     "part_graph_triangles",
+    "events_sampled_revenue_estimate",
 ]
 
 

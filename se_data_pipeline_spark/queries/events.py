@@ -2210,3 +2210,84 @@ def events_in_purchase_windows(
         F.count(F.lit(1)).alias("n_clicks"),
         F.round(F.sum("value"), 6).alias("click_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate query processing by deterministic sampling: estimate a
+# total from a 10% hash sample with a Horvitz-Thompson CI. The
+# sampler is a multiplicative hash both engines express exactly, so
+# the sample — and therefore every output value — is identical and
+# hash-checked; the CI verdict is computed against the exact twin in
+# the same pass.
+# --------------------------------------------------------------------------
+@query(
+    "events_sampled_revenue_estimate",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             ((event_id * 2654435761) % 1000003) % 10 = 0 AS in_sample
+      FROM events),
+    agg AS (
+      SELECT COUNT(*) AS n_total,
+             ROUND(SUM(value), 6) AS exact_total,
+             CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+             AVG(CASE WHEN in_sample THEN value END) AS mean_s,
+             var_samp(CASE WHEN in_sample THEN value END) AS var_s
+      FROM s)
+    SELECT n_total, n_sample, exact_total,
+           ROUND(n_total * mean_s, 4) AS est_total,
+           ROUND(n_total * sqrt(var_s / n_sample)
+                 * sqrt(1 - n_sample * 1.0 / n_total), 4) AS se,
+           ABS(exact_total - n_total * mean_s)
+             <= 1.96 * n_total * sqrt(var_s / n_sample)
+                * sqrt(1 - n_sample * 1.0 / n_total) AS within_ci95
+    FROM agg
+    """,
+)
+def events_sampled_revenue_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Total event value estimated from a 10% deterministic sample
+    (multiplicative-hash bucket on event_id — ANSI-safe modular
+    arithmetic, reproducible in any engine) with the Horvitz-
+    Thompson standard error incl. finite-population correction, and
+    the 95% CI verdict against the exact total computed in the SAME
+    single pass (conditional aggregates — no second scan, no join).
+
+    At 100 TB the exact twin is dropped and the scan reads ONLY the
+    sample partition: with stratified or clustered layouts the
+    sample is a file-pruned 10% of the I/O for a rigorously bounded
+    answer — the classic AQP trade. One aggregation, zero shuffles
+    beyond the final 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    in_sample = (
+        F.pmod(
+            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(1000003)),
+            F.lit(10),
+        )
+        == 0
+    )
+    sampled_val = F.when(in_sample, F.col("value"))
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.sum("value"), 6).alias("exact_total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).alias("n_sample"),
+        F.avg(sampled_val).alias("mean_s"),
+        F.var_samp(sampled_val).alias("var_s"),
+    )
+    est = F.col("n_total") * F.col("mean_s")
+    se = (
+        F.col("n_total")
+        * F.sqrt(F.col("var_s") / F.col("n_sample"))
+        * F.sqrt(1 - F.col("n_sample") / F.col("n_total"))
+    )
+    return agg.select(
+        "n_total",
+        "n_sample",
+        "exact_total",
+        F.round(est, 4).alias("est_total"),
+        F.round(se, 4).alias("se"),
+        (F.abs(F.col("exact_total") - est) <= 1.96 * se).alias(
+            "within_ci95"
+        ),
+    )
