@@ -444,7 +444,9 @@ def near_dup_bucket_tws(docs_stream: DataFrame) -> DataFrame:
     )
 
 
-def click_purchase_attribution(stream: DataFrame, horizon: str = "10 minutes") -> DataFrame:
+def click_purchase_attribution(
+    stream: DataFrame, horizon: str = "10 minutes", how: str = "inner"
+) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to the
     same user's clicks in the preceding `horizon`. Both sides carry
     watermarks and the join condition is time-bounded, so each side's
@@ -452,6 +454,15 @@ def click_purchase_attribution(stream: DataFrame, horizon: str = "10 minutes") -
     the interval — bounded memory regardless of stream length. An
     unbounded-condition stream-stream join would keep ALL history in
     state; the interval bound is what makes this run forever.
+
+    how="left_outer" additionally emits each UNMATCHED purchase once
+    (null click columns) — but only after the click-side watermark
+    passes its interval, because until then a matching click could
+    still arrive. Purchases younger than watermark+horizon at stream
+    end therefore stay unemitted: outer results are eventually
+    complete, never early — the defining semantics of watermarked
+    outer joins (the batch twin has no such cutoff; tests assert
+    containment, not equality, for the null rows).
     """
     clicks = (
         stream.filter(F.col("event_type") == "click")
@@ -480,7 +491,7 @@ def click_purchase_attribution(stream: DataFrame, horizon: str = "10 minutes") -
             F.col("click_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
         ),
-        "inner",
+        how,
     ).select(
         "purchase_id", "user_id", "purchase_ts", "purchase_value",
         "click_id", "click_ts",

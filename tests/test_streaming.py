@@ -682,3 +682,64 @@ def test_enrich_stream_with_dimension_routes_unmatched(spark, sf_dir, tmp_path):
     assert all(r["user_id"] % 2 == 1 for r in d)
     total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert len(m) + len(d) == total
+
+
+def test_stream_stream_left_outer_join_null_semantics(spark, sf_dir):
+    """Left-outer stream-stream join: inner matches equal the batch
+    join exactly; null-click rows are emitted at most once per
+    purchase and only for purchases the batch join also leaves
+    unmatched (watermark may hold back trailing unmatched purchases
+    — containment, not equality, is the contract)."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import (
+        click_purchase_attribution,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    _run_to_memory(
+        spark,
+        click_purchase_attribution(stream, how="left_outer"),
+        "t_attr_outer",
+        "append",
+    )
+    rows = spark.sql("SELECT * FROM t_attr_outer").collect()
+    got_inner = {
+        (r["purchase_id"], r["click_id"])
+        for r in rows
+        if r["click_id"] is not None
+    }
+    got_null = [r["purchase_id"] for r in rows if r["click_id"] is None]
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 10 minutes")
+        ),
+        "left_outer",
+    )
+    exp_inner = {
+        (r["purchase_id"], r["click_id"])
+        for r in joined.filter(F.col("click_id").isNotNull()).collect()
+    }
+    exp_unmatched = {
+        r["purchase_id"]
+        for r in joined.filter(F.col("click_id").isNull()).collect()
+    }
+    assert got_inner == exp_inner
+    assert len(got_null) == len(set(got_null))  # once per purchase
+    assert set(got_null) <= exp_unmatched
