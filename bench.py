@@ -113,6 +113,7 @@ HEADLINE = [
     "jaccard_prefix_filter_pairs",
     "part_graph_triangles",
     "events_sampled_revenue_estimate",
+    "top_session_paths",
 ]
 
 

@@ -2291,3 +2291,88 @@ def events_sampled_revenue_estimate(
             "within_ci95"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Top navigation paths: the ordered event-type sequence of each user
+# session, counted corpus-wide — the path-mining complement of the
+# first-order Markov transition matrix.
+# --------------------------------------------------------------------------
+@query(
+    "top_session_paths",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM gaps),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id)
+               AS path
+      FROM sess GROUP BY user_id, session_id)
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session journeys: sessionize (30-min gap, same
+    islands machinery as user_sessions), assemble each session's
+    ordered event-type path, count identical paths, top-20.
+
+    Order inside collect_list is NOT guaranteed after a shuffle, so
+    the path is built deterministically: collect structs of
+    (ts, event_id, type), array_sort (lexicographic on the struct —
+    ts then the unique event_id tie-break), then project the types
+    and join with '>'. Sessionization windows and the path groupBy
+    all share the user_id partitioning; the path count is map-side
+    combinable; the final cut is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = _ts_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(order)
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(
+            0
+        ),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            order.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", "event_type")
+                )
+            ).alias("seq")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.transform(F.col("seq"), lambda s: s["event_type"]),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
