@@ -114,6 +114,7 @@ HEADLINE = [
     "part_graph_triangles",
     "events_sampled_revenue_estimate",
     "top_session_paths",
+    "users_to_date_curve",
 ]
 
 

@@ -2376,3 +2376,91 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Growth accounting: DAU, new users, and the cumulative users-to-
+# date curve — the standard product dashboard, with the global
+# cumulative computed by the same two-level prefix sum as
+# orders_daily_backlog (no global window, ever).
+# --------------------------------------------------------------------------
+@query(
+    "users_to_date_curve",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+      FROM events),
+    dau AS (
+      SELECT day, COUNT(*) AS n_active FROM du GROUP BY day),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS day FROM du GROUP BY user_id),
+    news AS (
+      SELECT day, COUNT(*) AS n_new FROM first_seen GROUP BY day)
+    SELECT d.day, d.n_active,
+           COALESCE(n.n_new, 0) AS n_new,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+             ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS users_to_date,
+           ROUND(COALESCE(n.n_new, 0) * 1.0 / d.n_active, 6)
+             AS new_share
+    FROM dau d LEFT JOIN news n USING (day)
+    ORDER BY d.day
+    """,
+)
+def users_to_date_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: distinct active users, first-ever-seen users, the
+    cumulative registered-user curve, and the new-user share of
+    activity.
+
+    The users-to-date cumulative is global but built with ZERO
+    global windows: within-year running sums (partitionBy(year)) +
+    year start offsets folded with a strictly-smaller self-join —
+    the two-level distributed prefix sum (orders_daily_backlog
+    documents the pattern). Everything upstream is two keyed
+    shuffles: the (day, user) distinct and the per-day / per-user
+    aggregates derived from it."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    first_seen = du.groupBy("user_id").agg(F.min("day").alias("day"))
+    news = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    daily = (
+        dau.join(news, "day", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .withColumn("yr", F.year("day"))
+    )
+    w_in = (
+        W.partitionBy("yr")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = daily.withColumn(
+        "run_in_year", F.sum("n_new").over(w_in)
+    )
+    year_totals = daily.groupBy("yr").agg(F.sum("n_new").alias("yt"))
+    a, b = year_totals.alias("a"), year_totals.alias("b")
+    offsets = (
+        a.join(b, F.col("b.yr") < F.col("a.yr"), "left")
+        .groupBy(F.col("a.yr").alias("yr"))
+        .agg(F.coalesce(F.sum("b.yt"), F.lit(0)).alias("offset"))
+    )
+    return (
+        within.join(F.broadcast(offsets), "yr")
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("offset") + F.col("run_in_year")).alias(
+                "users_to_date"
+            ),
+            F.round(
+                F.col("n_new") / F.col("n_active"), 6
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )
