@@ -115,6 +115,8 @@ HEADLINE = [
     "events_sampled_revenue_estimate",
     "top_session_paths",
     "users_to_date_curve",
+    "join_size_estimator",
+    "sorted_neighborhood_pairs",
 ]
 
 

@@ -2502,3 +2502,81 @@ def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join size estimation from per-key count profiles: |A ⋈ B| =
+# Σ_k cnt_A(k)·cnt_B(k), computed exactly on the KEY space (two
+# map-side-combinable counts + one key join) without executing the
+# row-level join — the planner diagnostic that, with
+# join_key_skew_report, decides broadcast vs shuffle vs salt.
+# --------------------------------------------------------------------------
+@query(
+    "join_size_estimator",
+    oracle="""
+    WITH co AS (
+      SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY k),
+    cc AS (
+      SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY k),
+    lo AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY k),
+    oo AS (
+      SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY k),
+    j1 AS (
+      SELECT 'orders_x_customer' AS join_name,
+             COUNT(*) AS n_matching_keys,
+             CAST(SUM(co.c * cc.c) AS BIGINT) AS output_rows,
+             MAX(co.c * cc.c) AS max_key_rows
+      FROM co JOIN cc USING (k)),
+    j2 AS (
+      SELECT 'lineitem_x_orders' AS join_name,
+             COUNT(*) AS n_matching_keys,
+             CAST(SUM(lo.c * oo.c) AS BIGINT) AS output_rows,
+             MAX(lo.c * oo.c) AS max_key_rows
+      FROM lo JOIN oo USING (k))
+    SELECT * FROM j1 UNION ALL SELECT * FROM j2
+    ORDER BY join_name
+    """,
+)
+def join_size_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact output-row count and hottest-key contribution of two
+    candidate joins, from count profiles only: the key-space join of
+    per-key counts costs |keys|, not |rows| — run it BEFORE a 100 TB
+    fact-fact join to know whether the output explodes (many-to-many
+    key duplication) and how much one key dominates (feed
+    salted_join). Catalyst's CBO estimates the same quantity from
+    column histograms; this is the exact, always-available form."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    def est(name: str, a: DataFrame, b: DataFrame) -> DataFrame:
+        prod = F.col("a.c") * F.col("b.c")
+        return (
+            a.alias("a")
+            .join(b.alias("b"), "k")
+            .agg(
+                F.count(F.lit(1)).alias("n_matching_keys"),
+                F.sum(prod).alias("output_rows"),
+                F.max(prod).alias("max_key_rows"),
+            )
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_matching_keys",
+                "output_rows",
+                "max_key_rows",
+            )
+        )
+
+    return (
+        est("orders_x_customer", prof(orders, "o_custkey"), prof(cust, "c_custkey"))
+        .unionByName(
+            est("lineitem_x_orders", prof(li, "l_orderkey"), prof(orders, "o_orderkey"))
+        )
+        .orderBy("join_name")
+    )

@@ -2152,3 +2152,127 @@ def jaccard_prefix_filter_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernandez & Stolfo 1995): the third
+# candidate-generation paradigm next to MinHash-LSH (probabilistic)
+# and prefix filtering (exact): sort by a blocking key, compare only
+# rows within a w-row window. Recall depends on the blocking key —
+# the method IS the sort+window, so the oracle replays it verbatim
+# and the result is fully deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, n_chars, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)]) AS s
+      FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+            FROM documents)),
+    nz AS (
+      SELECT doc_id, n_chars, s,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk
+      FROM sh WHERE len(s) > 0),
+    cand AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, a.s AS sa, b.s AS sb
+      FROM nz a JOIN nz b ON b.rnk - a.rnk BETWEEN 1 AND 5),
+    scored AS (
+      SELECT LEAST(ida, idb) AS doc_a, GREATEST(ida, idb) AS doc_b,
+             len(list_intersect(sa, sb)) AS n_common,
+             len(list_intersect(sa, sb)) * 1.0
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+               AS jac
+      FROM cand)
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(jac, 6) AS jaccard
+    FROM scored WHERE jac >= {_JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup pairs found by SORTED-NEIGHBORHOOD blocking: rank
+    all docs by (n_chars, doc_id) — near-identical docs have
+    near-identical lengths — and verify only pairs within 5 ranks
+    of each other: O(n·w) comparisons total, zero shuffled pair
+    blowup even on a corpus that is one giant near-dup family
+    (the case that floods LSH buckets and prefix-filter candidate
+    lists).
+
+    The global rank is built WITHOUT a global window:
+    repartitionByRange on the sort key + per-partition counts +
+    driver prefix sum + partitioned row_number (the doc_stable_ids
+    machinery). Neighbor pairs come from an explode of the w rank
+    offsets + one equi-join on rank; verification is one
+    array_intersect per candidate on 8-byte shingle hashes."""
+    from pyspark.sql import Window as W
+
+    w_sz = 5
+    t = _JACCARD_THRESHOLD
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "n_chars",
+        word_shingles_udf(5)(F.col("text")).alias("s"),
+    ).filter(F.size("s") > 0)
+    hs = sh.select(
+        "doc_id",
+        "n_chars",
+        F.transform(F.col("s"), lambda x: F.xxhash64(x)).alias("hset"),
+    )
+    ranged = hs.repartitionByRange(32, "n_chars", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").count().collect()
+    acc = 0
+    offsets = []
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], acc))
+        acc += row["count"]
+    offsets_df = spark.createDataFrame(offsets, "pid: int, offset: bigint")
+    w_rank = W.partitionBy("pid").orderBy("n_chars", "doc_id")
+    ranked = (
+        ranged.withColumn("lr", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets_df), "pid")
+        .select(
+            "doc_id",
+            "hset",
+            (F.col("offset") + F.col("lr")).alias("rnk"),
+        )
+    )
+    probes = ranked.select(
+        F.col("doc_id").alias("ida"),
+        F.col("hset").alias("ha"),
+        F.explode(
+            F.sequence(
+                F.col("rnk") + 1, F.col("rnk") + F.lit(w_sz)
+            )
+        ).alias("rnk"),
+    )
+    cand = probes.join(
+        ranked.select(
+            F.col("doc_id").alias("idb"),
+            F.col("hset").alias("hb"),
+            "rnk",
+        ),
+        "rnk",
+    )
+    common = F.size(F.array_intersect("ha", "hb"))
+    jac = common / (
+        F.size("ha") + F.size("hb") - common
+    )
+    return (
+        cand.withColumn("n_common", common.cast("bigint"))
+        .withColumn("__jac", jac)
+        .filter(F.col("__jac") >= t)
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "n_common",
+            F.round("__jac", 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
