@@ -117,6 +117,7 @@ HEADLINE = [
     "users_to_date_curve",
     "join_size_estimator",
     "sorted_neighborhood_pairs",
+    "dedup_method_recall_report",
 ]
 
 

@@ -2276,3 +2276,122 @@ def sorted_neighborhood_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-method accuracy contract: measured recall of all three
+# candidate-generation paradigms against the exact ground truth —
+# the dedup twin of ann_recall_report. The oracle COMPOSES the
+# already-registered oracles of each method, so both engines replay
+# the exact same four pipelines.
+# --------------------------------------------------------------------------
+def _registered_oracle(name: str) -> str:
+    from se_data_pipeline_spark.queries import all_oracles
+
+    return all_oracles()[name]
+
+
+@query(
+    "dedup_method_recall_report",
+    oracle=None,  # composed below, after all method oracles exist
+)
+def dedup_method_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall of each near-dup candidate paradigm vs the exact
+    inverted-index ground truth (pairs at Jaccard >= 0.8):
+
+    - minhash_lsh: banded-signature bucket collisions (probabilistic
+      — recall < 1 when a true pair agrees in no band);
+    - prefix_filter: rarest-shingle prefix index (exact — recall 1
+      by construction, the report PROVES it);
+    - sorted_neighborhood: length-rank window blocking (recall is
+      whatever length-adjacency buys on this corpus).
+
+    One plan: the three method frames are tagged and unioned, the
+    broadcast truth set joined once, per-method counts aggregated
+    together (the per-method form would re-evaluate the truth
+    subtree per method — same single-plan rationale as
+    ann_recall_report)."""
+    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    methods = {
+        "minhash_lsh": minhash_lsh_candidates(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ),
+        "prefix_filter": jaccard_prefix_filter_pairs(
+            spark, sf_dir
+        ).select("doc_a", "doc_b"),
+        "sorted_neighborhood": sorted_neighborhood_pairs(
+            spark, sf_dir
+        ).select("doc_a", "doc_b"),
+    }
+    tagged = None
+    for m, df in sorted(methods.items()):
+        t = df.select(F.lit(m).alias("method"), "doc_a", "doc_b")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = tagged.join(
+        F.broadcast(truth.withColumn("hit", F.lit(1))),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    return (
+        hits.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count("hit").alias("n_true_found"),
+        )
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "method",
+            "n_pairs",
+            "n_true_found",
+            "n_true_pairs",
+            F.round(
+                F.col("n_true_found") / F.col("n_true_pairs"), 6
+            ).alias("recall"),
+        )
+        .orderBy("method")
+    )
+
+
+def _compose_recall_oracle() -> None:
+    from se_data_pipeline_spark.queries import _REGISTRY, QueryDef
+
+    truth = _registered_oracle("ngram_jaccard_pairs")
+    mh = _registered_oracle("minhash_lsh_candidates")
+    pf = _registered_oracle("jaccard_prefix_filter_pairs")
+    sn = _registered_oracle("sorted_neighborhood_pairs")
+    sql = f"""
+    WITH truth AS (SELECT doc_a, doc_b FROM ({truth})),
+    mh AS (SELECT doc_a, doc_b FROM ({mh})),
+    pf AS (SELECT doc_a, doc_b FROM ({pf})),
+    sn AS (SELECT doc_a, doc_b FROM ({sn})),
+    m AS (
+      SELECT 'minhash_lsh' AS method,
+             (SELECT COUNT(*) FROM mh) AS n_pairs,
+             (SELECT COUNT(*) FROM mh JOIN truth
+                USING (doc_a, doc_b)) AS n_true_found
+      UNION ALL
+      SELECT 'prefix_filter',
+             (SELECT COUNT(*) FROM pf),
+             (SELECT COUNT(*) FROM pf JOIN truth USING (doc_a, doc_b))
+      UNION ALL
+      SELECT 'sorted_neighborhood',
+             (SELECT COUNT(*) FROM sn),
+             (SELECT COUNT(*) FROM sn JOIN truth USING (doc_a, doc_b)))
+    SELECT method, n_pairs, n_true_found,
+           (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           ROUND(n_true_found * 1.0
+                 / (SELECT COUNT(*) FROM truth), 6) AS recall
+    FROM m ORDER BY method
+    """
+    qd = _REGISTRY["dedup_method_recall_report"]
+    _REGISTRY["dedup_method_recall_report"] = QueryDef(
+        qd.name, qd.fn, sql, qd.doc
+    )
+
+
+_compose_recall_oracle()
