@@ -118,6 +118,7 @@ HEADLINE = [
     "join_size_estimator",
     "sorted_neighborhood_pairs",
     "dedup_method_recall_report",
+    "events_rolling_correlation",
 ]
 
 

@@ -2464,3 +2464,113 @@ def users_to_date_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling cross-series correlation (7-day window between daily view
+# volume and purchase value) with EXACT year-boundary handling: a
+# day near January 1st needs late-December rows, so each day is
+# replicated into every year partition its trailing window touches
+# (≤2), windows run partitioned by that year key, and only the
+# home-year copy is kept — boundary-replicated partitioning, the
+# general recipe for making any w-row global window partition-local
+# without approximation at the seams.
+# --------------------------------------------------------------------------
+@query(
+    "events_rolling_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_views,
+             ROUND(SUM(CASE WHEN event_type = 'purchase'
+                       THEN value ELSE 0 END), 6) AS purchase_value
+      FROM events GROUP BY day),
+    win AS (
+      SELECT day, n_views, purchase_value,
+             corr(n_views, purchase_value) OVER w AS c,
+             var_samp(n_views * 1.0) OVER w AS vv,
+             var_samp(purchase_value) OVER w AS vp
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                   AND CURRENT ROW))
+    SELECT day, n_views, purchase_value,
+           CASE WHEN vv > 0 AND vp > 0 THEN ROUND(c, 6) END
+             AS corr_7d
+    FROM win ORDER BY day
+    """,
+)
+def events_rolling_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Are high-traffic days high-revenue days, trailing 7-day view?
+
+    The oracle may use a global window (DuckDB runs single-node);
+    the Spark plan must not: y1 = year(day), y2 = year(day + 6
+    days), each daily row lands in partitions [y1] or [y1, y2]
+    (array_distinct + explode), every window runs
+    partitionBy(year_key) ORDER BY day, and rows are kept only
+    where year_key = y1 — the trailing frame of every kept row is
+    complete, including the first week of January. Degenerate
+    frames (zero variance in either series — always true for the
+    series' first day) emit NULL identically in both engines via an
+    explicit variance guard, sidestepping Spark's NaN-vs-NULL corr
+    edge."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("n_views"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("purchase_value"),
+    )
+    return _rolling_corr_7d(daily).orderBy("day")
+
+
+def _rolling_corr_7d(daily: DataFrame) -> DataFrame:
+    """Boundary-replicated trailing 7-day correlation over a
+    (day, n_views, purchase_value) frame — exact across year seams;
+    unit-tested against a global window on a year-spanning fixture
+    (the sf corpora span one month and never cross a year)."""
+    replicated = daily.withColumn(
+        "yp",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.year("day"),
+                    F.year(F.date_add(F.col("day").cast("date"), 6)),
+                )
+            )
+        ),
+    )
+    w = (
+        W.partitionBy("yp")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    vcol = F.col("n_views").cast("double")
+    win = (
+        replicated.withColumn(
+            "c", F.corr(vcol, F.col("purchase_value")).over(w)
+        )
+        .withColumn("vv", F.var_samp(vcol).over(w))
+        .withColumn("vp", F.var_samp("purchase_value").over(w))
+        .filter(F.col("yp") == F.year("day"))
+    )
+    return win.select(
+        "day",
+        "n_views",
+        "purchase_value",
+        F.when(
+            (F.col("vv") > 0) & (F.col("vp") > 0),
+            F.round("c", 6),
+        ).alias("corr_7d"),
+    )

@@ -797,3 +797,46 @@ def test_interval_join_half_open_and_overlap(spark):
     # 2's point misses its interval entirely. Band=7 exercises
     # intervals spanning 2-3 buckets.
     assert got == [(0, "a"), (5, "a"), (5, "b"), (10, "b"), (19, "b")]
+
+
+def test_rolling_corr_year_boundary_matches_global_window(spark):
+    """The boundary-replicated per-year windows must equal a plain
+    global window on a series crossing December 31 — the seam the
+    sf fixtures (one month of data) never exercise."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    from se_data_pipeline_spark.queries.events import _rolling_corr_7d
+
+    rows = [
+        (dt.datetime(2023, 12, 20) + dt.timedelta(days=i),
+         (i * 7) % 13 + 1,
+         float((i * 11) % 17) + 0.5)
+        for i in range(25)  # Dec 20 .. Jan 13 — spans the boundary
+    ]
+    daily = spark.createDataFrame(
+        rows, "day: timestamp, n_views: bigint, purchase_value: double"
+    )
+    got = {
+        r["day"]: r["corr_7d"]
+        for r in _rolling_corr_7d(daily).collect()
+    }
+    gw = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    vcol = F.col("n_views").cast("double")
+    exp_df = (
+        daily.withColumn("c", F.corr(vcol, F.col("purchase_value")).over(gw))
+        .withColumn("vv", F.var_samp(vcol).over(gw))
+        .withColumn("vp", F.var_samp("purchase_value").over(gw))
+        .select(
+            "day",
+            F.when((F.col("vv") > 0) & (F.col("vp") > 0),
+                   F.round("c", 6)).alias("corr_7d"),
+        )
+    )
+    exp = {r["day"]: r["corr_7d"] for r in exp_df.collect()}
+    assert got == exp
+    assert len(got) == 25
+    # the January days whose frames straddle the seam are non-null
+    jan2 = dt.datetime(2024, 1, 2)
+    assert got[jan2] is not None
