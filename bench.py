@@ -119,6 +119,8 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "dedup_method_recall_report",
     "events_rolling_correlation",
+    "order_rules_engine",
+    "orders_monthly_seasonality",
 ]
 
 

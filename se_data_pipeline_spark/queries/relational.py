@@ -2580,3 +2580,142 @@ def join_size_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("join_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Data-driven rules engine: a priority-ordered rule table (broadcast)
+# applied to every fact row by range-containment join + top-priority
+# pick — how pricing/routing/alerting rule sets run at 100 TB
+# (the rules are DATA, changed without redeploying the job).
+# --------------------------------------------------------------------------
+@query(
+    "order_rules_engine",
+    oracle="""
+    WITH rules(rule_id, priority, status, lo, hi, action) AS (VALUES
+      (1, 3, 'F', 0.0,      100000.0, 'fast_track'),
+      (2, 2, NULL, 150000.0, 1e18,    'manual_review'),
+      (3, 1, NULL, 0.0,      1e18,    'standard'),
+      (4, 4, 'O', 50000.0,  1e18,     'priority_ship')),
+    matched AS (
+      SELECT o.o_orderkey, r.rule_id, r.priority, r.action,
+             ROW_NUMBER() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY r.priority DESC, r.rule_id) AS rk
+      FROM orders o JOIN rules r
+        ON o.o_totalprice >= r.lo AND o.o_totalprice < r.hi
+       AND (r.status IS NULL OR o.o_orderstatus = r.status))
+    SELECT action,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_orderkey) AS BIGINT) AS sample_order
+    FROM matched WHERE rk = 1
+    GROUP BY action ORDER BY action
+    """,
+)
+def order_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a 4-row rule table to every order: each rule is a
+    (priority, optional status, price range, action) row; an order
+    takes the highest-priority rule whose conditions contain it
+    (deterministic rule_id tie-break).
+
+    Scale shape: the rule table broadcasts (it is always KB-scale),
+    the containment join is a map-side BroadcastNestedLoopJoin whose
+    fan-out is bounded by the RULE count, and the winner-per-order
+    is a window partitioned by the fact key — no shuffle of the
+    fact table at all until the final per-action rollup. The same
+    row-pattern runs fraud rules, SLA tiers, and routing tables;
+    rules change by replacing the broadcast frame, not the job."""
+    orders = load_table(spark, sf_dir, "orders")
+    rules = spark.createDataFrame(
+        [
+            (1, 3, "F", 0.0, 100000.0, "fast_track"),
+            (2, 2, None, 150000.0, 1e18, "manual_review"),
+            (3, 1, None, 0.0, 1e18, "standard"),
+            (4, 4, "O", 50000.0, 1e18, "priority_ship"),
+        ],
+        "rule_id: int, priority: int, status: string, lo: double, "
+        "hi: double, action: string",
+    )
+    matched = orders.join(
+        F.broadcast(rules),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi"))
+        & (
+            F.col("status").isNull()
+            | (F.col("o_orderstatus") == F.col("status"))
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    pick = W.partitionBy("o_orderkey").orderBy(
+        F.desc("priority"), "rule_id"
+    )
+    return (
+        matched.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("sample_order"),
+        )
+        .orderBy("action")
+    )
+
+
+# --------------------------------------------------------------------------
+# Monthly seasonality indices: month-of-year revenue relative to the
+# all-months baseline — the retail seasonal profile, complementing
+# the hour-of-day anomaly baseline on events.
+# --------------------------------------------------------------------------
+@query(
+    "orders_monthly_seasonality",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             CAST(date_part('month', o_orderdate) AS BIGINT) AS mon,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY yr, mon),
+    prof AS (
+      SELECT mon, COUNT(*) AS n_months,
+             SUM(rev) / COUNT(*) AS avg_rev
+      FROM m GROUP BY mon),
+    base AS (SELECT SUM(avg_rev) / 12 AS overall FROM prof)
+    SELECT mon, n_months,
+           ROUND(avg_rev, 2) AS avg_monthly_revenue,
+           ROUND(avg_rev / overall, 6) AS seasonality_index
+    FROM prof CROSS JOIN base
+    ORDER BY mon
+    """,
+)
+def orders_monthly_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality index per calendar month: average (year, month)
+    revenue for that month divided by the across-month baseline.
+    Index > 1 = seasonally strong month. Two map-side-combinable
+    aggregates (year-month, then month) + a 1-row baseline
+    broadcast; the whole profile is O(months) rows after the first
+    shuffle regardless of order volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    prof = m.groupBy("mon").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        (F.sum("rev") / F.count(F.lit(1))).alias("avg_rev"),
+    )
+    base = prof.agg(
+        (F.sum("avg_rev") / F.lit(12)).alias("overall")
+    )
+    return (
+        prof.crossJoin(F.broadcast(base))
+        .select(
+            "mon",
+            "n_months",
+            F.round("avg_rev", 2).alias("avg_monthly_revenue"),
+            F.round(F.col("avg_rev") / F.col("overall"), 6).alias(
+                "seasonality_index"
+            ),
+        )
+        .orderBy("mon")
+    )
