@@ -121,6 +121,7 @@ HEADLINE = [
     "events_rolling_correlation",
     "order_rules_engine",
     "orders_monthly_seasonality",
+    "doc_quantile_normalized_length",
 ]
 
 

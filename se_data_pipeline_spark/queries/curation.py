@@ -649,3 +649,91 @@ def doc_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization (Q-Q mapping): re-express each source's
+# document-length distribution on the GLOBAL distribution's scale —
+# the batch-effect correction that makes per-source signals
+# comparable before corpus-wide thresholding (the same transform ML
+# preprocessing applies across feature batches).
+# --------------------------------------------------------------------------
+@query(
+    "doc_quantile_normalized_length",
+    oracle="""
+    WITH g AS (
+      SELECT quantile_cont(n_chars,
+               [x * 0.01 FOR x IN range(0, 101)]) AS grid
+      FROM documents),
+    pr AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS p
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, n_chars, p,
+             CAST(floor(p * 100) AS INT) AS idx,
+             p * 100 - floor(p * 100) AS frac
+      FROM pr)
+    SELECT doc_id, source, n_chars,
+           ROUND(p, 6) AS source_pctile,
+           ROUND(CASE WHEN idx >= 100 THEN grid[101]
+                 ELSE grid[idx + 1]
+                      + frac * (grid[idx + 2] - grid[idx + 1]) END,
+                 4) AS normalized_length
+    FROM m CROSS JOIN g
+    ORDER BY doc_id
+    """,
+)
+def doc_quantile_normalized_length(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Each doc's length re-expressed as the global length at the
+    same percentile its length holds WITHIN ITS SOURCE: sources with
+    systematically short docs stop looking uniformly low-quality.
+
+    Scale shape: percent_rank is partitioned by source (the whole
+    point — per-source distributions); the global reference is a
+    101-point exact quantile grid from ONE 1-row aggregate
+    (percentile(col, array)), broadcast to every task; the mapping
+    is pure arithmetic (floor index + linear blend) inside codegen.
+    No global window anywhere; the grid is the only global state and
+    it is O(101) regardless of corpus size. Both engines use the
+    standard (n-1)p interpolated quantile, so values hash-match
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    grid_points = ",".join(str(x / 100.0) for x in range(101))
+    g = docs.agg(
+        F.expr(
+            f"percentile(n_chars, array({grid_points}))"
+        ).alias("grid")
+    )
+    pr_w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(pr_w).alias("p"),
+    )
+    idx = F.floor(F.col("p") * 100).cast("int")
+    frac = F.col("p") * 100 - F.floor(F.col("p") * 100)
+    lo = F.element_at(F.col("grid"), idx + 1)
+    hi = F.element_at(F.col("grid"), idx + 2)
+    return (
+        pr.crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("p", 6).alias("source_pctile"),
+            F.round(
+                F.when(
+                    idx >= 100, F.element_at(F.col("grid"), 101)
+                ).otherwise(lo + frac * (hi - lo)),
+                4,
+            ).alias("normalized_length"),
+        )
+        .orderBy("doc_id")
+    )
