@@ -2557,13 +2557,25 @@ def _rolling_corr_7d(daily: DataFrame) -> DataFrame:
         .rowsBetween(-6, W.currentRow)
     )
     vcol = F.col("n_views").cast("double")
+    pcol = F.col("purchase_value")
+    # corr is assembled from null-safe window moments instead of
+    # F.corr().over(w): under ANSI mode Spark's corr THROWS
+    # DIVIDE_BY_ZERO on a zero-variance frame (a single-day series —
+    # the robustness sweep's degenerate corpus), while the moment
+    # division below only evaluates inside the variance-guarded
+    # branch (CaseWhen short-circuits per row).
     win = (
-        replicated.withColumn(
-            "c", F.corr(vcol, F.col("purchase_value")).over(w)
-        )
+        replicated.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum(vcol).over(w))
+        .withColumn("sy", F.sum(pcol).over(w))
+        .withColumn("sxy", F.sum(vcol * pcol).over(w))
         .withColumn("vv", F.var_samp(vcol).over(w))
-        .withColumn("vp", F.var_samp("purchase_value").over(w))
+        .withColumn("vp", F.var_samp(pcol).over(w))
         .filter(F.col("yp") == F.year("day"))
+    )
+    n = F.col("n").cast("double")
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        (n - 1) * F.sqrt(F.col("vv")) * F.sqrt(F.col("vp"))
     )
     return win.select(
         "day",
@@ -2571,6 +2583,6 @@ def _rolling_corr_7d(daily: DataFrame) -> DataFrame:
         "purchase_value",
         F.when(
             (F.col("vv") > 0) & (F.col("vp") > 0),
-            F.round("c", 6),
+            F.round(corr, 6),
         ).alias("corr_7d"),
     )

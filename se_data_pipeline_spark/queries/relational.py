@@ -2408,9 +2408,10 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
              AS n_wedges,
            (SELECT t FROM tri) AS n_triangles,
-           ROUND(3.0 * (SELECT t FROM tri)
-                 / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
-             AS clustering_coeff
+           CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
+                THEN ROUND(3.0 * (SELECT t FROM tri)
+                     / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+           END AS clustering_coeff
     """,
 )
 def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2497,8 +2498,11 @@ def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.round(
-                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
             ).alias("clustering_coeff"),
         )
     )
@@ -2681,7 +2685,9 @@ def order_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     base AS (SELECT SUM(avg_rev) / 12 AS overall FROM prof)
     SELECT mon, n_months,
            ROUND(avg_rev, 2) AS avg_monthly_revenue,
-           ROUND(avg_rev / overall, 6) AS seasonality_index
+           CASE WHEN overall <> 0
+                THEN ROUND(avg_rev / overall, 6) END
+             AS seasonality_index
     FROM prof CROSS JOIN base
     ORDER BY mon
     """,
@@ -2713,9 +2719,10 @@ def orders_monthly_seasonality(
             "mon",
             "n_months",
             F.round("avg_rev", 2).alias("avg_monthly_revenue"),
-            F.round(F.col("avg_rev") / F.col("overall"), 6).alias(
-                "seasonality_index"
-            ),
+            F.when(
+                F.col("overall") != 0,
+                F.round(F.col("avg_rev") / F.col("overall"), 6),
+            ).alias("seasonality_index"),
         )
         .orderBy("mon")
     )

@@ -2349,8 +2349,11 @@ def dedup_method_recall_report(
             "n_pairs",
             "n_true_found",
             "n_true_pairs",
-            F.round(
-                F.col("n_true_found") / F.col("n_true_pairs"), 6
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.round(
+                    F.col("n_true_found") / F.col("n_true_pairs"), 6
+                ),
             ).alias("recall"),
         )
         .orderBy("method")
@@ -2384,8 +2387,9 @@ def _compose_recall_oracle() -> None:
              (SELECT COUNT(*) FROM sn JOIN truth USING (doc_a, doc_b)))
     SELECT method, n_pairs, n_true_found,
            (SELECT COUNT(*) FROM truth) AS n_true_pairs,
-           ROUND(n_true_found * 1.0
-                 / (SELECT COUNT(*) FROM truth), 6) AS recall
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                THEN ROUND(n_true_found * 1.0
+                     / (SELECT COUNT(*) FROM truth), 6) END AS recall
     FROM m ORDER BY method
     """
     qd = _REGISTRY["dedup_method_recall_report"]
