@@ -122,6 +122,13 @@ HEADLINE = [
     "order_rules_engine",
     "orders_monthly_seasonality",
     "doc_quantile_normalized_length",
+    "purchase_attribution",
+    "cohort_ltv_curve",
+    "events_value_winsorized",
+    "events_cusum_changepoints",
+    "doc_pmi_collocations",
+    "orders_equi_depth_deciles",
+    "multimodal_exact_dedup",
 ]
 
 

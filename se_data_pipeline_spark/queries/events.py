@@ -2586,3 +2586,292 @@ def _rolling_corr_7d(daily: DataFrame) -> DataFrame:
             F.round(corr, 6),
         ).alias("corr_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch purchase attribution: each purchase credits the latest
+# preceding non-purchase event of the same user (the classic
+# marketing-attribution readout; reference analog: per-video segment
+# selection credits the probe step that produced it,
+# data_pipeline.py:658-676 — same "latest prior cause" shape).
+# --------------------------------------------------------------------------
+@query(
+    "purchase_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts, event_type FROM events
+          WHERE event_type <> 'purchase')
+    SELECT COALESCE(t.event_type, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(p.value), 6) AS attributed_revenue
+    FROM p ASOF LEFT JOIN t
+      ON p.user_id = t.user_id AND p.ts >= t.ts
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution report: ASOF-join purchases backward to
+    the user's latest prior non-purchase event, then roll revenue up
+    by that touch's type ('direct' when nothing precedes).
+
+    Scale: reuses functions/joins.asof_join — union + ONE running
+    last(ignoreNulls) window hash-partitioned on user_id (linear in
+    |purchases|+|touches|, single exchange), never a per-purchase
+    range rescan. The rollup is a 5-row aggregate with map-side
+    partials. DuckDB's native ASOF JOIN is the oracle."""
+    from se_data_pipeline_spark.functions.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("touch_type")
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        right_cols=["touch_type"],
+        direction="backward",
+    )
+    return (
+        j.groupBy(
+            F.coalesce(F.col("touch_type_asof"), F.lit("direct")).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve: cumulative purchase revenue per first-activity
+# cohort by day-offset — the revenue companion of the retention
+# triangle (user_retention_cohorts).
+# --------------------------------------------------------------------------
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT f.cohort,
+             date_diff('day', f.cohort, date_trunc('day', e.ts))
+               AS age_day,
+             ROUND(SUM(e.value), 6) AS day_revenue,
+             COUNT(DISTINCT e.user_id) AS n_buyers
+      FROM events e JOIN first_day f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY f.cohort, age_day)
+    SELECT cohort, age_day, day_revenue, n_buyers,
+           ROUND(SUM(day_revenue) OVER (
+             PARTITION BY cohort ORDER BY age_day), 6) AS cum_revenue
+    FROM daily
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per signup cohort: first-activity day
+    per user (one aggregate, broadcast back), purchase revenue per
+    (cohort, age-day), then a running sum along each cohort's age
+    axis.
+
+    Scale: the window runs on the POST-AGGREGATE frame (|cohorts| x
+    |days| rows, not events) and is partitioned by cohort — the
+    event-scale work is the two hash aggregates, both with map-side
+    partials. The running sum accumulates the already-rounded daily
+    sums in ascending age order in both engines, so the floats are
+    bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_day), "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort")
+            ).alias("age_day"),
+        )
+        .agg(
+            F.round(F.sum("value"), 6).alias("day_revenue"),
+            F.countDistinct("user_id").alias("n_buyers"),
+        )
+    )
+    w = W.partitionBy("cohort").orderBy("age_day")
+    return daily.select(
+        "cohort",
+        "age_day",
+        "day_revenue",
+        "n_buyers",
+        F.round(F.sum("day_revenue").over(w), 6).alias("cum_revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized moments per event type: exact P5/P95 cuts, values clamped
+# into the band, then mean/std — the outlier-robust summary a metrics
+# pipeline publishes instead of raw means.
+# --------------------------------------------------------------------------
+@query(
+    "events_value_winsorized",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 6) AS p05,
+             ROUND(quantile_cont(value, 0.95), 6) AS p95
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, COUNT(*) AS n, c.p05, c.p95,
+           ROUND(AVG(LEAST(GREATEST(e.value, c.p05), c.p95)), 6)
+             AS mean_winsorized,
+           ROUND(stddev_pop(LEAST(GREATEST(e.value, c.p05), c.p95)), 6)
+             AS std_winsorized
+    FROM events e JOIN c USING (event_type)
+    GROUP BY e.event_type, c.p05, c.p95
+    ORDER BY e.event_type
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (curation-grade robust stats): exact 5th/95th
+    percentile per event type (rounded so both engines clamp at the
+    identical cut), values clamped into the band, then mean and
+    population std of the clamped series.
+
+    Scale: two aggregates over events — the percentile pass and the
+    moment pass — joined through a |event_types|-row broadcast. Past
+    exact-percentile memory bounds swap percentile →
+    percentile_approx (same plan, sketch state); the clamp itself is
+    a row-local codegen expression."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").withColumn(
+        "v_w", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return (
+        clamped.groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v_w"), 6).alias("mean_winsorized"),
+            F.round(F.stddev_pop("v_w"), 6).alias("std_winsorized"),
+        )
+        .select(
+            "event_type", "n", "p05", "p95",
+            "mean_winsorized", "std_winsorized",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection per user: the one-sided cumulative-sum
+# drift statistic (Page 1954) with k = 0.5*sigma slack and h = 5*sigma
+# alarm threshold — a sequential fold like events_ewma, checked
+# against a recursive-CTE oracle replaying the identical recursion.
+# --------------------------------------------------------------------------
+@query(
+    "events_cusum_changepoints",
+    oracle="""
+    WITH RECURSIVE stats AS (
+      SELECT user_id, ROUND(AVG(value), 6) AS mu,
+             ROUND(stddev_pop(value), 6) AS sig
+      FROM events GROUP BY user_id),
+    t AS (
+      SELECT e.user_id, e.event_id, e.value, s.mu,
+             0.5 * s.sig AS kk, 5 * s.sig AS h,
+             CAST(row_number() OVER (
+               PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+               AS INTEGER) AS rn
+      FROM events e JOIN stats s ON s.user_id = e.user_id),
+    r AS (
+      SELECT user_id, event_id, rn, mu, kk, h,
+             GREATEST(0.0, 0.0 + (value - mu - kk)) AS s
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.user_id, t.event_id, t.rn, t.mu, t.kk, t.h,
+             GREATEST(0.0, r.s + (t.value - t.mu - t.kk))
+      FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+    SELECT user_id, event_id, ROUND(s, 6) AS cusum, s > h AS alarm
+    FROM r
+    """,
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM drift detector: standardize against
+    the user's own mean (mu) with slack k = 0.5*sigma, fold
+    s_t = max(0, s_{t-1} + (x_t - mu - k)) along (ts, event_id), and
+    alarm when s crosses h = 5*sigma.
+
+    Determinism contract: mu and sigma are ROUNDED to 6 dp before the
+    fold (partial-aggregation order differs between engines; the
+    rounded values are identical), k/h derive from the rounded sigma
+    by exact binary scaling (x0.5, x5), and the fold applies the same
+    IEEE ops in the same order as the oracle's recursive CTE — so the
+    doubles and the threshold booleans match bit-for-bit.
+
+    Scale: identical shape to events_ewma — one broadcast of the
+    per-user stats frame, one hash-partition + partition-sort on
+    user_id, one mapInPandas pass whose state is (user, s). Billions
+    of short chains parallelize; a mega-user skew chunks like
+    events_ewma_chunked."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sig"),
+    )
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    sorted_ev = (
+        ev.select("user_id", "event_id", "value", "ts")
+        .join(F.broadcast(stats), "user_id")
+        .withColumn("kk", F.col("sig") * 0.5)
+        .withColumn("h", F.col("sig") * 5.0)
+        .repartition(par, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+    )
+
+    from se_data_pipeline_spark.functions.numeric import round_half_up
+
+    def fold(batches):
+        cur_user, s = None, 0.0
+        for pdf in batches:
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            mus = pdf["mu"].to_numpy()
+            kks = pdf["kk"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            cus, alarms = [], []
+            for u, x, mu, kk, h in zip(uids, vals, mus, kks, hs):
+                if u != cur_user:
+                    s = 0.0
+                    cur_user = u
+                s = max(0.0, s + (float(x) - float(mu) - float(kk)))
+                # SQL ROUND (half away from zero), NOT python round():
+                # the fold lands on exact 7th-decimal halves often
+                # enough to hash-mismatch the oracle otherwise.
+                cus.append(float(round_half_up(s)))
+                alarms.append(s > float(h))
+            yield pd.DataFrame(
+                {
+                    "user_id": uids,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "cusum": np.asarray(cus, dtype=np.float64),
+                    "alarm": np.asarray(alarms, dtype=bool),
+                }
+            )
+
+    return sorted_ev.mapInPandas(
+        fold, "user_id long, event_id long, cusum double, alarm boolean"
+    )

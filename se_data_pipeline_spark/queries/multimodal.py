@@ -195,3 +195,50 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_frame_feature_batches, _FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Content-addressed exact dedup over opaque binary payloads: digest
+# the bytes, group by digest — the first stage of every media dedup
+# pipeline (image/audio exact-copy removal) and the CAS key a 100 TB
+# blob store shards on. Text→UTF-8 bytes stands in for the media
+# payload exactly as in multimodal_payload_stats.
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS digest,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY digest
+    ORDER BY digest
+    """,
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup by MD5 content address: one digest per
+    payload (computed JVM-side on the raw bytes — no Python), one
+    hash aggregate keyed on the 16-byte digest, canonical = min id.
+
+    Scale: the shuffle carries (digest, id, n_bytes) — never the
+    payload; at 100 TB the digest group-by is the cheapest possible
+    dedup pass (fixed 32-hex key, map-side partial counts) and its
+    output IS the CAS manifest. DuckDB's md5(VARCHAR) hashes the
+    UTF-8 bytes, which is exactly Spark's md5(encode(text, 'UTF-8')),
+    so the digests match across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        payloads.groupBy(F.md5("payload").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.sum(F.octet_length("payload")).cast("long").alias(
+                "total_bytes"
+            ),
+        )
+        .orderBy("digest")
+    )

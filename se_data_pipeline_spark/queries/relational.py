@@ -2726,3 +2726,104 @@ def orders_monthly_seasonality(
         )
         .orderBy("mon")
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth decile table (the sort-free quantile histogram): exact
+# decile cuts as a 1-row aggregate broadcast back, bucket assignment
+# as a row-local array expression — the scalable complement of
+# price_histogram's equi-width bins (no ntile, no global window).
+# --------------------------------------------------------------------------
+@query(
+    "orders_equi_depth_deciles",
+    oracle="""
+    WITH c AS (
+      SELECT [ROUND(x, 6) FOR x IN
+              quantile_cont(o_totalprice,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS cuts
+      FROM orders)
+    SELECT 1 + len(list_filter(c.cuts, x -> o.o_totalprice > x))
+             AS decile,
+           COUNT(*) AS n_orders,
+           ROUND(MIN(o.o_totalprice), 2) AS min_price,
+           ROUND(MAX(o.o_totalprice), 2) AS max_price,
+           ROUND(SUM(o.o_totalprice), 2) AS sum_price
+    FROM orders o CROSS JOIN c
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def orders_equi_depth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equi-depth) breakdown of order value: how much revenue
+    each tenth of the order distribution carries.
+
+    Scale: the naive form is ntile(10) OVER (ORDER BY price) — an
+    unpartitioned global sort-window, the exact plan class this repo
+    bans. Instead: ONE exact-percentile aggregate produces the 9 cuts
+    (1 row, broadcast), and bucket assignment is a row-local
+    size(filter(cuts, ...)) over the 9-element array — codegen, no
+    sort, no window; the only shuffle is the 10-group rollup. Past
+    exact-percentile memory bounds the cuts swap to
+    percentile_approx with everything else unchanged. Cuts are
+    rounded to 6 dp in both engines so boundary comparisons are
+    decided on identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr(
+            "transform(percentile(o_totalprice, "
+            "array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D)), "
+            "x -> round(x, 6))"
+        ).alias("cuts")
+    )
+    bucketed = orders.crossJoin(F.broadcast(cuts)).select(
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col("cuts"), lambda x: F.col("o_totalprice") > x
+                )
+            )
+        ).alias("decile"),
+        "o_totalprice",
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiset difference (EXCEPT ALL): bag semantics — each occurrence
+# counts, the form ledgers and reconciliation actually need (the
+# DISTINCT variant is nations_customers_except_suppliers).
+# --------------------------------------------------------------------------
+@query(
+    "customer_nations_except_all_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def customer_nations_except_all_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXCEPT ALL (multiset difference) on nation keys: customers'
+    nation occurrences minus suppliers', multiplicity-aware — e.g. a
+    nation with 40 customers and 3 suppliers keeps 37 rows. Spark
+    plans exceptAll as a counted aggregate + generate (count
+    difference re-expanded), one shuffle on the key — not an
+    anti-join, which would drop all 40."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.exceptAll(supp)

@@ -2399,3 +2399,104 @@ def _compose_recall_oracle() -> None:
 
 
 _compose_recall_oracle()
+
+
+# --------------------------------------------------------------------------
+# PMI collocations: adjacent-token pairs whose co-occurrence beats
+# the independence assumption — the classic phrase-mining statistic
+# (Church & Hanks 1990), over the whitespace token stream.
+# --------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+
+
+@query(
+    "doc_pmi_collocations",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    u AS (
+      SELECT unnest(toks) AS w,
+             generate_subscripts(toks, 1) AS i, doc_id
+      FROM t),
+    bg AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c_xy
+      FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.w, b.w),
+    uni AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+    tot AS (SELECT CAST(SUM(c_xy) AS DOUBLE) AS n_bg FROM bg),
+    totu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni)
+    SELECT bg.w1, bg.w2, CAST(bg.c_xy AS BIGINT) AS n_pair,
+           ROUND(ln((bg.c_xy / tot.n_bg) /
+                    ((u1.c / totu.n_uni) * (u2.c / totu.n_uni))), 6)
+             AS pmi
+    FROM bg
+    JOIN uni u1 ON u1.w = bg.w1
+    JOIN uni u2 ON u2.w = bg.w2
+    CROSS JOIN tot CROSS JOIN totu
+    WHERE bg.c_xy >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, bg.w1, bg.w2
+    LIMIT 50
+    """,
+)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 pointwise-mutual-information bigrams over the corpus:
+    PMI = ln( P(w1,w2) / (P(w1) P(w2)) ) with bigram probability from
+    the adjacent-pair stream and unigram probabilities from the token
+    stream, gated at c_xy >= 5 (the standard sparse-PMI guard).
+
+    Scale: bigrams are built ROW-LOCALLY with a zip of the token
+    array against its tail (transform over indices — pure codegen, no
+    self-join on token position like the oracle needs); the only
+    shuffles are the two hash aggregates (bigram counts, unigram
+    counts) and the two vocab-keyed joins that attach marginals. The
+    1-row totals broadcast. Top-50 is TakeOrderedAndProject. The PMI
+    expression evaluates with identical op order in both engines
+    (double divisions in the same association), so ROUND(...,6)
+    hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(
+            F.split(F.col("text"), " "), lambda x: x != F.lit("")
+        ).alias("toks")
+    )
+    # Adjacent pairs: zip toks[0:n-1] with toks[1:n], row-local.
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "(w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    unigrams = toks.select(F.explode("toks").alias("w"))
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = bg.agg(F.sum("c_xy").cast("double").alias("n_bg"))
+    totu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    gated = bg.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    joined = (
+        gated.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2"
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totu))
+    )
+    pmi = F.log(
+        (F.col("c_xy") / F.col("n_bg"))
+        / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
