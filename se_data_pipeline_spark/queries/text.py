@@ -508,6 +508,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_THRESHOLD = 0.8
 
 
+
+def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared near-dup currency: (doc_id, n_chars, hset) with hset the
+    document's distinct 5-token shingles hashed to 8 bytes — ONE
+    Arrow shingle pass, localCheckpoint'ed eagerly so every consumer
+    (and every method inside dedup_method_recall_report) reads the
+    materialized blocks instead of replaying the Python kernel. The
+    hash-before-checkpoint order matters: the checkpoint stores
+    8-byte longs, never the ~40-byte shingle strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    hs = docs.repartition(par).select(
+        "doc_id",
+        "n_chars",
+        F.transform(
+            word_shingles_udf(5)(F.col("text")), lambda x: F.xxhash64(x)
+        ).alias("hset"),
+    )
+    return hs.localCheckpoint(eager=True)
+
+
+def _shingle_base(sets: DataFrame) -> DataFrame:
+    """Filtered + measured view of _hashed_shingle_sets: drops
+    short-doc empties, adds m = |hset| (cheap JVM expressions over
+    the checkpointed blocks)."""
+    return sets.filter(F.size("hset") > 0).withColumn(
+        "m", F.size("hset")
+    )
+
+
 def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared inverted-index builder: (doc_id, n, sh) — one row per
     distinct 5-token shingle, with the document's shingle count
@@ -565,7 +595,9 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.n_common * 1.0 / (ca.n + cb.n - p.n_common) >= {_JACCARD_THRESHOLD}
     """,
 )
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, sets: DataFrame | None = None
+) -> DataFrame:
     """Near-dup detection: explode distinct 5-token shingles into an
     inverted index, group docs per shingle, generate the co-occurring
     pairs array-locally inside each shingle bucket, count
@@ -584,7 +616,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingles. Sorting each bucket by doc_id keeps doc_a < doc_b
     without per-pair comparisons.
     """
-    e = _shingle_index(spark, sf_dir)
+    if sets is None:
+        e = _shingle_index(spark, sf_dir)
+    else:  # shared checkpointed shingle sets (recall report path)
+        e = _shingle_base(sets).select(
+            "doc_id",
+            F.col("m").alias("n"),
+            F.explode("hset").alias("sh"),
+        )
     buckets = (
         e.groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
@@ -2061,7 +2100,7 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jaccard_prefix_filter_pairs(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, sets: DataFrame | None = None
 ) -> DataFrame:
     """Near-dup pairs (5-gram shingle Jaccard >= 0.8) via prefix
     filtering — same answer as `ngram_jaccard_pairs`, candidates
@@ -2089,15 +2128,18 @@ def jaccard_prefix_filter_pairs(
     from pyspark.sql import Window as W
 
     t = _JACCARD_THRESHOLD
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", word_shingles_udf(5)(F.col("text")).alias("s")
-    ).filter(F.size("s") > 0)
-    e = sh.select(
-        "doc_id",
-        F.size("s").alias("m"),
-        F.explode("s").alias("shingle"),
-    ).select("doc_id", "m", F.xxhash64("shingle").alias("h"))
+    # The shingle stream feeds FIVE consumers (df counts, the two
+    # prefix-index sides, the two verify sides); without a
+    # materialization bound the Arrow shingle kernel re-executes in
+    # each subtree (12 Python stages in the static plan — measured
+    # 2.9 s at sf0.1). The shared checkpointed set frame runs it
+    # ONCE; every consumer reads (doc, m, hash) blocks. At cluster
+    # scale this is a deliberate dataset-sized cache — the standard
+    # trade for multi-consumer candidate generation.
+    if sets is None:
+        sets = _hashed_shingle_sets(spark, sf_dir)
+    base = _shingle_base(sets)
+    e = base.select("doc_id", "m", F.explode("hset").alias("h"))
     df_sh = e.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     rank_w = W.partitionBy("doc_id").orderBy("df", "h")
     prefix = (
@@ -2122,9 +2164,10 @@ def jaccard_prefix_filter_pairs(
         )
         .distinct()
     )
-    hs = e.groupBy("doc_id").agg(
-        F.collect_set("h").alias("hset"), F.first("m").alias("m")
-    )
+    # Verify sides come straight from the checkpointed set frame —
+    # no collect_set re-aggregation shuffle (hset is already the
+    # distinct-shingle hash array).
+    hs = base.select("doc_id", "hset", "m")
     ha = hs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hset").alias("hset_a"),
@@ -2192,7 +2235,7 @@ def jaccard_prefix_filter_pairs(
     """,
 )
 def sorted_neighborhood_pairs(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, sets: DataFrame | None = None
 ) -> DataFrame:
     """Near-dup pairs found by SORTED-NEIGHBORHOOD blocking: rank
     all docs by (n_chars, doc_id) — near-identical docs have
@@ -2212,20 +2255,20 @@ def sorted_neighborhood_pairs(
 
     w_sz = 5
     t = _JACCARD_THRESHOLD
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "n_chars",
-        word_shingles_udf(5)(F.col("text")).alias("s"),
-    ).filter(F.size("s") > 0)
-    hs = sh.select(
-        "doc_id",
-        "n_chars",
-        F.transform(F.col("s"), lambda x: F.xxhash64(x)).alias("hset"),
-    )
+    own_sets = sets is None
+    if own_sets:
+        sets = _hashed_shingle_sets(spark, sf_dir)
+    hs = _shingle_base(sets).select("doc_id", "n_chars", "hset")
     ranged = hs.repartitionByRange(32, "n_chars", "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
+    # Standalone: materialize the range-placed rows once so neither
+    # the shingle checkpoint read nor the range exchange replays per
+    # consumer (counts action + both self-join sides). Inside the
+    # recall report (shared sets) the extra barrier costs more than
+    # the recompute saves — the big fused plan overlaps subtrees.
+    if own_sets:
+        ranged = ranged.localCheckpoint(eager=True)
     counts = ranged.groupBy("pid").count().collect()
     acc = 0
     offsets = []
@@ -2313,7 +2356,8 @@ def dedup_method_recall_report(
     together (the per-method form would re-evaluate the truth
     subtree per method — same single-plan rationale as
     ann_recall_report)."""
-    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+    sets = _hashed_shingle_sets(spark, sf_dir)
+    truth = ngram_jaccard_pairs(spark, sf_dir, sets=sets).select(
         "doc_a", "doc_b"
     )
     methods = {
@@ -2321,10 +2365,10 @@ def dedup_method_recall_report(
             "doc_a", "doc_b"
         ),
         "prefix_filter": jaccard_prefix_filter_pairs(
-            spark, sf_dir
+            spark, sf_dir, sets=sets
         ).select("doc_a", "doc_b"),
         "sorted_neighborhood": sorted_neighborhood_pairs(
-            spark, sf_dir
+            spark, sf_dir, sets=sets
         ).select("doc_a", "doc_b"),
     }
     tagged = None
