@@ -2448,6 +2448,12 @@ def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
+    # The edge list feeds EIGHT consumers (degree x2, orientation,
+    # the closure semi-join, the three census counts) — without a
+    # materialization bound the lineitem scan + pair explosion
+    # replays per subtree (51 exchanges / 16 scans in the static
+    # plan). Checkpoint once: edges are two ints per row.
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("pa").alias("v"))
         .unionAll(edges.select(F.col("pb").alias("v")))
@@ -2472,6 +2478,9 @@ def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
         F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("w"),
     )
+    # Both wedge sides read the oriented edges; materialize so the
+    # two degree joins run once, not per side.
+    oriented = oriented.localCheckpoint(eager=True)
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(
         y,
