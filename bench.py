@@ -129,6 +129,11 @@ HEADLINE = [
     "doc_pmi_collocations",
     "orders_equi_depth_deciles",
     "multimodal_exact_dedup",
+    "events_cms_user_estimates",
+    "doc_zipf_fit",
+    "customer_quartile_migration",
+    "doc_keywords_topk",
+    "sql_supplier_variety_not_in",
 ]
 
 

@@ -2875,3 +2875,91 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_ev.mapInPandas(
         fold, "user_id long, event_id long, cusum double, alarm boolean"
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch estimates (Cormode & Muthukrishnan 2005): the
+# fixed-memory frequency table — d=4 hash rows x w=256 buckets —
+# with per-key estimate = min over rows of the key's bucket sum.
+# Fully deterministic given the hash family, so BOTH engines build
+# the identical sketch and the oracle checks estimate AND exact.
+# --------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 256
+_CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_CMS_A = 1_000_003
+_CMS_A_STEP = 97
+_CMS_B = 12_289
+_CMS_B_STEP = 1_009
+
+
+@query(
+    "events_cms_user_estimates",
+    oracle=f"""
+    WITH exact AS (
+      SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id),
+    rows_ AS (SELECT unnest(range({_CMS_D})) AS d),
+    keyed AS (
+      SELECT e.user_id, e.n_exact, r.d,
+             (((e.user_id % {_CMS_P}) * ({_CMS_A} + r.d * {_CMS_A_STEP})
+               + ({_CMS_B} + r.d * {_CMS_B_STEP})) % {_CMS_P})
+               % {_CMS_W} AS bucket
+      FROM exact e CROSS JOIN rows_ r),
+    sketch AS (
+      SELECT d, bucket, CAST(SUM(n_exact) AS BIGINT) AS bucket_sum
+      FROM keyed GROUP BY d, bucket),
+    est AS (
+      SELECT k.user_id, k.n_exact,
+             MIN(s.bucket_sum) AS n_est
+      FROM keyed k JOIN sketch s
+        ON s.d = k.d AND s.bucket = k.bucket
+      GROUP BY k.user_id, k.n_exact)
+    SELECT user_id, n_exact, n_est,
+           n_est >= n_exact AS never_underestimates
+    FROM est ORDER BY user_id
+    """,
+)
+def events_cms_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-count estimates from a 4x256 Count-Min sketch,
+    side-by-side with the exact count and the CMS one-sided error
+    guarantee (estimate >= truth, always).
+
+    Why this is the 100 TB shape: the sketch is 1 KiB regardless of
+    key cardinality and MERGEABLE (bucket sums add across partitions/
+    days/streams), so frequency dashboards keep d*w counters where
+    the exact table keeps billions of keys. Here the sketch is built
+    FROM the exact per-key aggregate (one shuffle) purely so the
+    oracle can replay it bit-for-bit; a production run folds raw rows
+    straight into bucket partials map-side and never materializes
+    per-key counts.
+
+    Hash contract: row d uses the universal multiplicative hash
+    h_d(u) = (((u mod p) * a_d + b_d) mod p) mod w with p = 2^31-1
+    and per-row constants a_d, b_d — pure integer arithmetic that is
+    bit-identical in any engine (the repo's deterministic-sampling
+    convention; 64-bit built-ins differ between Spark and DuckDB).
+    The u mod p pre-reduction keeps every product under 2^62, so
+    ANSI-mode overflow can never throw at any key range."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+    a_d = F.lit(_CMS_A) + F.col("d") * _CMS_A_STEP
+    b_d = F.lit(_CMS_B) + F.col("d") * _CMS_B_STEP
+    keyed = exact.crossJoin(F.broadcast(rows)).withColumn(
+        "bucket",
+        (((F.col("user_id") % _CMS_P) * a_d + b_d) % _CMS_P) % _CMS_W,
+    )
+    sketch = keyed.groupBy("d", "bucket").agg(
+        F.sum("n_exact").cast("long").alias("bucket_sum")
+    )
+    est = (
+        keyed.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("bucket_sum").alias("n_est"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") >= F.col("n_exact")).alias("never_underestimates"),
+    ).orderBy("user_id")

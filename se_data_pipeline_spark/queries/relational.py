@@ -2836,3 +2836,114 @@ def customer_nations_except_all_suppliers(
         F.col("s_nationkey").alias("nationkey")
     )
     return cust.exceptAll(supp)
+
+
+# --------------------------------------------------------------------------
+# Quartile migration matrix: each customer's annual-revenue quartile
+# (within its year) joined to its next-year quartile — the
+# cohort-mobility readout (how sticky are the top/bottom bands).
+# Quartiles are assigned from per-year percentile cuts, never a
+# per-year ntile sort-window.
+# --------------------------------------------------------------------------
+@query(
+    "customer_quartile_migration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY o_custkey, yr),
+    cuts AS (
+      SELECT yr,
+             [ROUND(x, 6) FOR x IN
+              quantile_cont(revenue, [0.25, 0.5, 0.75])] AS c
+      FROM rev GROUP BY yr),
+    q AS (
+      SELECT r.o_custkey, r.yr,
+             1 + len(list_filter(c.c, x -> r.revenue > x)) AS quartile
+      FROM rev r JOIN cuts c ON c.yr = r.yr)
+    SELECT a.yr AS year_from,
+           a.quartile AS q_from, b.quartile AS q_to,
+           COUNT(*) AS n_customers
+    FROM q a JOIN q b
+      ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+    GROUP BY year_from, q_from, q_to
+    ORDER BY year_from, q_from, q_to
+    """,
+)
+def customer_quartile_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Year-over-year quartile transition counts of customer annual
+    revenue.
+
+    Scale: one (customer, year) revenue aggregate; quartile cuts are
+    a |years|-row aggregate broadcast back (the equi-depth-decile
+    pattern — no per-year sort-window, which at 100 TB would funnel
+    each year's customers through one task); the migration join
+    shuffles on custkey once; the final matrix is <= years * 16
+    rows. Cuts rounded to 6 dp in both engines so band boundaries
+    are decided on identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    cuts = rev.groupBy("yr").agg(
+        F.expr(
+            "transform(percentile(revenue, array(0.25D, 0.5D, 0.75D)), "
+            "x -> round(x, 6))"
+        ).alias("c")
+    )
+    q = rev.join(F.broadcast(cuts), "yr").select(
+        "o_custkey",
+        "yr",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(F.col("c"), lambda x: F.col("revenue") > x)
+            )
+        ).alias("quartile"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .groupBy(
+            F.col("a.yr").alias("year_from"),
+            F.col("a.quartile").alias("q_from"),
+            F.col("b.quartile").alias("q_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("year_from", "q_from", "q_to")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiset intersection (INTERSECT ALL) — the bag twin of
+# nations_customers_intersect_suppliers, pairing
+# customer_nations_except_all_suppliers.
+# --------------------------------------------------------------------------
+@query(
+    "customer_nations_intersect_all_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def customer_nations_intersect_all_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERSECT ALL on nation keys: min(multiplicity) occurrences
+    survive per key — a nation with 40 customers and 3 suppliers
+    keeps 3 rows. One counted aggregate per side + re-expansion,
+    single shuffle on the key."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersectAll(supp)

@@ -467,3 +467,49 @@ def sql_q7_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
     )
     return spark.sql(_Q7_SQL)
+
+
+# --------------------------------------------------------------------------
+# NOT IN subquery (TPC-H Q16 shape): null-aware anti join — the one
+# subquery form whose three-valued-logic semantics differ from NOT
+# EXISTS (a single NULL in the subquery empties the result), so
+# Catalyst plans it as a dedicated null-aware anti join.
+# --------------------------------------------------------------------------
+@query(
+    "sql_supplier_variety_not_in",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def sql_supplier_variety_not_in(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier variety per (brand, size) excluding bad-standing
+    suppliers via NOT IN — TPC-H Q16's shape on the available
+    columns. Catalyst rewrites the NOT IN into a null-aware
+    left-anti join (LeftAnti with the null-check condition); the
+    exclusion list is a tiny broadcast, the p_size IN-list prunes
+    the part side before its join, and the distinct count is the
+    only fact-side shuffle. NOT EXISTS would be a plain anti join —
+    registering BOTH shapes documents the semantic difference for
+    users porting SQL."""
+    _register(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 5, 9, 13)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+        """
+    )

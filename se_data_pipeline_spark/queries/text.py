@@ -2544,3 +2544,152 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf's-law fit: OLS slope of log(freq) vs log(rank) over the top
+# 200 corpus tokens — the standard power-law diagnostic for corpus
+# health (natural text ~ -1; templated/bot text diverges).
+# --------------------------------------------------------------------------
+_ZIPF_TOP = 200
+
+
+@query(
+    "doc_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS w
+      FROM documents),
+    cnt AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT {_ZIPF_TOP}),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk
+      FROM top)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_fit,
+           ROUND(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(c), ln(rnk)), 6) AS zipf_intercept,
+           ROUND(regr_r2(ln(c), ln(rnk)), 6) AS fit_r2
+    FROM r
+    """,
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus: token frequencies -> top-200 cut ->
+    log-log OLS via the built-in regression aggregates.
+
+    Scale: the corpus-sized work is ONE unigram count shuffle; the
+    top-200 cut is TakeOrderedAndProject. Rank is then assigned on
+    the 200-row frame WITHOUT a global sort-window (the banned
+    plan class): rank(w) = 1 + |{{tokens ordered strictly before w}}|
+    via an inequality self-join of the broadcast 200-row frame —
+    O(top^2) comparisons on a constant-size frame, zero shuffles.
+    The regression itself is three running moments."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), " "), lambda x: x != F.lit("")
+            )
+        ).alias("w")
+    )
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_ZIPF_TOP)
+    )
+    a, b = top.alias("a"), top.alias("b")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.c") > F.col("a.c"))
+            | ((F.col("b.c") == F.col("a.c")) & (F.col("b.w") < F.col("a.w"))),
+            "left",
+        )
+        .groupBy(F.col("a.w"), F.col("a.c"))
+        .agg((F.count(F.col("b.w")) + 1).alias("rnk"))
+    )
+    lc, lr = F.log(F.col("c")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_fit"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 6).alias("fit_r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-document keyword extraction: top-3 TF-IDF terms per doc — the
+# per-item companion of doc_tfidf_search's corpus-level retrieval.
+# --------------------------------------------------------------------------
+@query(
+    "doc_keywords_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS w
+      FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w),
+    dfreq AS (SELECT w, COUNT(*) AS dfn FROM tf GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             tf.c * ln(n.n_docs * 1.0 / dfreq.dfn) AS s
+      FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+    r AS (
+      SELECT doc_id, w, s,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, w) AS rnk
+      FROM scored)
+    SELECT doc_id, CAST(rnk AS INTEGER) AS kw_rank, w AS term,
+           ROUND(s, 6) AS tfidf
+    FROM r WHERE rnk <= 3
+    ORDER BY doc_id, kw_rank
+    """,
+)
+def doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document: term frequency per (doc,
+    term), document frequency from the same aggregate, idf =
+    ln(N/df), per-doc rank window.
+
+    Scale: two hash aggregates (tf, df) + one vocab-keyed join; the
+    rank window is PARTITIONED BY doc_id (thousands of small groups —
+    the scalable window class, unlike a global rank); the 1-row doc
+    count broadcasts. Tie-break on the term string keeps both
+    engines' top-3 identical; scores order on the unrounded double,
+    which is bit-identical because both engines evaluate
+    c * ln((N * 1.0) / df) in the same association."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), " "), lambda x: x != F.lit("")
+            )
+        ).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfn"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "s",
+            F.col("c") * F.log(F.col("n_docs") * 1.0 / F.col("dfn")),
+        )
+    )
+    w_rank = W.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("w"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w_rank))
+        .filter(F.col("kw_rank") <= 3)
+        .select(
+            "doc_id",
+            "kw_rank",
+            F.col("w").alias("term"),
+            F.round("s", 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "kw_rank")
+    )
