@@ -134,6 +134,9 @@ HEADLINE = [
     "customer_quartile_migration",
     "doc_keywords_topk",
     "sql_supplier_variety_not_in",
+    "embedding_outlier_scores",
+    "doc_langid_confusion",
+    "events_dispersion_test",
 ]
 
 

@@ -2963,3 +2963,53 @@ def events_cms_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_est",
         (F.col("n_est") >= F.col("n_exact")).alias("never_underestimates"),
     ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Overdispersion (index-of-dispersion) test on daily event rates: is
+# each event type's daily count Poisson-like (variance ~ mean) or
+# bursty (variance >> mean)? The SPC-style health check a streaming
+# platform runs on its own throughput.
+# --------------------------------------------------------------------------
+@query(
+    "events_dispersion_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, day)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(n), 6) AS mean_daily,
+           ROUND(var_pop(n), 6) AS var_daily,
+           ROUND(var_pop(n) / AVG(n), 6) AS dispersion,
+           var_pop(n) / AVG(n) > 1.5 AS overdispersed
+    FROM daily GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of daily counts per event type with a
+    burstiness flag at dispersion > 1.5 (Poisson => ~1).
+
+    Scale: two hash aggregates — daily counts, then moments over the
+    |types| x |days| frame; both with map-side partials, nothing else
+    moves. The ratio and flag evaluate the same double expression in
+    both engines (counts are exact integers, so the moments agree to
+    the last bit before rounding)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    disp = F.var_pop("n") / F.avg("n")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg("n"), 6).alias("mean_daily"),
+            F.round(F.var_pop("n"), 6).alias("var_daily"),
+            F.round(disp, 6).alias("dispersion"),
+            (disp > 1.5).alias("overdispersed"),
+        )
+        .orderBy("event_type")
+    )

@@ -2693,3 +2693,72 @@ def doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "kw_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix: heuristic predictions vs the corpus's
+# true lang labels — the accuracy report that tells a curation
+# operator whether the cheap classifier is safe to route on. The
+# oracle COMPOSES doc_lang_id's registered oracle, so both engines
+# replay the identical classifier.
+# --------------------------------------------------------------------------
+@query(
+    "doc_langid_confusion",
+    oracle=None,  # composed below once doc_lang_id's oracle exists
+)
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts (true lang x predicted lang) with each cell's
+    share of its true-lang row.
+
+    Scale: the classifier is row-local (marker hit-rates + ordered
+    argmax), the join back to truth is on doc_id (one shuffle — or
+    zero if predictions are written lang-partitioned), and the
+    matrix is |langs|^2 rows with a broadcast row-total join."""
+    docs = load_table(spark, sf_dir, "documents")
+    preds = doc_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    m = (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(preds, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = m.groupBy("lang_true").agg(F.sum("n_docs").alias("tot"))
+    return (
+        m.join(F.broadcast(tot), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("tot"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+def _compose_langid_confusion_oracle() -> None:
+    from se_data_pipeline_spark.queries import _REGISTRY, QueryDef
+
+    langid = _registered_oracle("doc_lang_id")
+    sql = f"""
+    WITH pred AS (SELECT doc_id, lang_pred FROM ({langid})),
+    j AS (
+      SELECT d.lang AS lang_true, p.lang_pred
+      FROM documents d JOIN pred p USING (doc_id)),
+    m AS (
+      SELECT lang_true, lang_pred, COUNT(*) AS n_docs
+      FROM j GROUP BY lang_true, lang_pred),
+    t AS (SELECT lang_true, SUM(n_docs) AS tot FROM m GROUP BY lang_true)
+    SELECT m.lang_true, m.lang_pred, m.n_docs,
+           ROUND(m.n_docs * 1.0 / t.tot, 6) AS row_share
+    FROM m JOIN t USING (lang_true)
+    ORDER BY m.lang_true, m.lang_pred
+    """
+    qd = _REGISTRY["doc_langid_confusion"]
+    _REGISTRY["doc_langid_confusion"] = QueryDef(
+        qd.name, qd.fn, sql, qd.doc
+    )
+
+
+_compose_langid_confusion_oracle()

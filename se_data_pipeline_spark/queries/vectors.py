@@ -1043,3 +1043,96 @@ def embedding_knn_lsh_multiprobe(
         .limit(10)
         .select("vec_id", "bucket", F.round("raw_sim", 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier report: L2 distance of every vector to its label
+# centroid, z-scored within the label — the embedding-space quality
+# filter a curation pipeline runs to drop mislabeled / off-manifold
+# items before training.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_outlier_scores",
+    oracle="""
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+      FROM flat GROUP BY label, pos),
+    carr AS (
+      SELECT label, list(c ORDER BY pos) AS cvec FROM cent
+      GROUP BY label),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             ROUND(sqrt(list_sum(list_transform(
+               list_zip(list_transform(e.embedding,
+                                       x -> CAST(x AS DOUBLE)), a.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS d
+      FROM embeddings e JOIN carr a USING (label)),
+    stats AS (
+      SELECT label, ROUND(AVG(d), 6) AS mu, ROUND(stddev_pop(d), 6) AS sig
+      FROM dist GROUP BY label)
+    SELECT d.vec_id, d.label, d.d AS dist_to_centroid,
+           ROUND((d.d - s.mu) / s.sig, 6) AS z_score,
+           (d.d - s.mu) / s.sig > 2.0 AS is_outlier
+    FROM dist d JOIN stats s USING (label)
+    ORDER BY d.vec_id
+    """,
+)
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector distance to the label centroid + within-label
+    z-score + outlier flag (z > 2).
+
+    Scale: centroids are a (labels x dims)-row aggregate collapsed to
+    one array per label and BROADCAST; the distance is then a
+    row-local zip_with/aggregate fold over the 64-dim arrays (pure
+    Catalyst, sequential summation — deterministic order), so the
+    fact side never explodes into per-dimension rows or shuffles
+    anything but its two tiny aggregates. Centroids, distances and
+    moments are rounded to 6 dp before each reuse so both engines
+    branch the z>2 flag on identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x["c"],
+        ).alias("cvec")
+    )
+    dvec = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.col("cvec"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    dist = emb.join(F.broadcast(carr), "label").select(
+        "vec_id", "label", F.round(dvec, 6).alias("d")
+    )
+    stats = dist.groupBy("label").agg(
+        F.round(F.avg("d"), 6).alias("mu"),
+        F.round(F.stddev_pop("d"), 6).alias("sig"),
+    )
+    z = (F.col("d") - F.col("mu")) / F.col("sig")
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.col("d").alias("dist_to_centroid"),
+            F.round(z, 6).alias("z_score"),
+            (z > 2.0).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
