@@ -137,6 +137,8 @@ HEADLINE = [
     "embedding_outlier_scores",
     "doc_langid_confusion",
     "events_dispersion_test",
+    "lineitem_benford_test",
+    "events_autocorr_lag1",
 ]
 
 

@@ -3013,3 +3013,50 @@ def events_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily value series: join day t with
+# day t+1 — no ordered window, no fold — and correlate. The
+# persistence diagnostic (momentum vs mean-reversion) for any metric
+# series.
+# --------------------------------------------------------------------------
+@query(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(SUM(value), 6) AS v
+      FROM events GROUP BY day)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(a.v, b.v), 6) AS autocorr_lag1,
+           ROUND(AVG(a.v), 6) AS mean_today,
+           ROUND(AVG(b.v), 6) AS mean_next
+    FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of the daily total with its next-day
+    total.
+
+    Scale: the series is the post-aggregate |days| frame; the lag
+    pairing is an equi-join on the shifted day key (broadcast-sized)
+    — the general no-window form of lag(): at 100 TB the daily
+    rollup is the only event-scale shuffle, and an N-day lag is the
+    same join with a different shift. corr() is five running
+    moments, exact-integer inputs rounded identically on both
+    sides."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    return a.join(
+        F.broadcast(b),
+        F.col("b.day") == F.col("a.day") + F.expr("INTERVAL 1 DAY"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.corr("a.v", "b.v"), 6).alias("autocorr_lag1"),
+        F.round(F.avg("a.v"), 6).alias("mean_today"),
+        F.round(F.avg("b.v"), 6).alias("mean_next"),
+    )

@@ -2947,3 +2947,67 @@ def customer_nations_intersect_all_suppliers(
         F.col("s_nationkey").alias("nationkey")
     )
     return cust.intersectAll(supp)
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit: observed leading-digit distribution of
+# line-item prices vs Benford's log10(1 + 1/d) expectation, with the
+# chi-square goodness-of-fit statistic — the classic forensic
+# data-quality screen for fabricated or truncated numeric columns.
+# --------------------------------------------------------------------------
+@query(
+    "lineitem_benford_test",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(l_extendedprice)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+      FROM lineitem WHERE l_extendedprice >= 1),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs)
+    SELECT obs.d AS leading_digit, obs.n AS n_values,
+           ROUND(obs.n * 1.0 / tot.total, 6) AS observed_share,
+           ROUND(log10(1 + 1.0 / obs.d), 6) AS benford_share,
+           ROUND(
+             ((obs.n * 1.0 / tot.total) - log10(1 + 1.0 / obs.d))
+             * ((obs.n * 1.0 / tot.total) - log10(1 + 1.0 / obs.d))
+             / log10(1 + 1.0 / obs.d) * tot.total, 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+    ORDER BY leading_digit
+    """,
+)
+def lineitem_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford screen over l_extendedprice: per-digit
+    observed share, Benford expectation, and the per-digit chi-square
+    contribution (sum the column for the test statistic; 8 dof).
+
+    Scale: digit extraction is a row-local string expression in
+    codegen (floor -> bigint -> first char); the rest is a 9-row
+    aggregate + a 1-row total broadcast. This is the cheapest
+    possible full-column audit — one scan, one tiny shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.filter(F.col("l_extendedprice") >= 1).select(
+        F.substring(
+            F.floor("l_extendedprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    share = F.col("n") * 1.0 / F.col("total")
+    benford = F.log10(1 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.col("n").alias("n_values"),
+            F.round(share, 6).alias("observed_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(
+                (share - benford) * (share - benford) / benford
+                * F.col("total"),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("leading_digit")
+    )
