@@ -1075,8 +1075,10 @@ def embedding_knn_lsh_multiprobe(
       SELECT label, ROUND(AVG(d), 6) AS mu, ROUND(stddev_pop(d), 6) AS sig
       FROM dist GROUP BY label)
     SELECT d.vec_id, d.label, d.d AS dist_to_centroid,
-           ROUND((d.d - s.mu) / s.sig, 6) AS z_score,
-           (d.d - s.mu) / s.sig > 2.0 AS is_outlier
+           CASE WHEN s.sig > 0
+                THEN ROUND((d.d - s.mu) / s.sig, 6) END AS z_score,
+           CASE WHEN s.sig > 0
+                THEN (d.d - s.mu) / s.sig > 2.0 END AS is_outlier
     FROM dist d JOIN stats s USING (label)
     ORDER BY d.vec_id
     """,
@@ -1124,6 +1126,10 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("d"), 6).alias("mu"),
         F.round(F.stddev_pop("d"), 6).alias("sig"),
     )
+    # sig = 0 (a label whose members are all equidistant — e.g. one
+    # vector) must yield NULL, not an ANSI DIVIDE_BY_ZERO: the guard
+    # is a CaseWhen so the division only evaluates inside the
+    # sig > 0 branch, mirrored verbatim in the oracle.
     z = (F.col("d") - F.col("mu")) / F.col("sig")
     return (
         dist.join(F.broadcast(stats), "label")
@@ -1131,8 +1137,8 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.col("d").alias("dist_to_centroid"),
-            F.round(z, 6).alias("z_score"),
-            (z > 2.0).alias("is_outlier"),
+            F.when(F.col("sig") > 0, F.round(z, 6)).alias("z_score"),
+            F.when(F.col("sig") > 0, z > 2.0).alias("is_outlier"),
         )
         .orderBy("vec_id")
     )
