@@ -139,6 +139,9 @@ HEADLINE = [
     "events_dispersion_test",
     "lineitem_benford_test",
     "events_autocorr_lag1",
+    "dedup_cross_source_matrix",
+    "dedup_incremental_new_shard",
+    "embedding_margin_report",
 ]
 
 

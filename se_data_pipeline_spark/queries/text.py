@@ -2762,3 +2762,174 @@ def _compose_langid_confusion_oracle() -> None:
 
 
 _compose_langid_confusion_oracle()
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication matrix: which sources copy from which —
+# near-dup pairs rolled up by (source_a, source_b). The provenance
+# readout that decides which feeds get de-prioritized in the mix.
+# Oracle composes ngram_jaccard_pairs' registered oracle.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cross_source_matrix",
+    oracle=None,  # composed below
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts between source pairs (unordered,
+    least/greatest-normalized) with the mean Jaccard per cell.
+
+    Scale: the pair stream is the inverted-index join (already
+    index-shaped); the source attach is a broadcast of the
+    (doc_id, source) dimension twice; the matrix is |sources|^2
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    j = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("sa"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("sb"),
+                )
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _compose_cross_source_oracle() -> None:
+    from se_data_pipeline_spark.queries import _REGISTRY, QueryDef
+
+    pairs = _registered_oracle("ngram_jaccard_pairs")
+    sql = f"""
+    WITH pairs AS ({pairs}),
+    j AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b,
+             p.jaccard
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b)
+    SELECT source_a, source_b, COUNT(*) AS n_pairs,
+           ROUND(AVG(jaccard), 6) AS avg_jaccard
+    FROM j GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """
+    qd = _REGISTRY["dedup_cross_source_matrix"]
+    _REGISTRY["dedup_cross_source_matrix"] = QueryDef(
+        qd.name, qd.fn, sql, qd.doc
+    )
+
+
+_compose_cross_source_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a NEW shard (one source) screened against the
+# existing corpus with an ASYMMETRIC inverted-index join — the
+# production shape for continuous ingest, where the corpus index is
+# maintained and only the new shard's shingles probe it (never a
+# full self-join of old x old).
+# --------------------------------------------------------------------------
+_INCREMENTAL_SHARD = "src18"
+
+
+@query(
+    "dedup_incremental_new_shard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)]) AS s
+      FROM ({_SQL_TOKS})),
+    e AS (
+      SELECT s.doc_id, len(s.s) AS m, unnest(s.s) AS sh, d.source
+      FROM sh s JOIN documents d USING (doc_id)
+      WHERE len(s.s) > 0),
+    a AS (SELECT * FROM e WHERE source = '{_INCREMENTAL_SHARD}'),
+    b AS (SELECT * FROM e WHERE source <> '{_INCREMENTAL_SHARD}'),
+    p AS (
+      SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+             a.m AS ma, b.m AS mb, COUNT(*) AS n_common
+      FROM a JOIN b ON a.sh = b.sh
+      GROUP BY new_doc, corpus_doc, ma, mb)
+    SELECT new_doc, corpus_doc, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 / (ma + mb - n_common), 6) AS jaccard
+    FROM p
+    WHERE n_common * 1.0 / (ma + mb - n_common) >= {_JACCARD_THRESHOLD}
+    ORDER BY new_doc, corpus_doc
+    """,
+)
+def dedup_incremental_new_shard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dups of the newest shard against the rest of the corpus:
+    shingle index filtered to the shard on the probe side, to its
+    complement on the build side, one equi-join on the 8-byte
+    shingle hash.
+
+    Scale: this is the INCREMENTAL ingest path — cost is
+    |new shard| x collision fan-out, independent of corpus-pair
+    count; the corpus side of the join is the (maintained) inverted
+    index, and the shard probe is tiny, so a daily ingest screens in
+    minutes where the full self-join recomputes everything. The
+    shard filter prunes BEFORE the join shuffle on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = _hashed_shingle_sets(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    base = (
+        _shingle_base(sets)
+        .join(F.broadcast(src), "doc_id")
+        .select(
+            "doc_id", "m", "source", F.explode("hset").alias("h")
+        )
+    )
+    a = base.filter(F.col("source") == _INCREMENTAL_SHARD).select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("m").alias("ma"),
+        "h",
+    )
+    b = base.filter(F.col("source") != _INCREMENTAL_SHARD).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("m").alias("mb"),
+        "h",
+    )
+    p = (
+        a.join(b, "h")
+        .groupBy("new_doc", "corpus_doc", "ma", "mb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("ma") + F.col("mb") - F.col("n_common")
+    )
+    return (
+        p.filter(jac >= _JACCARD_THRESHOLD)
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("new_doc", "corpus_doc")
+    )

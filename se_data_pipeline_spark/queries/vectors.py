@@ -1142,3 +1142,101 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid-margin report: every vector's distance to its OWN label
+# centroid vs the nearest OTHER centroid — negative margin flags a
+# likely mislabel / boundary item (the centroid form of hard-negative
+# mining, fully scalable because the comparison set is |labels|
+# broadcast rows, never other vectors).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_margin_report",
+    oracle="""
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+      FROM flat GROUP BY label, pos),
+    carr AS (
+      SELECT label AS clabel, list(c ORDER BY pos) AS cvec FROM cent
+      GROUP BY clabel),
+    dists AS (
+      SELECT e.vec_id, e.label, a.clabel,
+             ROUND(sqrt(list_sum(list_transform(
+               list_zip(list_transform(e.embedding,
+                                       x -> CAST(x AS DOUBLE)), a.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS d
+      FROM embeddings e CROSS JOIN carr a),
+    agg AS (
+      SELECT vec_id, label,
+             MIN(CASE WHEN clabel = label THEN d END) AS d_own,
+             MIN(CASE WHEN clabel <> label THEN d END) AS d_other
+      FROM dists GROUP BY vec_id, label)
+    SELECT vec_id, label, d_own, d_other,
+           ROUND(d_other - d_own, 6) AS margin,
+           d_other - d_own < 0 AS is_confusable
+    FROM agg ORDER BY vec_id
+    """,
+)
+def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-centroid vs nearest-other-centroid distance margin per
+    vector.
+
+    Scale: the |labels|-row centroid table broadcasts and each vector
+    evaluates |labels| row-local zip_with folds — no vector-vector
+    pairs ever form, so the plan is one narrow 10x row expansion +
+    one keyed aggregate regardless of corpus size. Distances are
+    rounded to 6 dp before the min/margin so both engines branch the
+    confusable flag on identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    carr = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x["c"],
+        ).alias("cvec")
+    )
+    dcol = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.transform(
+                        F.col("embedding"), lambda x: x.cast("double")
+                    ),
+                    F.col("cvec"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    dists = emb.crossJoin(F.broadcast(carr)).select(
+        "vec_id", "label", "clabel", dcol.alias("d")
+    )
+    agg = dists.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(F.col("clabel") == F.col("label"), F.col("d"))
+        ).alias("d_own"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("d"))
+        ).alias("d_other"),
+    )
+    return agg.select(
+        "vec_id",
+        "label",
+        "d_own",
+        "d_other",
+        F.round(F.col("d_other") - F.col("d_own"), 6).alias("margin"),
+        (F.col("d_other") - F.col("d_own") < 0).alias("is_confusable"),
+    ).orderBy("vec_id")
