@@ -142,6 +142,8 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "dedup_incremental_new_shard",
     "embedding_margin_report",
+    "embedding_power_iteration",
+    "orders_dow_anova",
 ]
 
 

@@ -3011,3 +3011,96 @@ def lineitem_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leading_digit")
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA: does day-of-week move order value? Between/within
+# sum-of-squares from per-group moments only — the F statistic
+# without ever materializing residuals.
+# --------------------------------------------------------------------------
+@query(
+    "orders_dow_anova",
+    oracle="""
+    WITH g AS (
+      SELECT dayofweek(o_orderdate) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             ROUND(AVG(o_totalprice), 6) AS mean_g,
+             ROUND(var_samp(o_totalprice), 6) AS var_g
+      FROM orders GROUP BY dow),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             ROUND(SUM(n_g * mean_g) / SUM(n_g), 6) AS grand_mean
+      FROM g),
+    ss AS (
+      SELECT tot.n, tot.k,
+             ROUND(SUM(n_g * (mean_g - tot.grand_mean)
+                           * (mean_g - tot.grand_mean)), -3) AS ssb,
+             ROUND(SUM((n_g - 1) * var_g), -3) AS ssw
+      FROM g CROSS JOIN tot GROUP BY tot.n, tot.k)
+    SELECT n AS n_orders, k AS n_groups, ssb, ssw,
+           CASE WHEN k > 1 AND n > k AND ssw > 0
+                THEN ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6)
+           END AS f_stat
+    FROM ss
+    """,
+)
+def orders_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F statistic for the day-of-week effect on o_totalprice,
+    assembled purely from per-group (n, mean, variance) moments:
+    SSB = sum n_g (mean_g - grand)^2, SSW = sum (n_g - 1) var_g.
+
+    Scale: ONE shuffle produces the 7-row moment frame; everything
+    after is arithmetic on 7 rows (grand mean via the weighted
+    combine, never a second scan). Per-group moments are rounded to
+    6 dp before the cross-group combines so the 7-row sums run on
+    identical doubles in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        F.dayofweek("o_orderdate").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.round(F.avg("o_totalprice"), 6).alias("mean_g"),
+        F.round(F.var_samp("o_totalprice"), 6).alias("var_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.round(
+            F.sum(F.col("n_g") * F.col("mean_g")) / F.sum("n_g"), 6
+        ).alias("grand_mean"),
+    )
+    dev = F.col("mean_g") - F.col("grand_mean")
+    ss = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(
+            # sums of squares sit at ~1e14: ROUND(x, 6) cannot absorb
+            # summation-order LSB noise at that magnitude, so the
+            # cross-engine contract rounds to THOUSANDS (-3) — still
+            # 11 significant digits — and the F statistic divides the
+            # rounded values.
+            F.round(F.sum(F.col("n_g") * dev * dev), -3).alias("ssb"),
+            F.round(
+                F.sum((F.col("n_g") - 1) * F.col("var_g")), -3
+            ).alias("ssw"),
+        )
+    )
+    return ss.select(
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_groups"),
+        "ssb",
+        "ssw",
+        # degenerate corpora (one weekday, or zero within-group
+        # variance) must yield NULL, not an ANSI DIVIDE_BY_ZERO
+        F.when(
+            (F.col("k") > 1)
+            & (F.col("n") > F.col("k"))
+            & (F.col("ssw") > 0),
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("n") - F.col("k"))),
+                6,
+            ),
+        ).alias("f_stat"),
+    )

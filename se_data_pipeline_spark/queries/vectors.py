@@ -1240,3 +1240,114 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d_other") - F.col("d_own"), 6).alias("margin"),
         (F.col("d_other") - F.col("d_own") < 0).alias("is_confusable"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# Distributed power iteration (two fixed steps): dominant principal
+# direction of the raw (uncentered) second-moment matrix XᵀX without
+# ever materializing the 64x64 matrix — each step is
+# v' = normalize(Σ_i x_i (x_i · v)), i.e. one row-local dot product
+# plus one per-dimension weighted sum. The standard first move of
+# distributed PCA / spectral methods at matrix-free scale.
+# --------------------------------------------------------------------------
+_POWER_DIM = 64
+
+
+def _power_step_sql(xcte: str, vcte: str) -> str:
+    """One DuckDB power step: per-dim weighted sums of x by (x·v),
+    rounded, then normalized and re-rounded — mirrors the Spark
+    rounding contract exactly."""
+    return f"""
+      SELECT pos, ROUND(s / nrm, 6) AS v FROM (
+        SELECT pos, s, ROUND(sqrt(SUM(s * s) OVER ()), 6) AS nrm
+        FROM (
+          SELECT u.pos,
+                 ROUND(SUM(u.xd * d.dot), 6) AS s
+          FROM (SELECT vec_id, generate_subscripts(x, 1) AS pos,
+                       unnest(x) AS xd FROM {xcte}) u
+          JOIN (SELECT vec_id,
+                       list_sum(list_transform(list_zip(x, v),
+                                p -> p[1] * p[2])) AS dot
+                FROM {xcte}, (SELECT list(v ORDER BY pos) AS v
+                              FROM {vcte})
+               ) d ON d.vec_id = u.vec_id
+          GROUP BY u.pos) t1) t2
+    """
+
+
+@query(
+    "embedding_power_iteration",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+      FROM embeddings),
+    v0 AS (
+      SELECT unnest(range(1, {_POWER_DIM} + 1)) AS pos,
+             1.0 / sqrt({_POWER_DIM}) AS v),
+    v1 AS ({{s1}}),
+    v2 AS ({{s2}})
+    SELECT CAST(pos - 1 AS INTEGER) AS dim, v AS loading
+    FROM v2 ORDER BY dim
+    """.format(
+        s1=_power_step_sql("x", "v0"), s2=_power_step_sql("x", "v1")
+    ),
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two matrix-free power-iteration steps from the deterministic
+    uniform start v0 = 1/sqrt(d); returns the 64 loadings of the
+    (approximate) dominant principal direction.
+
+    Scale shape: per step, the dot product x·v is a row-local
+    zip_with fold against the BROADCAST direction (64 doubles), and
+    the update Σ x_i·dot_i is one per-dimension aggregate — 64 output
+    rows however many billions of vectors X holds. The new direction
+    returns to the driver (a 64-value allreduce, the same contract as
+    every distributed LBFGS/PCA round trip) and re-broadcasts.
+    Determinism contract: per-dim sums and the norm are rounded to
+    6 dp before the division in BOTH engines, so the second step
+    folds over identical doubles."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda e: e.cast("double")).alias("x"),
+    )
+
+    def step(v: list[float]):
+        varr = F.array(*[F.lit(float(c)) for c in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("x"), varr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        sums = (
+            x.select(
+                F.posexplode(
+                    F.transform(F.col("x"), lambda xd: xd * dot)
+                ).alias("pos", "w")
+            )
+            .groupBy("pos")
+            .agg(F.round(F.sum("w"), 6).alias("s"))
+            .orderBy("pos")
+            .collect()
+        )
+        from se_data_pipeline_spark.functions.numeric import (
+            round_half_up,
+        )
+
+        s = [r["s"] for r in sums]
+        # SQL ROUND (half away from zero), not python round(), and
+        # fsum for the 64-dim norm: both engines round s first, then
+        # the norm re-rounds, so the division inputs are identical.
+        nrm = float(round_half_up(math.sqrt(math.fsum(c * c for c in s))))
+        return [float(round_half_up(c / nrm)) for c in s]
+
+    d = _POWER_DIM
+    v0 = [1.0 / math.sqrt(d)] * d
+    v2 = step(step(v0))
+    out = spark.createDataFrame(
+        [(i, v2[i]) for i in range(d)], "dim int, loading double"
+    )
+    return out.orderBy("dim")
