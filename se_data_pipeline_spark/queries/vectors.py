@@ -1341,7 +1341,13 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SQL ROUND (half away from zero), not python round(), and
         # fsum for the 64-dim norm: both engines round s first, then
         # the norm re-rounds, so the division inputs are identical.
+        # Empty/zero corpora leave the direction undefined -> keep v
+        # (never a ZeroDivisionError on a fresh partition).
+        if len(s) < len(v):
+            return list(v)
         nrm = float(round_half_up(math.sqrt(math.fsum(c * c for c in s))))
+        if nrm == 0.0:
+            return list(v)
         return [float(round_half_up(c / nrm)) for c in s]
 
     d = _POWER_DIM
