@@ -326,3 +326,69 @@ def test_cdc_merge_single_join_shuffle(spark, sf_dir):
     # MERGE = one anti join + union; the union adds no exchange
     assert "LeftAnti" in plan
     assert "Union" in plan
+
+
+def test_pmi_bigram_shuffle_has_no_python_stage(spark, sf_dir):
+    """doc_pmi_collocations builds bigrams row-locally in codegen
+    (hash-keyed count shuffle): no Arrow/Python stage anywhere, and
+    the top-50 runs as true top-k."""
+    from se_data_pipeline_spark.queries.text import doc_pmi_collocations
+
+    plan = plan_of(doc_pmi_collocations(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_equi_depth_deciles_has_no_window_or_sort(spark, sf_dir):
+    """orders_equi_depth_deciles must never plan the ntile global
+    sort-window it replaces: bucket assignment is a broadcast of the
+    1-row percentile frame + a row-local array filter."""
+    from se_data_pipeline_spark.queries.relational import (
+        orders_equi_depth_deciles,
+    )
+
+    plan = plan_of(orders_equi_depth_deciles(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cuts frame
+
+
+def test_margin_report_broadcasts_centroids_no_vector_pairs(spark, sf_dir):
+    """embedding_margin_report compares each vector against the
+    |labels|-row centroid table only — the centroid side must arrive
+    broadcast and no vector-vector join may appear (a SortMergeJoin
+    would mean a pair blowup)."""
+    from se_data_pipeline_spark.queries.vectors import (
+        embedding_margin_report,
+    )
+
+    plan = plan_of(embedding_margin_report(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_shard_filters_before_join(spark, sf_dir):
+    """dedup_incremental_new_shard prunes both sides to shard /
+    complement BEFORE the shingle-hash join shuffle (the filters sit
+    under the Exchange, not above the join)."""
+    from se_data_pipeline_spark.queries.text import (
+        dedup_incremental_new_shard,
+    )
+
+    plan = optimized_of(dedup_incremental_new_shard(spark, sf_dir))
+    join_pos = plan.find("Join")
+    assert join_pos != -1
+    below = plan[join_pos:]
+    assert "src18" in below  # shard predicate pushed below the join
+
+
+def test_cusum_is_single_python_pass(spark, sf_dir):
+    """events_cusum_changepoints folds in exactly ONE Arrow stage
+    (the mapInPandas pass) — stats attach via broadcast, not a second
+    kernel."""
+    from se_data_pipeline_spark.queries.events import (
+        events_cusum_changepoints,
+    )
+
+    plan = plan_of(events_cusum_changepoints(spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("MapInPandas") == 1
