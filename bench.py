@@ -144,6 +144,8 @@ HEADLINE = [
     "embedding_margin_report",
     "embedding_power_iteration",
     "orders_dow_anova",
+    "events_markov_entropy_rate",
+    "doc_source_js_divergence",
 ]
 
 

@@ -3060,3 +3060,97 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("a.v"), 6).alias("mean_today"),
         F.round(F.avg("b.v"), 6).alias("mean_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# Entropy rate of the behavioral Markov chain: H = -sum_i pi_i sum_j
+# P_ij log2 P_ij with pi the empirical source-state distribution —
+# one number summarizing how predictable the event stream is. The
+# oracle composes events_markov_transitions' registered oracle.
+# --------------------------------------------------------------------------
+@query(
+    "events_markov_entropy_rate",
+    oracle=None,  # composed below
+)
+def events_markov_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy rate (bits/transition) of the event-type chain, with
+    the uniform upper bound log2(n_states) and the predictability
+    ratio.
+
+    Scale: everything derives from the |types|^2 transition frame
+    (already an aggregate); three tiny reductions, zero extra scans
+    of events."""
+    tm = events_markov_transitions(spark, sf_dir)
+    per_cur = tm.groupBy("cur").agg(
+        F.sum("n_transitions").alias("n_cur"),
+        (
+            -F.sum(
+                F.col("p_transition")
+                * F.log(F.col("p_transition"))
+                / F.log(F.lit(2.0))
+            )
+        ).alias("h_cur"),
+    )
+    tot = per_cur.agg(F.sum("n_cur").alias("total"))
+    return (
+        per_cur.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_states"),
+            F.max("total").cast("long").alias("n_transitions"),
+            F.round(
+                F.sum(
+                    (F.col("n_cur") * 1.0 / F.col("total"))
+                    * F.col("h_cur")
+                ),
+                6,
+            ).alias("entropy_rate_bits"),
+        )
+        .select(
+            "n_states",
+            "n_transitions",
+            "entropy_rate_bits",
+            F.round(
+                F.log(F.col("n_states") * 1.0) / F.log(F.lit(2.0)), 6
+            ).alias("max_bits"),
+            F.round(
+                F.col("entropy_rate_bits")
+                / (F.log(F.col("n_states") * 1.0) / F.log(F.lit(2.0))),
+                6,
+            ).alias("predictability_ratio"),
+        )
+    )
+
+
+def _compose_entropy_rate_oracle() -> None:
+    from se_data_pipeline_spark.queries import _REGISTRY, QueryDef
+
+    tm = _REGISTRY["events_markov_transitions"].oracle
+    sql = f"""
+    WITH tm AS ({tm}),
+    per_cur AS (
+      SELECT cur, SUM(n_transitions) AS n_cur,
+             -SUM(p_transition * ln(p_transition) / ln(2.0)) AS h_cur
+      FROM tm GROUP BY cur),
+    tot AS (SELECT SUM(n_cur) AS total FROM per_cur),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_states,
+             CAST(MAX(tot.total) AS BIGINT) AS n_transitions,
+             ROUND(SUM((per_cur.n_cur * 1.0 / tot.total)
+                       * per_cur.h_cur), 6) AS entropy_rate_bits
+      FROM per_cur CROSS JOIN tot)
+    SELECT n_states, n_transitions, entropy_rate_bits,
+           ROUND(ln(n_states * 1.0) / ln(2.0), 6) AS max_bits,
+           ROUND(entropy_rate_bits
+                 / (ln(n_states * 1.0) / ln(2.0)), 6)
+             AS predictability_ratio
+    FROM agg
+    """
+    qd = _REGISTRY["events_markov_entropy_rate"]
+    _REGISTRY["events_markov_entropy_rate"] = QueryDef(
+        qd.name, qd.fn, sql, qd.doc
+    )
+
+
+_compose_entropy_rate_oracle()

@@ -2949,3 +2949,94 @@ def dedup_incremental_new_shard(
         )
         .orderBy("new_doc", "corpus_doc")
     )
+
+
+# --------------------------------------------------------------------------
+# Source drift: Jensen-Shannon divergence (bits) between each
+# source's token distribution and the corpus distribution — the
+# distribution-shift monitor a mixing pipeline alarms on. The
+# out-of-support mass is folded in CLOSED FORM (sum_{w not in s}
+# Q ln2 = ln2 (1 - coverage)), so the computation stays on the
+# SPARSE (source, token) frame — never a dense source x vocab grid.
+# --------------------------------------------------------------------------
+@query(
+    "doc_source_js_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS w
+      FROM documents),
+    sc AS (SELECT source, w, COUNT(*) AS c FROM toks
+           GROUP BY source, w),
+    ns AS (SELECT source, SUM(c) AS n_s FROM sc GROUP BY source),
+    gw AS (SELECT w, SUM(c) AS c_w FROM sc GROUP BY w),
+    nn AS (SELECT SUM(c) AS n FROM sc),
+    terms AS (
+      SELECT sc.source,
+             sc.c * 1.0 / ns.n_s AS p,
+             gw.c_w * 1.0 / nn.n AS q
+      FROM sc JOIN ns USING (source) JOIN gw USING (w) CROSS JOIN nn),
+    per_src AS (
+      SELECT source,
+             SUM(p * ln(p / ((p + q) / 2))) AS t1,
+             SUM(q * ln(q / ((p + q) / 2))) AS t2,
+             SUM(q) AS qcov
+      FROM terms GROUP BY source)
+    SELECT source,
+           ROUND((0.5 * t1 + 0.5 * (t2 + ln(2.0) * (1 - qcov)))
+                 / ln(2.0), 6) AS jsd_bits,
+           ROUND(qcov, 6) AS vocab_coverage
+    FROM per_src ORDER BY source
+    """,
+)
+def doc_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSD(source || corpus) in bits per source, plus the share of
+    global token mass the source's vocabulary covers.
+
+    Scale: two hash aggregates (source-term counts, global term
+    counts) + one vocab-keyed join; the tokens a source DOESN'T use
+    never materialize — their contribution collapses to
+    ln2 * (1 - coverage). Identical expression order in both engines,
+    rounded at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), " "), lambda x: x != F.lit("")
+            )
+        ).alias("w"),
+    )
+    sc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    ns = sc.groupBy("source").agg(F.sum("c").alias("n_s"))
+    gw = sc.groupBy("w").agg(F.sum("c").alias("c_w"))
+    nn = sc.agg(F.sum("c").alias("n"))
+    terms = (
+        sc.join(F.broadcast(ns), "source")
+        .join(gw, "w")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            (F.col("c") * 1.0 / F.col("n_s")).alias("p"),
+            (F.col("c_w") * 1.0 / F.col("n")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    per_src = terms.groupBy("source").agg(
+        F.sum(F.col("p") * F.log(F.col("p") / m)).alias("t1"),
+        F.sum(F.col("q") * F.log(F.col("q") / m)).alias("t2"),
+        F.sum("q").alias("qcov"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    return per_src.select(
+        "source",
+        F.round(
+            (
+                0.5 * F.col("t1")
+                + 0.5 * (F.col("t2") + ln2 * (1 - F.col("qcov")))
+            )
+            / ln2,
+            6,
+        ).alias("jsd_bits"),
+        F.round("qcov", 6).alias("vocab_coverage"),
+    ).orderBy("source")
