@@ -146,6 +146,8 @@ HEADLINE = [
     "orders_dow_anova",
     "events_markov_entropy_rate",
     "doc_source_js_divergence",
+    "events_km_conversion_curve",
+    "user_lifecycle_states",
 ]
 
 

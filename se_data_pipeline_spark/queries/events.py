@@ -3154,3 +3154,223 @@ def _compose_entropy_rate_oracle() -> None:
 
 
 _compose_entropy_rate_oracle()
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival of time-to-conversion (view -> purchase) with
+# RIGHT-CENSORING at the observation horizon — the estimator that
+# keeps never-converting users honest instead of dropping them (the
+# bias a plain latency average commits). Product over days via
+# exp(sum ln), cumulated through a small inequality join — no global
+# ordered window.
+# --------------------------------------------------------------------------
+@query(
+    "events_km_conversion_curve",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id),
+    horizon AS (SELECT MAX(ts) AS h FROM events),
+    durs AS (
+      SELECT CASE WHEN tp IS NOT NULL AND tp >= t0
+                  THEN date_diff('day', date_trunc('day', t0),
+                                        date_trunc('day', tp))
+                  ELSE date_diff('day', date_trunc('day', t0),
+                                        date_trunc('day', horizon.h))
+             END AS t,
+             (tp IS NOT NULL AND tp >= t0) AS observed
+      FROM per_user CROSS JOIN horizon WHERE t0 IS NOT NULL),
+    day_tab AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END)
+                  AS BIGINT) AS c
+      FROM durs GROUP BY t),
+    tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM day_tab),
+    risk AS (
+      SELECT a.t, a.d, a.c,
+             CAST(tot.n0 - COALESCE(SUM(b.d + b.c), 0)
+                  AS BIGINT) AS n_at_risk
+      FROM day_tab a CROSS JOIN tot
+      LEFT JOIN day_tab b ON b.t < a.t
+      GROUP BY a.t, a.d, a.c, tot.n0),
+    surv AS (
+      SELECT a.t, a.d, a.c, a.n_at_risk,
+             exp(SUM(CASE WHEN b.n_at_risk > b.d
+                          THEN ln(1 - b.d * 1.0 / b.n_at_risk)
+                          ELSE 0 END)) AS s
+      FROM risk a JOIN risk b ON b.t <= a.t
+      GROUP BY a.t, a.d, a.c, a.n_at_risk)
+    SELECT t AS day, d AS n_converted, c AS n_censored,
+           n_at_risk, ROUND(s, 6) AS survival
+    FROM surv ORDER BY day
+    """,
+)
+def events_km_conversion_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KM estimate S(t) of remaining-unconverted probability per day
+    since first view, censoring non-converters at the corpus horizon.
+
+    Scale: one per-user aggregate over events (the only event-scale
+    shuffle), then everything runs on the <= |days| day table: the
+    at-risk counts and the running product both come from inequality
+    self-joins of that broadcast-sized frame (the no-window running
+    total), with the product computed as exp(sum ln)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t0"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    horizon = ev.agg(F.max("ts").alias("h"))
+    observed = F.col("tp").isNotNull() & (F.col("tp") >= F.col("t0"))
+    durs = (
+        per_user.filter(F.col("t0").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                observed,
+                F.datediff(
+                    F.date_trunc("day", F.col("tp")),
+                    F.date_trunc("day", F.col("t0")),
+                ),
+            )
+            .otherwise(
+                F.datediff(
+                    F.date_trunc("day", F.col("h")),
+                    F.date_trunc("day", F.col("t0")),
+                )
+            )
+            .alias("t"),
+            observed.alias("observed"),
+        )
+    )
+    day_tab = durs.groupBy("t").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1))
+        .cast("long")
+        .alias("c"),
+    )
+    tot = day_tab.agg(F.sum(F.col("d") + F.col("c")).cast("long").alias("n0"))
+    a = day_tab.alias("a")
+    b = day_tab.alias("b")
+    risk = (
+        a.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(b), F.col("b.t") < F.col("a.t"), "left")
+        .groupBy(F.col("a.t"), F.col("a.d"), F.col("a.c"), F.col("n0"))
+        .agg(
+            (
+                F.col("n0")
+                - F.coalesce(F.sum(F.col("b.d") + F.col("b.c")), F.lit(0))
+            ).alias("n_at_risk")
+        )
+        .select(
+            F.col("a.t").alias("t"),
+            F.col("a.d").alias("d"),
+            F.col("a.c").alias("c"),
+            "n_at_risk",
+        )
+    )
+    ra, rb = risk.alias("ra"), risk.alias("rb")
+    surv = (
+        ra.join(F.broadcast(rb), F.col("rb.t") <= F.col("ra.t"))
+        .groupBy(
+            F.col("ra.t"), F.col("ra.d"), F.col("ra.c"),
+            F.col("ra.n_at_risk"),
+        )
+        .agg(
+            F.exp(
+                F.sum(
+                    F.when(
+                        F.col("rb.n_at_risk") > F.col("rb.d"),
+                        F.log(
+                            1
+                            - F.col("rb.d") * 1.0 / F.col("rb.n_at_risk")
+                        ),
+                    ).otherwise(0.0)
+                )
+            ).alias("s")
+        )
+    )
+    return surv.select(
+        F.col("ra.t").alias("day"),
+        F.col("ra.d").alias("n_converted"),
+        F.col("ra.c").alias("n_censored"),
+        F.col("ra.n_at_risk").alias("n_at_risk"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Growth-accounting lifecycle states: each active (user, week)
+# classified new / retained / resurrected by the gap to the user's
+# previous active week, rolled up to a per-week state census — the
+# standard growth decomposition (new + retained + resurrected =
+# weekly actives).
+# --------------------------------------------------------------------------
+@query(
+    "user_lifecycle_states",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      FROM events),
+    lagged AS (
+      SELECT user_id, wk,
+             lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      FROM uw),
+    states AS (
+      SELECT wk,
+             CASE WHEN prev_wk IS NULL THEN 'new'
+                  WHEN date_diff('week', prev_wk, wk) = 1
+                    THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM lagged)
+    SELECT wk AS week, state, COUNT(*) AS n_users
+    FROM states GROUP BY week, state
+    ORDER BY week, state
+    """,
+)
+def user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active-user census split by lifecycle state.
+
+    Scale: one distinct over (user, week) — the only event-scale
+    shuffle — then a lag window PARTITIONED BY user (billions of
+    short per-user chains, the scalable window class) and a tiny
+    (weeks x 3) rollup. Week arithmetic uses the week-truncated
+    timestamps directly so both engines bucket identically."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("wk")
+    lagged = uw.withColumn("prev_wk", F.lag("wk").over(w))
+    gap_weeks = F.floor(
+        (
+            F.unix_micros(F.col("wk").cast("timestamp"))
+            - F.unix_micros(F.col("prev_wk").cast("timestamp"))
+        )
+        / F.lit(604_800_000_000)
+    )
+    states = lagged.select(
+        "wk",
+        F.when(F.col("prev_wk").isNull(), "new")
+        .when(gap_weeks == 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    return (
+        states.groupBy(F.col("wk").alias("week"), "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("week", "state")
+    )
