@@ -148,6 +148,8 @@ HEADLINE = [
     "doc_source_js_divergence",
     "events_km_conversion_curve",
     "user_lifecycle_states",
+    "sql_window_functions_suite",
+    "nation_participation_full_outer",
 ]
 
 

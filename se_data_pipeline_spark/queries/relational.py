@@ -3104,3 +3104,61 @@ def orders_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("f_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join: nations' customer and supplier presence combined,
+# keeping nations that have only one side — the join type the
+# coverage matrix was missing (inner/left/semi/anti are elsewhere).
+# --------------------------------------------------------------------------
+@query(
+    "nation_participation_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+               FROM customer GROUP BY nationkey),
+    s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY nationkey)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers,
+           CASE WHEN c.nationkey IS NULL THEN 'supplier_only'
+                WHEN s.nationkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence
+    FROM c FULL JOIN s ON s.nationkey = c.nationkey
+    ORDER BY nationkey
+    """,
+)
+def nation_participation_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customer vs supplier presence per nation via FULL OUTER join
+    of the two pre-aggregated sides.
+
+    Scale: both inputs are post-aggregate |nations|-row frames, so
+    the full-outer shuffle moves almost nothing; the pattern — an
+    outer reconciliation of two keyed aggregates — is the standard
+    ledger-vs-ledger diff at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    j = c.alias("c").join(
+        s.alias("s"),
+        F.col("c.nationkey") == F.col("s.nationkey"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias(
+            "nationkey"
+        ),
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        F.when(F.col("c.nationkey").isNull(), "supplier_only")
+        .when(F.col("s.nationkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+    ).orderBy("nationkey")

@@ -513,3 +513,63 @@ def sql_supplier_variety_not_in(
         ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Ranking/navigation window-function suite: rank, dense_rank,
+# percent_rank, cume_dist, ntile, nth_value, lag — the full ANSI
+# ranking surface in one partitioned pass, with a unique tie-break so
+# every function is deterministic across engines.
+# --------------------------------------------------------------------------
+@query(
+    "sql_window_functions_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           year(o_orderdate) AS yr,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           ROUND(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           lag(o_totalprice) OVER w AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority, year(o_orderdate)
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def sql_window_functions_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Every ANSI ranking/navigation function over one shared window
+    — the surface a SQL user expects to just work.
+
+    Scale note: the window partitions on (priority, year) — a
+    composite key whose group count grows with the data's time span.
+    This query is the SURFACE contract; for a top-k or quantile
+    ANSWER at 100 TB the repo's window-free forms (TakeOrdered,
+    broadcast percentile cuts) remain the right plan, and the
+    per-group rank here is the shape used when per-entity ranks are
+    genuinely the output. The unique (price, orderkey) tie-break
+    makes ntile/nth_value/cume_dist bit-identical across engines."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_orderpriority,
+               year(o_orderdate) AS yr,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ROUND(percent_rank() OVER w, 6) AS prnk,
+               ROUND(cume_dist() OVER w, 6) AS cdist,
+               ntile(4) OVER w AS quartile,
+               nth_value(o_totalprice, 2) OVER w AS second_price,
+               lag(o_totalprice) OVER w AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority, year(o_orderdate)
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        ORDER BY o_orderkey
+        """
+    )
