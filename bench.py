@@ -150,6 +150,8 @@ HEADLINE = [
     "user_lifecycle_states",
     "sql_window_functions_suite",
     "nation_participation_full_outer",
+    "events_monthly_stickiness",
+    "order_lead_time_percentiles",
 ]
 
 

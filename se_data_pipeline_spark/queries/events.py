@@ -3374,3 +3374,56 @@ def user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("week", "state")
     )
+
+
+# --------------------------------------------------------------------------
+# Engagement stickiness: avg(DAU)/MAU per month — the DAU/MAU ratio
+# every growth dashboard tracks, from two distinct-count aggregates.
+# --------------------------------------------------------------------------
+@query(
+    "events_monthly_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT date_trunc('month', ts) AS mo, date_trunc('day', ts) AS d,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY mo, d),
+    mau AS (
+      SELECT date_trunc('month', ts) AS mo,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY mo)
+    SELECT dau.mo AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(dau.dau), 6) AS avg_dau,
+           CAST(MAX(mau.mau) AS BIGINT) AS mau,
+           ROUND(AVG(dau.dau) / MAX(mau.mau), 6) AS stickiness
+    FROM dau JOIN mau ON mau.mo = dau.mo
+    GROUP BY dau.mo
+    ORDER BY month
+    """,
+)
+def events_monthly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg daily actives / monthly actives per month.
+
+    Scale: two distinct aggregates over (day,user) and (month,user)
+    — at 100 TB both swap to HLL sketches with the plan unchanged
+    (the events_distinct_sketch_rollup pattern); the final join runs
+    on |months| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("mo"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("mo")
+    ).agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "mo")
+        .groupBy(F.col("mo").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg("dau"), 6).alias("avg_dau"),
+            F.max("mau").cast("long").alias("mau"),
+            F.round(F.avg("dau") / F.max("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

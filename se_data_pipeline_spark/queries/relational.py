@@ -3162,3 +3162,68 @@ def nation_participation_full_outer(
         .otherwise("both")
         .alias("presence"),
     ).orderBy("nationkey")
+
+
+# --------------------------------------------------------------------------
+# Fulfillment lead-time percentiles: order-date -> ship-date latency
+# distribution per priority — exact P50/P90/P99 of a derived
+# duration, the ops-SLA readout.
+# --------------------------------------------------------------------------
+@query(
+    "order_lead_time_percentiles",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(quantile_cont(
+             date_diff('day', o.o_orderdate, l.l_shipdate), 0.5), 6)
+             AS p50_days,
+           ROUND(quantile_cont(
+             date_diff('day', o.o_orderdate, l.l_shipdate), 0.9), 6)
+             AS p90_days,
+           ROUND(quantile_cont(
+             date_diff('day', o.o_orderdate, l.l_shipdate), 0.99), 6)
+             AS p99_days,
+           ROUND(AVG(date_diff('day', o.o_orderdate, l.l_shipdate)), 6)
+             AS mean_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def order_lead_time_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact lead-time percentiles (order -> ship) per priority.
+
+    Scale: the join shuffles on orderkey once (or goes map-side on
+    co-bucketed tables); the percentile aggregate holds per-group
+    state only. Past exact-percentile memory bounds swap percentile
+    -> percentile_approx, same plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lead_days"
+        ),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(F.expr("percentile(lead_days, 0.5)"), 6).alias(
+                "p50_days"
+            ),
+            F.round(F.expr("percentile(lead_days, 0.9)"), 6).alias(
+                "p90_days"
+            ),
+            F.round(F.expr("percentile(lead_days, 0.99)"), 6).alias(
+                "p99_days"
+            ),
+            F.round(F.avg("lead_days"), 6).alias("mean_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
