@@ -152,6 +152,8 @@ HEADLINE = [
     "nation_participation_full_outer",
     "events_monthly_stickiness",
     "order_lead_time_percentiles",
+    "event_funnel_time_bound",
+    "part_price_dispersion",
 ]
 
 

@@ -3427,3 +3427,100 @@ def events_monthly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-bound funnel: view -> click WITHIN 1 HOUR -> purchase WITHIN
+# 24 HOURS — the windowed-constraint variant of event_funnel (most
+# production funnels bound each hop; unbounded funnels overcount).
+# Same one-pass shape: conditional collects per user, array HOFs
+# resolve the staged ordering with deadlines row-locally.
+# --------------------------------------------------------------------------
+@query(
+    "event_funnel_time_bound",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             list(CASE WHEN event_type = 'click' THEN ts END) AS clicks,
+             list(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS purchases
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id),
+    staged AS (
+      SELECT t_view, purchases,
+             list_min(list_filter(clicks,
+               c -> c IS NOT NULL AND c > t_view
+                    AND c <= t_view + INTERVAL 1 HOUR)) AS t_click
+      FROM per_user),
+    staged2 AS (
+      SELECT t_view, t_click,
+             list_min(list_filter(purchases,
+               x -> x IS NOT NULL AND x > t_click
+                    AND x <= t_click + INTERVAL 24 HOURS))
+               AS t_purchase
+      FROM staged)
+    SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(t_click) AS BIGINT) AS n_click_1h,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase_24h
+    FROM staged2
+    """,
+)
+def event_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-constrained conversion funnel: first view, first
+    click within 1 h of it, first purchase within 24 h of that
+    click.
+
+    Scale: identical to event_funnel — the stage filter reaches the
+    scan, ONE groupBy(user_id) collects the per-user stage
+    timestamps, and the deadline logic is array_min(filter(...))
+    row-local on the per-user frame; final count is a 1-row
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    day_us = 24 * hour_us
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).alias("t_view"),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchases"),
+        )
+    )
+    tv = _ts_micros(F.col("t_view"))
+    staged = per_user.select(
+        "t_view",
+        "purchases",
+        F.array_min(
+            F.filter(
+                F.col("clicks"),
+                lambda c: (_ts_micros(c) > tv)
+                & (_ts_micros(c) <= tv + F.lit(hour_us)),
+            )
+        ).alias("t_click"),
+    )
+    tc = _ts_micros(F.col("t_click"))
+    staged2 = staged.select(
+        "t_view",
+        "t_click",
+        F.array_min(
+            F.filter(
+                F.col("purchases"),
+                lambda x: (_ts_micros(x) > tc)
+                & (_ts_micros(x) <= tc + F.lit(day_us)),
+            )
+        ).alias("t_purchase"),
+    )
+    return staged2.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count("t_click").cast("long").alias("n_click_1h"),
+        F.count("t_purchase").cast("long").alias("n_purchase_24h"),
+    )

@@ -3227,3 +3227,78 @@ def order_lead_time_percentiles(
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Procurement price dispersion: how differently suppliers price the
+# same part — per-part supplier price spread and coefficient of
+# variation, ranked by relative dispersion.
+# --------------------------------------------------------------------------
+@query(
+    "part_price_dispersion",
+    oracle="""
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(AVG(l_extendedprice / l_quantity), 6) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey),
+    d AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             ROUND(MIN(unit_price), 6) AS min_price,
+             ROUND(MAX(unit_price), 6) AS max_price,
+             ROUND(AVG(unit_price), 6) AS mean_price,
+             ROUND(stddev_pop(unit_price), 6) AS sd_price
+      FROM sp GROUP BY l_partkey HAVING COUNT(*) >= 2)
+    SELECT l_partkey, n_suppliers, min_price, max_price,
+           ROUND(sd_price / mean_price, 6) AS cv
+    FROM d
+    WHERE mean_price > 0
+    ORDER BY cv DESC, l_partkey LIMIT 50
+    """,
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 parts by supplier price dispersion (CV of per-supplier
+    unit prices).
+
+    Scale: two keyed aggregates — (part, supplier) unit prices, then
+    per-part moments — both map-side combinable; top-50 is
+    TakeOrderedAndProject. Unit prices round to 6 dp before the
+    second aggregate so the cross-engine moments run on identical
+    doubles; the mean>0 guard keeps the CV division ANSI-safe on
+    degenerate corpora."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_price")
+        )
+    )
+    d = (
+        sp.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.min("unit_price"), 6).alias("min_price"),
+            F.round(F.max("unit_price"), 6).alias("max_price"),
+            F.round(F.avg("unit_price"), 6).alias("mean_price"),
+            F.round(F.stddev_pop("unit_price"), 6).alias("sd_price"),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+    )
+    return (
+        d.filter(F.col("mean_price") > 0)
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            "min_price",
+            "max_price",
+            F.round(F.col("sd_price") / F.col("mean_price"), 6).alias(
+                "cv"
+            ),
+        )
+        .orderBy(F.desc("cv"), F.asc("l_partkey"))
+        .limit(50)
+    )
