@@ -154,6 +154,8 @@ HEADLINE = [
     "order_lead_time_percentiles",
     "event_funnel_time_bound",
     "part_price_dispersion",
+    "events_value_psi_drift",
+    "segment_priority_lift",
 ]
 
 

@@ -3524,3 +3524,143 @@ def event_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").cast("long").alias("n_click_1h"),
         F.count("t_purchase").cast("long").alias("n_purchase_24h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index: value-distribution drift per event type
+# between the first and second half of the observation window —
+# reference-half decile cuts, PSI = sum (p-q) ln(p/q) over the 10
+# bands. THE production drift metric for score/value pipelines.
+# --------------------------------------------------------------------------
+@query(
+    "events_value_psi_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+      FROM events),
+    ref AS (
+      SELECT e.event_type, e.value FROM events e CROSS JOIN bounds
+      WHERE epoch_us(e.ts) < bounds.mid_us),
+    cur AS (
+      SELECT e.event_type, e.value FROM events e CROSS JOIN bounds
+      WHERE epoch_us(e.ts) >= bounds.mid_us),
+    cuts AS (
+      SELECT event_type,
+             [ROUND(x, 6) FOR x IN quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])] AS c
+      FROM ref GROUP BY event_type),
+    rb AS (
+      SELECT r.event_type,
+             1 + len(list_filter(c.c, x -> r.value > x)) AS band,
+             COUNT(*) AS n
+      FROM ref r JOIN cuts c USING (event_type)
+      GROUP BY r.event_type, band),
+    cb AS (
+      SELECT r.event_type,
+             1 + len(list_filter(c.c, x -> r.value > x)) AS band,
+             COUNT(*) AS n
+      FROM cur r JOIN cuts c USING (event_type)
+      GROUP BY r.event_type, band),
+    rt AS (SELECT event_type, SUM(n) AS nt FROM rb GROUP BY event_type),
+    ct AS (SELECT event_type, SUM(n) AS nt FROM cb GROUP BY event_type),
+    terms AS (
+      SELECT rb.event_type,
+             (rb.n * 1.0 / rt.nt) AS p,
+             (COALESCE(cb.n, 0) + 0.5) * 1.0 / (ct.nt + 5.0) AS q
+      FROM rb
+      JOIN rt USING (event_type)
+      LEFT JOIN cb ON cb.event_type = rb.event_type
+                  AND cb.band = rb.band
+      JOIN ct ON ct.event_type = rb.event_type)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bands,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+           SUM((p - q) * ln(p / q)) > 0.2 AS drifted
+    FROM terms GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI per event type between the two halves of the window, with
+    the standard 0.2 alarm threshold. Current-half band shares are
+    Laplace-smoothed ((n+0.5)/(N+5)) so an empty band cannot produce
+    ln(p/0).
+
+    Scale: reference decile cuts are a |types|-row aggregate
+    broadcast back (the equi-depth pattern); band assignment is
+    row-local; both half-distributions reduce map-side. The PSI
+    combine runs on |types| x 10 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    # midpoint in INTEGER microseconds: interval arithmetic is not
+    # portable (DuckDB floors interval components separately —
+    # 29d 23h / 2 = 14d 11h58m, a 12-hour skew), epoch integers are.
+    bounds = ev.agg(
+        F.floor(
+            (
+                F.unix_micros(F.min("ts").cast("timestamp"))
+                + F.unix_micros(F.max("ts").cast("timestamp"))
+            )
+            / 2
+        ).alias("mid_us")
+    )
+    with_half = ev.crossJoin(F.broadcast(bounds))
+    ref = with_half.filter(
+        _ts_micros(F.col("ts")) < F.col("mid_us")
+    ).select("event_type", "value")
+    cur = with_half.filter(
+        _ts_micros(F.col("ts")) >= F.col("mid_us")
+    ).select("event_type", "value")
+    cuts = ref.groupBy("event_type").agg(
+        F.expr(
+            "transform(percentile(value, array(0.1D, 0.2D, 0.3D, 0.4D, "
+            "0.5D, 0.6D, 0.7D, 0.8D, 0.9D)), x -> round(x, 6))"
+        ).alias("c")
+    )
+
+    def banded(df):
+        return (
+            df.join(F.broadcast(cuts), "event_type")
+            .select(
+                "event_type",
+                (
+                    F.lit(1)
+                    + F.size(
+                        F.filter(F.col("c"), lambda x: F.col("value") > x)
+                    )
+                ).alias("band"),
+            )
+            .groupBy("event_type", "band")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    rb, cb = banded(ref), banded(cur)
+    rt = rb.groupBy("event_type").agg(F.sum("n").alias("nt_r"))
+    ct = cb.groupBy("event_type").agg(F.sum("n").alias("nt_c"))
+    terms = (
+        rb.join(F.broadcast(rt), "event_type")
+        .join(
+            F.broadcast(cb.withColumnRenamed("n", "n_c")),
+            ["event_type", "band"],
+            "left",
+        )
+        .join(F.broadcast(ct), "event_type")
+        .select(
+            "event_type",
+            (F.col("n") * 1.0 / F.col("nt_r")).alias("p"),
+            (
+                (F.coalesce(F.col("n_c"), F.lit(0)) + 0.5)
+                * 1.0
+                / (F.col("nt_c") + 5.0)
+            ).alias("q"),
+        )
+    )
+    psi = F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bands"),
+            F.round(psi, 6).alias("psi"),
+            (psi > 0.2).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )

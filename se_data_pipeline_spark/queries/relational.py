@@ -3302,3 +3302,70 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cv"), F.asc("l_partkey"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Association lift matrix: P(priority | segment) / P(priority) — does
+# a market segment order urgently more often than the base rate? The
+# contingency-table readout behind recommendation and bias checks.
+# --------------------------------------------------------------------------
+@query(
+    "segment_priority_lift",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    cell AS (SELECT segment, priority, COUNT(*) AS n
+             FROM j GROUP BY segment, priority),
+    seg AS (SELECT segment, SUM(n) AS n_seg FROM cell GROUP BY segment),
+    pri AS (SELECT priority, SUM(n) AS n_pri FROM cell GROUP BY priority),
+    tot AS (SELECT SUM(n) AS n_all FROM cell)
+    SELECT cell.segment, cell.priority,
+           CAST(cell.n AS BIGINT) AS n_orders,
+           ROUND((cell.n * 1.0 / seg.n_seg)
+                 / (pri.n_pri * 1.0 / tot.n_all), 6) AS lift
+    FROM cell
+    JOIN seg USING (segment)
+    JOIN pri USING (priority)
+    CROSS JOIN tot
+    ORDER BY segment, priority
+    """,
+)
+def segment_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift of each (market segment, order priority) cell over
+    independence.
+
+    Scale: one dimension-broadcast join, one contingency aggregate;
+    the margins and total derive from the |segments| x |priorities|
+    cell frame — no second pass over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cell = j.groupBy("segment", "priority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    seg = cell.groupBy("segment").agg(F.sum("n").alias("n_seg"))
+    pri = cell.groupBy("priority").agg(F.sum("n").alias("n_pri"))
+    tot = cell.agg(F.sum("n").alias("n_all"))
+    return (
+        cell.join(F.broadcast(seg), "segment")
+        .join(F.broadcast(pri), "priority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "priority",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(
+                (F.col("n") * 1.0 / F.col("n_seg"))
+                / (F.col("n_pri") * 1.0 / F.col("n_all")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("segment", "priority")
+    )
