@@ -156,6 +156,8 @@ HEADLINE = [
     "part_price_dispersion",
     "events_value_psi_drift",
     "segment_priority_lift",
+    "nation_priority_independence_chi2",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -3369,3 +3369,111 @@ def segment_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square test of independence + Cramér's V: is order priority
+# independent of customer nation? The inferential companion of the
+# lift matrix (segment_priority_lift) — expected counts from the
+# margins, one statistic out.
+# --------------------------------------------------------------------------
+@query(
+    "nation_priority_independence_chi2",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey AS nation, o.o_orderpriority AS priority
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    cell AS (SELECT nation, priority, COUNT(*) AS n
+             FROM j GROUP BY nation, priority),
+    rm AS (SELECT nation, SUM(n) AS n_r FROM cell GROUP BY nation),
+    cm AS (SELECT priority, SUM(n) AS n_c FROM cell GROUP BY priority),
+    tot AS (SELECT SUM(n) AS n_all,
+                   COUNT(DISTINCT nation) AS r,
+                   COUNT(DISTINCT priority) AS c
+            FROM cell),
+    terms AS (
+      SELECT cell.n,
+             rm.n_r * cm.n_c * 1.0 / tot.n_all AS e
+      FROM cell JOIN rm USING (nation) JOIN cm USING (priority)
+      CROSS JOIN tot)
+    SELECT CAST(tot.n_all AS BIGINT) AS n_orders,
+           CAST((tot.r - 1) * (tot.c - 1) AS BIGINT) AS dof,
+           ROUND(SUM((terms.n - terms.e) * (terms.n - terms.e)
+                     / terms.e), 6) AS chi2,
+           ROUND(sqrt(SUM((terms.n - terms.e) * (terms.n - terms.e)
+                          / terms.e)
+                      / (tot.n_all * LEAST(tot.r - 1, tot.c - 1))), 6)
+             AS cramers_v
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.n_all, tot.r, tot.c
+    """,
+)
+def nation_priority_independence_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square over the nation x priority contingency
+    table with Cramér's V effect size.
+
+    Scale: one dimension-broadcast join + one contingency aggregate;
+    margins, expected counts and the statistic all live on the
+    |nations| x |priorities| cell frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cell = j.groupBy("nation", "priority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rm = cell.groupBy("nation").agg(F.sum("n").alias("n_r"))
+    cm = cell.groupBy("priority").agg(F.sum("n").alias("n_c"))
+    tot = cell.agg(
+        F.sum("n").alias("n_all"),
+        F.countDistinct("nation").alias("r"),
+        F.countDistinct("priority").alias("c"),
+    )
+    terms = (
+        cell.join(F.broadcast(rm), "nation")
+        .join(F.broadcast(cm), "priority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (
+                F.col("n_r") * F.col("n_c") * 1.0 / F.col("n_all")
+            ).alias("e"),
+            "n_all",
+            "r",
+            "c",
+        )
+    )
+    chi2 = F.sum(
+        (F.col("n") - F.col("e")) * (F.col("n") - F.col("e")) / F.col("e")
+    )
+    return (
+        terms.groupBy("n_all", "r", "c")
+        .agg(
+            F.round(chi2, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (
+                        F.col("n_all")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .select(
+            F.col("n_all").cast("long").alias("n_orders"),
+            ((F.col("r") - 1) * (F.col("c") - 1))
+            .cast("long")
+            .alias("dof"),
+            "chi2",
+            "cramers_v",
+        )
+    )

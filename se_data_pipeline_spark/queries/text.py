@@ -3040,3 +3040,109 @@ def doc_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jsd_bits"),
         F.round("qcov", 6).alias("vocab_coverage"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold calibration: precision/recall of the MinHash
+# ESTIMATE as the dedup decision rule, swept over candidate
+# thresholds against the exact >=0.8 ground truth — how an operator
+# picks the estimate cutoff before turning off exact verification.
+# Oracle composes the estimates' and the truth's registered oracles.
+# --------------------------------------------------------------------------
+_SWEEP_THRESHOLDS = [0.5, 0.625, 0.75, 0.8125, 0.875]
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=None,  # composed below
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall of `est_jaccard >= t` per candidate
+    threshold t (grid chosen on 1/16 boundaries — the 16-perm
+    estimator only takes values k/16, so midpoints would be
+    indistinguishable).
+
+    Scale: the estimate and truth pair streams are both
+    index-shaped; the sweep is a 5-row broadcast cross join over the
+    estimate frame, one aggregate per threshold — no recomputation
+    of signatures per threshold."""
+    est = minhash_jaccard_estimates(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    truth = ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    thr = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    pred = est.crossJoin(F.broadcast(thr)).filter(
+        F.col("est_jaccard") >= F.col("threshold")
+    )
+    hits = pred.join(
+        F.broadcast(truth.withColumn("hit", F.lit(1))),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    return (
+        hits.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_predicted"),
+            F.count("hit").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "threshold",
+            "n_predicted",
+            "n_hits",
+            "n_true",
+            F.round(
+                F.col("n_hits") * 1.0 / F.col("n_predicted"), 6
+            ).alias("precision"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hits") * 1.0 / F.col("n_true"), 6),
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _compose_threshold_sweep_oracle() -> None:
+    from se_data_pipeline_spark.queries import _REGISTRY, QueryDef
+
+    est = _registered_oracle("minhash_jaccard_estimates")
+    truth = _registered_oracle("ngram_jaccard_pairs")
+    grid = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    sql = f"""
+    WITH est AS (SELECT doc_a, doc_b, est_jaccard FROM ({est})),
+    truth AS (SELECT doc_a, doc_b FROM ({truth})),
+    thr(threshold) AS (VALUES {grid}),
+    pred AS (
+      SELECT t.threshold, e.doc_a, e.doc_b
+      FROM est e CROSS JOIN thr t
+      WHERE e.est_jaccard >= t.threshold),
+    agg AS (
+      SELECT p.threshold,
+             COUNT(*) AS n_predicted,
+             CAST(SUM(CASE WHEN tr.doc_a IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM pred p
+      LEFT JOIN truth tr ON tr.doc_a = p.doc_a AND tr.doc_b = p.doc_b
+      GROUP BY p.threshold),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+    SELECT agg.threshold, agg.n_predicted, agg.n_hits, nt.n_true,
+           ROUND(agg.n_hits * 1.0 / agg.n_predicted, 6) AS precision,
+           CASE WHEN nt.n_true > 0
+                THEN ROUND(agg.n_hits * 1.0 / nt.n_true, 6)
+           END AS recall
+    FROM agg CROSS JOIN nt
+    ORDER BY agg.threshold
+    """
+    qd = _REGISTRY["dedup_threshold_sweep"]
+    _REGISTRY["dedup_threshold_sweep"] = QueryDef(
+        qd.name, qd.fn, sql, qd.doc
+    )
+
+
+_compose_threshold_sweep_oracle()
