@@ -158,6 +158,7 @@ HEADLINE = [
     "segment_priority_lift",
     "nation_priority_independence_chi2",
     "dedup_threshold_sweep",
+    "source_curation_scorecard",
 ]
 
 

@@ -3146,3 +3146,126 @@ def _compose_threshold_sweep_oracle() -> None:
 
 
 _compose_threshold_sweep_oracle()
+
+
+# --------------------------------------------------------------------------
+# Per-source curation scorecard: the one-table health report a data
+# operator reads per feed — volume, quality, duplication, token
+# supply, and the projected keep rate under the standard gates.
+# Composes the quality, token and near-dup oracles.
+# --------------------------------------------------------------------------
+@query(
+    "source_curation_scorecard",
+    oracle=None,  # composed below
+)
+def source_curation_scorecard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per source: doc count, mean quality, share above the global
+    median quality, near-dup incidence, mean tokens, and the keep
+    rate under (quality >= global median) AND (not a near-dup-pair
+    member).
+
+    Scale: quality/token features are row-local; the global median
+    is a 1-row broadcast; near-dup membership is the index-shaped
+    pair stream exploded to distinct doc ids (broadcast-joined — dup
+    members are a small fraction by construction); one |sources|-row
+    rollup out."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = doc_quality_score(spark, sf_dir)
+    tok = doc_token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    med = q.agg(
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("med_q")
+    )
+    base = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(tok, "doc_id")
+        .join(F.broadcast(dup_docs), "doc_id", "left")
+        .crossJoin(F.broadcast(med))
+    )
+    passing = (F.col("quality") >= F.col("med_q")) & F.col(
+        "is_dup"
+    ).isNull()
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("quality") >= F.col("med_q"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("above_median_share"),
+            F.round(
+                F.avg(
+                    F.when(F.col("is_dup").isNotNull(), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias("dup_share"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+            F.round(
+                F.avg(F.when(passing, 1.0).otherwise(0.0)), 6
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _compose_scorecard_oracle() -> None:
+    from se_data_pipeline_spark.queries import _REGISTRY, QueryDef
+
+    q = _registered_oracle("doc_quality_score")
+    tok = _registered_oracle("doc_token_stats")
+    pairs = _registered_oracle("ngram_jaccard_pairs")
+    sql = f"""
+    WITH q AS ({q}),
+    tok AS (SELECT doc_id, n_tokens FROM ({tok})),
+    pairs AS ({pairs}),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs)),
+    med AS (SELECT ROUND(quantile_cont(quality, 0.5), 6) AS med_q
+            FROM q),
+    base AS (
+      SELECT d.source, q.quality, tok.n_tokens, med.med_q,
+             dd.doc_id IS NOT NULL AS is_dup
+      FROM documents d
+      JOIN q USING (doc_id)
+      JOIN tok USING (doc_id)
+      LEFT JOIN dup_docs dd USING (doc_id)
+      CROSS JOIN med)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 6) AS mean_quality,
+           ROUND(AVG(CASE WHEN quality >= med_q
+                          THEN 1.0 ELSE 0.0 END), 6)
+             AS above_median_share,
+           ROUND(AVG(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6)
+             AS dup_share,
+           ROUND(AVG(n_tokens), 6) AS mean_tokens,
+           ROUND(AVG(CASE WHEN quality >= med_q AND NOT is_dup
+                          THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+    FROM base GROUP BY source
+    ORDER BY source
+    """
+    qd = _REGISTRY["source_curation_scorecard"]
+    _REGISTRY["source_curation_scorecard"] = QueryDef(
+        qd.name, qd.fn, sql, qd.doc
+    )
+
+
+_compose_scorecard_oracle()
