@@ -3400,10 +3400,12 @@ def segment_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((tot.r - 1) * (tot.c - 1) AS BIGINT) AS dof,
            ROUND(SUM((terms.n - terms.e) * (terms.n - terms.e)
                      / terms.e), 6) AS chi2,
-           ROUND(sqrt(SUM((terms.n - terms.e) * (terms.n - terms.e)
-                          / terms.e)
-                      / (tot.n_all * LEAST(tot.r - 1, tot.c - 1))), 6)
-             AS cramers_v
+           CASE WHEN LEAST(tot.r - 1, tot.c - 1) > 0
+                THEN ROUND(sqrt(SUM((terms.n - terms.e)
+                                    * (terms.n - terms.e) / terms.e)
+                           / (tot.n_all
+                              * LEAST(tot.r - 1, tot.c - 1))), 6)
+           END AS cramers_v
     FROM terms CROSS JOIN tot
     GROUP BY tot.n_all, tot.r, tot.c
     """,
@@ -3457,15 +3459,20 @@ def nation_priority_independence_chi2(
         terms.groupBy("n_all", "r", "c")
         .agg(
             F.round(chi2, 6).alias("chi2"),
-            F.round(
-                F.sqrt(
-                    chi2
-                    / (
-                        F.col("n_all")
-                        * F.least(F.col("r") - 1, F.col("c") - 1)
-                    )
+            # a 1-row or 1-column table (degenerate corpus) has no
+            # defined effect size -> NULL, not DIVIDE_BY_ZERO
+            F.when(
+                F.least(F.col("r") - 1, F.col("c") - 1) > 0,
+                F.round(
+                    F.sqrt(
+                        chi2
+                        / (
+                            F.col("n_all")
+                            * F.least(F.col("r") - 1, F.col("c") - 1)
+                        )
+                    ),
+                    6,
                 ),
-                6,
             ).alias("cramers_v"),
         )
         .select(
