@@ -159,6 +159,8 @@ HEADLINE = [
     "nation_priority_independence_chi2",
     "dedup_threshold_sweep",
     "source_curation_scorecard",
+    "doc_hapax_by_source",
+    "events_peak_hours",
 ]
 
 

@@ -3664,3 +3664,52 @@ def events_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# arg-max aggregates (max_by / min_by): the busiest and quietest hour
+# per event type in ONE aggregation — no rank window, no self-join
+# back to the maximum.
+# --------------------------------------------------------------------------
+@query(
+    "events_peak_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, extract(hour FROM ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY event_type, hr)
+    SELECT event_type,
+           CAST(arg_max(hr, n * 100 - hr) AS INTEGER) AS peak_hour,
+           CAST(MAX(n) AS BIGINT) AS peak_count,
+           CAST(arg_min(hr, n * 100 + hr) AS INTEGER) AS quiet_hour,
+           CAST(MIN(n) AS BIGINT) AS quiet_count
+    FROM hourly GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak/quiet hour-of-day per event type via max_by/min_by over
+    the hourly rollup — the arg-max SURFACE the rank-window idiom
+    usually wastes a shuffle on.
+
+    Determinism: ties on count break toward the EARLIER hour by
+    folding the tie-break into the ordering key (n*100 - hr for the
+    max, n*100 + hr for the min; hr < 24 < 100) — Spark's max_by and
+    DuckDB's arg_max are both tie-unstable alone."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.max_by("hr", F.col("n") * 100 - F.col("hr"))
+            .cast("int")
+            .alias("peak_hour"),
+            F.max("n").cast("long").alias("peak_count"),
+            F.min_by("hr", F.col("n") * 100 + F.col("hr"))
+            .cast("int")
+            .alias("quiet_hour"),
+            F.min("n").cast("long").alias("quiet_count"),
+        )
+        .orderBy("event_type")
+    )

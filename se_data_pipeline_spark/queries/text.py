@@ -3269,3 +3269,65 @@ def _compose_scorecard_oracle() -> None:
 
 
 _compose_scorecard_oracle()
+
+
+# --------------------------------------------------------------------------
+# Per-source hapax profile: share of a source's vocabulary seen only
+# once in it — the vocabulary-freshness/noise signal (high hapax =
+# OCR junk or genuinely diverse text; read with the JSD drift).
+# --------------------------------------------------------------------------
+@query(
+    "doc_hapax_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '),
+                    x -> x <> '')) AS w
+      FROM documents),
+    sc AS (SELECT source, w, COUNT(*) AS c FROM toks
+           GROUP BY source, w)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS hapax_share,
+           CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM sc GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size, hapax-legomenon count/share, and token volume
+    per source.
+
+    Scale: one (source, token) aggregate with map-side partials, then
+    a |sources|-row rollup — the same two-level shape as
+    doc_top_tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), " "), lambda x: x != F.lit("")
+            )
+        ).alias("w"),
+    )
+    sc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.round(
+                F.sum(
+                    F.when(F.col("c") == 1, 1.0).otherwise(0.0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_share"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
