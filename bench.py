@@ -161,6 +161,10 @@ HEADLINE = [
     "source_curation_scorecard",
     "doc_hapax_by_source",
     "events_peak_hours",
+    "user_path_patterns",
+    "daily_revenue_mann_kendall",
+    "training_mix_temperature",
+    "doc_bigram_perplexity",
 ]
 
 

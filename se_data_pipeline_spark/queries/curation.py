@@ -737,3 +737,68 @@ def doc_quantile_normalized_length(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixture (multilingual-LM sampling weights).
+# --------------------------------------------------------------------------
+_MIX_ALPHA = 0.7
+
+
+@query(
+    "training_mix_temperature",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total,
+             SUM(pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA})) AS z
+      FROM per_src)
+    SELECT p.source, p.n_docs,
+           ROUND(p.n_docs / t.n_total, 6) AS natural_frac,
+           ROUND(pow(CAST(p.n_docs AS DOUBLE), {_MIX_ALPHA}) / t.z, 6)
+             AS temp_frac,
+           ROUND((pow(CAST(p.n_docs AS DOUBLE), {_MIX_ALPHA}) / t.z)
+                 / (p.n_docs / t.n_total), 4) AS boost,
+           CAST(ROUND(pow(CAST(p.n_docs AS DOUBLE), {_MIX_ALPHA}) / t.z
+                      * t.n_total) AS BIGINT) AS target_docs
+    FROM per_src p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def training_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source — the
+    multilingual-LM mixture rule w_i = p_i^alpha / sum_j p_j^alpha
+    (alpha=0.7): upsamples tail sources, downsamples the head, and
+    reports the per-source boost factor and the resampled target doc
+    count at the corpus's own size.
+
+    Scale: one shuffle (source rollup, pre-aggregated map-side); the
+    normalizer is a 1-row broadcast. The p_i^alpha / sum p_j^alpha
+    form cancels N^alpha, so it's computed directly on counts —
+    identical association in both engines, ROUND hash-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), _MIX_ALPHA)).alias("z"),
+    )
+    temp = F.pow(F.col("n_docs").cast("double"), _MIX_ALPHA) / F.col("z")
+    nat = F.col("n_docs") / F.col("n_total")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(nat, 6).alias("natural_frac"),
+            F.round(temp, 6).alias("temp_frac"),
+            F.round(temp / nat, 4).alias("boost"),
+            F.round(temp * F.col("n_total"))
+            .cast("long")
+            .alias("target_docs"),
+        )
+        .orderBy("source")
+    )

@@ -3713,3 +3713,95 @@ def events_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-pattern mining: MATCH_RECOGNIZE-style path regexes.
+# --------------------------------------------------------------------------
+_PATH_PATTERNS = [
+    # (name, regex over the per-user compact path string; one char per
+    # event: c=click e=error p=purchase s=signup v=view)
+    ("any_conversion", "v.*p"),  # viewed, later purchased
+    ("direct_funnel", "vc*p"),  # view -> clicks only -> purchase
+    ("error_then_purchase", "e.*p"),  # recovered after an error
+    ("single_view_bounce", "^v$"),  # exactly one event, a view
+]
+
+
+@query(
+    "user_path_patterns",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS path
+      FROM events GROUP BY user_id)
+    SELECT 'any_conversion' AS pattern,
+           CAST(SUM(CASE WHEN regexp_matches(path, 'v.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_users
+    FROM paths
+    UNION ALL
+    SELECT 'direct_funnel',
+           CAST(SUM(CASE WHEN regexp_matches(path, 'vc*p') THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM paths
+    UNION ALL
+    SELECT 'error_then_purchase',
+           CAST(SUM(CASE WHEN regexp_matches(path, 'e.*p') THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM paths
+    UNION ALL
+    SELECT 'single_view_bounce',
+           CAST(SUM(CASE WHEN regexp_matches(path, '^v$') THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM paths
+    ORDER BY pattern
+    """,
+)
+def user_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence patterns without the operator:
+    compress each user's event history into a one-char-per-event path
+    string (ordered by ts, event_id) and count users whose path
+    matches each named regex — the row-pattern idiom (funnels,
+    bounces, error-recovery) as a single groupBy plus a row-local
+    regex, instead of a stateful NFA operator.
+
+    Scale: ONE shuffle (groupBy user_id); the path strings are
+    user-local and bounded by per-user activity, the regex evaluation
+    is codegen'd row-local work, and the 4 pattern counts ride one
+    aggregate over the per-user frame (unpivoted via stack to rows).
+    At 100 TB the per-user collect is the same state any
+    sessionization keeps; a mega-user guard is a length cap on the
+    path (slice the collect_list) that none of these anchored/short
+    patterns need more than a few chars of."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("ch"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    counts = paths.agg(
+        *[
+            F.sum(F.col("path").rlike(rx).cast("long")).alias(name)
+            for name, rx in _PATH_PATTERNS
+        ]
+    )
+    stack_expr = "stack({n}, {args}) as (pattern, n_users)".format(
+        n=len(_PATH_PATTERNS),
+        args=", ".join(f"'{name}', {name}" for name, _ in _PATH_PATTERNS),
+    )
+    return counts.selectExpr(stack_expr).orderBy("pattern")

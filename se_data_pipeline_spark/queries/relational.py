@@ -3484,3 +3484,89 @@ def nation_priority_independence_chi2(
             "cramers_v",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test over the daily revenue series.
+# --------------------------------------------------------------------------
+@query(
+    "daily_revenue_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             ROUND(SUM(o_totalprice), 2) AS x
+      FROM orders GROUP BY day),
+    pairs AS (
+      SELECT CAST(SIGN(b.x - a.x) AS BIGINT) AS sg
+      FROM daily a JOIN daily b ON a.day < b.day),
+    s AS (SELECT CAST(SUM(sg) AS BIGINT) AS s_stat FROM pairs),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n.n_days, s.s_stat,
+           ROUND(
+             CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) /
+                    sqrt(n.n_days * (n.n_days - 1.0) * (2 * n.n_days + 5) / 18)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1) /
+                    sqrt(n.n_days * (n.n_days - 1.0) * (2 * n.n_days + 5) / 18)
+                  ELSE 0 END, 4) AS z_score,
+           CASE WHEN s.s_stat > 0 AND (s.s_stat - 1) /
+                    sqrt(n.n_days * (n.n_days - 1.0) * (2 * n.n_days + 5) / 18)
+                    > 1.96 THEN 'increasing'
+                WHEN s.s_stat < 0 AND (s.s_stat + 1) /
+                    sqrt(n.n_days * (n.n_days - 1.0) * (2 * n.n_days + 5) / 18)
+                    < -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM n CROSS JOIN s
+    """,
+)
+def daily_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily revenue: S = sum of
+    sign(x_j - x_i) over all day pairs i<j, normal approximation
+    z = (S -/+ 1) / sqrt(n(n-1)(2n+5)/18), two-sided 5% verdict. The
+    nonparametric standard for "is this series drifting" — no
+    linearity or normality assumption, robust to outlier days.
+
+    Scale: the pairwise frame is DAY x DAY — calendar-bounded (~2.4k
+    rows for 7 years), NOT data-bounded, so the broadcast non-equi
+    self-join stays ~3M lightweight sign() rows at ANY corpus size;
+    the only data-sized work is the one daily-rollup shuffle. Daily
+    sums are rounded to cents in both engines before sign() so FP
+    summation order can't flip a comparison. Ties contribute 0 to S
+    (no tie variance correction; both engines agree by construction).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    s = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(F.signum(F.col("x2") - F.col("x1")).cast("long"))
+            .alias("s_stat")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    var_sqrt = F.sqrt(
+        F.col("n_days")
+        * (F.col("n_days") - F.lit(1.0))
+        * (2 * F.col("n_days") + 5)
+        / 18
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / var_sqrt)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / var_sqrt)
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .select(
+            "n_days",
+            "s_stat",
+            F.round(z, 4).alias("z_score"),
+            F.when(z > 1.96, F.lit("increasing"))
+            .when(z < -1.96, F.lit("decreasing"))
+            .otherwise(F.lit("no_trend"))
+            .alias("trend"),
+        )
+    )

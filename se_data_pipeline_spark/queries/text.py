@@ -3331,3 +3331,105 @@ def doc_hapax_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated bigram-LM perplexity per document.
+# --------------------------------------------------------------------------
+_BIGRAM_LAMBDA = 0.7  # weight on the bigram MLE vs the unigram floor
+
+
+@query(
+    "doc_bigram_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    u AS (
+      SELECT doc_id, unnest(toks) AS w,
+             generate_subscripts(toks, 1) AS i
+      FROM t),
+    pairs AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+    uni AS (SELECT w, COUNT(*) AS c FROM u GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_tok FROM uni),
+    scored AS (
+      SELECT p.doc_id,
+             ln({_BIGRAM_LAMBDA} * (bg.c12 / CAST(u1.c AS DOUBLE))
+                + {1 - _BIGRAM_LAMBDA} * (u2.c / tot.n_tok)) AS lp
+      FROM pairs p
+      JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+      JOIN uni u1 ON u1.w = p.w1
+      JOIN uni u2 ON u2.w = p.w2
+      CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(exp(-AVG(lp)), 4) AS perplexity
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-trained interpolated
+    bigram LM: P(w2|w1) = 0.7 * c(w1,w2)/c(w1) + 0.3 * c(w2)/N, doc
+    perplexity = exp(-mean ln P) over its adjacent pairs — the
+    KenLM-style fluency score curation stacks use to drop gibberish
+    (high ppl) and boilerplate (abnormally low ppl), self-trained so
+    no external model ships.
+
+    Scale: bigrams are built ROW-LOCALLY (transform over the token
+    array against its tail — no positional self-join; that's only the
+    oracle's spelling). Counts are two hash aggregates keyed on 8-byte
+    xxhash64 token keys; the doc pair stream joins the count tables on
+    those same hashed keys (the heavy shuffles carry longs, not
+    strings), then one groupBy(doc_id) folds log-scores. The unigram
+    total is a 1-row broadcast. Vocab tables are Zipf-bounded —
+    far smaller than the corpus — so at 100 TB the count-table joins
+    broadcast or AQE-sort-merge on keys that are already uniform."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), " "), lambda x: x != F.lit("")
+        ).alias("toks"),
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "(w, i) -> struct(xxhash64(w) AS h1, "
+                "xxhash64(toks[i + 1]) AS h2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.h1", "p.h2")
+    unigrams = toks.select(F.explode("toks").alias("w")).select(
+        F.xxhash64("w").alias("h"), F.lit(1).alias("one")
+    )
+    uni = unigrams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    bg = pairs.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("c12"))
+    tot = uni.agg(F.sum("c").cast("double").alias("n_tok"))
+    lam = F.lit(_BIGRAM_LAMBDA)
+    scored = (
+        pairs.join(bg, ["h1", "h2"])
+        .join(uni.select(F.col("h").alias("h1"), F.col("c").alias("c1")), "h1")
+        .join(uni.select(F.col("h").alias("h2"), F.col("c").alias("c2")), "h2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                lam * (F.col("c12") / F.col("c1").cast("double"))
+                + (1 - _BIGRAM_LAMBDA) * (F.col("c2") / F.col("n_tok"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.exp(-F.avg("lp")), 4).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )
