@@ -165,6 +165,10 @@ HEADLINE = [
     "daily_revenue_mann_kendall",
     "training_mix_temperature",
     "doc_bigram_perplexity",
+    "ngram_containment_pairs",
+    "revenue_gini_jackknife",
+    "events_holt_daily_forecast",
+    "orders_seasonal_decompose",
 ]
 
 

@@ -3805,3 +3805,102 @@ def user_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         args=", ".join(f"'{name}', {name}" for name, _ in _PATH_PATTERNS),
     )
     return counts.selectExpr(stack_expr).orderBy("pattern")
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing over per-type daily value series.
+# --------------------------------------------------------------------------
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+@query(
+    "events_holt_daily_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             ROUND(SUM(value), 6) AS x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY date_trunc('day', ts))
+                  AS INTEGER) AS rn
+      FROM events GROUP BY event_type, day),
+    s AS (
+      SELECT event_type, day, x, rn,
+             x AS l, CAST(0 AS DOUBLE) AS b
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.day, d.x, d.rn,
+             {_HOLT_ALPHA} * d.x + {1 - _HOLT_ALPHA} * (s.l + s.b),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * d.x
+                              + {1 - _HOLT_ALPHA} * (s.l + s.b)) - s.l)
+               + {1 - _HOLT_BETA} * s.b
+      FROM daily d JOIN s
+        ON d.event_type = s.event_type AND d.rn = s.rn + 1)
+    SELECT event_type, day, x, ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend, ROUND(l + b, 6) AS forecast_next
+    FROM s
+    """,
+)
+def events_holt_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type over the
+    daily value series: l_t = a*x_t + (1-a)(l_{t-1}+b_{t-1}),
+    b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1} (a=0.3, B=0.1, l_1=x_1,
+    b_1=0), emitting the one-step-ahead forecast l+b — trend-aware
+    smoothing the EWMA family can't express, the standard ops-metrics
+    forecaster.
+
+    Scale: the recursion runs per (event_type) group AFTER a day-grain
+    pre-aggregation, so the folded frame is calendar-bounded (~90
+    days/type here, ~thousands at worst) no matter the event volume —
+    the one data-sized shuffle is the daily rollup; applyInPandas then
+    folds a few tiny groups. Daily sums round to 1e-6 in BOTH engines
+    before the fold, so the recursion consumes identical doubles and
+    the float op order inside the fold is written to match the
+    oracle's CTE exactly (fresh l computed before b, same
+    association)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+
+    a, bt = _HOLT_ALPHA, _HOLT_BETA
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = pdf["x"].to_numpy()
+        levels = []
+        trends = []
+        l = xs[0] if len(xs) else 0.0
+        b = 0.0
+        for i, x in enumerate(xs):
+            if i == 0:
+                l, b = x, 0.0
+            else:
+                # mirror the CTE's op order exactly: fresh level
+                # first, then trend from (new l - old l)
+                l_new = a * x + (1 - a) * (l + b)
+                b = bt * (l_new - l) + (1 - bt) * b
+                l = l_new
+            levels.append(l)
+            trends.append(b)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf[["event_type", "day", "x", "level", "trend"]]
+
+    out_schema = (
+        "event_type string, day timestamp_ntz, x double, "
+        "level double, trend double"
+    )
+    folded = daily.groupBy("event_type").applyInPandas(fold, out_schema)
+    # round JVM-side (half-away, matching DuckDB's ROUND — python's
+    # round() is banker's and would diverge on exact halves)
+    return folded.select(
+        "event_type",
+        "day",
+        "x",
+        F.round(F.col("level"), 6).alias("level"),
+        F.round(F.col("trend"), 6).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
+    )

@@ -3534,9 +3534,14 @@ def daily_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no tie variance correction; both engines agree by construction).
     """
     orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_trunc("day", "o_orderdate").alias("day")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+    # day-grain frame is ~2.4k rows: checkpoint it so the pair join,
+    # the count, and the S aggregate all read the materialized blocks
+    # instead of re-running the orders rollup per branch
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+        .localCheckpoint(eager=True)
+    )
     a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
     b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
     s = (
@@ -3569,4 +3574,230 @@ def daily_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("no_trend"))
             .alias("trend"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of daily revenue, with a delete-1 jackknife CI.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_gini_jackknife",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             ROUND(SUM(o_totalprice), 2) AS x
+      FROM orders GROUP BY day),
+    rs AS (
+      SELECT a.day, a.x, SUM(ABS(a.x - b.x)) AS rowsum
+      FROM daily a JOIN daily b ON TRUE
+      GROUP BY a.day, a.x),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s,
+             SUM(rowsum) AS d
+      FROM rs),
+    jk AS (
+      SELECT r.day,
+             (t.d - 2 * r.rowsum) /
+               (2.0 * (t.n - 1) * (t.n - 1) * ((t.s - r.x) / (t.n - 1)))
+               AS theta
+      FROM rs r CROSS JOIN tot t),
+    jm AS (SELECT AVG(theta) AS theta_bar FROM jk),
+    se AS (
+      SELECT sqrt((t.n - 1.0) / t.n *
+                  SUM((jk.theta - jm.theta_bar) *
+                      (jk.theta - jm.theta_bar))) AS se_jack
+      FROM jk CROSS JOIN jm CROSS JOIN tot t
+      GROUP BY t.n)
+    SELECT t.n AS n_days,
+           ROUND(t.d / (2.0 * t.n * t.s), 6) AS gini,
+           ROUND(se.se_jack, 6) AS se_jack,
+           ROUND(t.d / (2.0 * t.n * t.s) - 1.96 * se.se_jack, 6) AS ci_lo,
+           ROUND(t.d / (2.0 * t.n * t.s) + 1.96 * se.se_jack, 6) AS ci_hi
+    FROM tot t CROSS JOIN se
+    """,
+)
+def revenue_gini_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of daily revenue concentration — mean absolute
+    difference form G = sum_ij |x_i - x_j| / (2 n^2 mu) — with a
+    delete-1 jackknife standard error and 95% CI. Each leave-one-out
+    replicate is CLOSED FORM from the per-day pairwise row sums
+    (D_(-k) = D - 2*rowsum_k), so the jackknife costs nothing beyond
+    the one pairwise pass — no resampling, fully deterministic.
+
+    Scale: the pairwise frame is DAY x DAY, calendar-bounded (~2.4k
+    rows regardless of corpus size) — the broadcast loop join is ~6M
+    cheap |a-b| rows at ANY scale factor; the only data-sized work is
+    the daily rollup shuffle. Daily sums round to cents in both
+    engines first, so the double sums are order-insensitive at the
+    reported precision."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    b = daily.select(F.col("x").alias("xb"))
+    # rs is the expensive product (day x day); checkpoint the ~2.4k
+    # result rows so tot / jk / se don't replay the loop join
+    rs = (
+        daily.join(F.broadcast(b), F.lit(True))
+        .groupBy("day", "x")
+        .agg(F.sum(F.abs(F.col("x") - F.col("xb"))).alias("rowsum"))
+        .localCheckpoint(eager=True)
+    )
+    tot = rs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum("rowsum").alias("d"),
+    )
+    jk = rs.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("d") - 2 * F.col("rowsum"))
+            / (
+                2.0
+                * (F.col("n") - 1)
+                * (F.col("n") - 1)
+                * ((F.col("s") - F.col("x")) / (F.col("n") - 1))
+            )
+        ).alias("theta")
+    )
+    jm = jk.agg(F.avg("theta").alias("theta_bar"))
+    se = (
+        jk.crossJoin(F.broadcast(jm))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sqrt(
+                (F.col("n") - F.lit(1.0))
+                / F.col("n")
+                * F.sum(
+                    (F.col("theta") - F.col("theta_bar"))
+                    * (F.col("theta") - F.col("theta_bar"))
+                )
+            ).alias("se_jack")
+        )
+        .select("se_jack")
+    )
+    gini = F.col("d") / (2.0 * F.col("n") * F.col("s"))
+    return tot.crossJoin(F.broadcast(se)).select(
+        F.col("n").alias("n_days"),
+        F.round(gini, 6).alias("gini"),
+        F.round(F.col("se_jack"), 6).alias("se_jack"),
+        F.round(gini - 1.96 * F.col("se_jack"), 6).alias("ci_lo"),
+        F.round(gini + 1.96 * F.col("se_jack"), 6).alias("ci_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition of monthly revenue (2x12 MA trend).
+# --------------------------------------------------------------------------
+@query(
+    "orders_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             ROUND(SUM(o_totalprice), 2) AS x
+      FROM orders GROUP BY m),
+    nb AS (
+      SELECT a.m, a.x,
+             -- exact integer cents (x is cents-rounded): weight 1 at
+             -- lag +/-6, 2 inside, /2400 rescales (100 cents * 2 * 12)
+             SUM(CASE WHEN ABS(date_diff('month', a.m, b.m)) = 6
+                      THEN CAST(ROUND(b.x * 100) AS BIGINT)
+                      ELSE 2 * CAST(ROUND(b.x * 100) AS BIGINT)
+                 END) / 2400.0 AS trend,
+             COUNT(*) AS n_nb
+      FROM monthly a
+      JOIN monthly b
+        ON date_diff('month', a.m, b.m) BETWEEN -6 AND 6
+      GROUP BY a.m, a.x),
+    tr AS (SELECT m, x, trend FROM nb WHERE n_nb = 13),
+    sr AS (
+      SELECT CAST(extract(month FROM m) AS INTEGER) AS moy,
+             AVG(x - trend) AS s_raw
+      FROM tr GROUP BY moy),
+    sm AS (SELECT AVG(s_raw) AS s_mean FROM sr)
+    SELECT tr.m AS month, tr.x AS revenue,
+           ROUND(tr.trend, 4) AS trend,
+           ROUND(sr.s_raw - sm.s_mean, 4) AS seasonal,
+           ROUND((tr.x - ROUND(tr.trend, 4)) - ROUND(sr.s_raw - sm.s_mean, 4),
+                 4) AS residual
+    FROM tr
+    JOIN sr ON sr.moy = CAST(extract(month FROM tr.m) AS INTEGER)
+    CROSS JOIN sm
+    ORDER BY month
+    """,
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the monthly revenue series:
+    trend from the standard 2x12 centered moving average (half weight
+    at lag +/-6, so the window spans exactly one year), seasonal
+    index = month-of-year mean of the detrended series re-centered to
+    sum to zero, residual = observed - trend - seasonal. Months
+    without the full 13-neighbor window (the first/last 6) drop, as
+    in every textbook decomposition.
+
+    Scale: no ordered windows at all — the centered MA is a
+    MONTH x MONTH banded self-join, and the monthly frame is
+    calendar-bounded (~84 rows for 7 years) at ANY data volume, so
+    the broadcast non-equi join is constant work; the only data-sized
+    shuffle is the monthly rollup. Monthly sums round to cents in
+    both engines before the MA, making every derived double
+    order-insensitive at the reported 4 decimals."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    b = monthly.select(F.col("m").alias("bm"), F.col("x").alias("bx"))
+    lag = F.months_between(F.col("bm"), F.col("m")).cast("int")
+    nb = (
+        monthly.join(F.broadcast(b), (lag >= -6) & (lag <= 6))
+        .groupBy("m", "x")
+        .agg(
+            (
+                # integer-cents weighted sum: BIGINT addition is
+                # associative, so partial-agg order can't move an LSB
+                # and the /2400.0 double is bit-identical to DuckDB's
+                F.sum(
+                    F.when(
+                        F.abs(
+                            F.months_between(F.col("bm"), F.col("m")).cast(
+                                "int"
+                            )
+                        )
+                        == 6,
+                        F.round(F.col("bx") * 100).cast("long"),
+                    ).otherwise(2 * F.round(F.col("bx") * 100).cast("long"))
+                )
+                / 2400.0
+            ).alias("trend"),
+            F.count(F.lit(1)).alias("n_nb"),
+        )
+    )
+    tr = nb.filter(F.col("n_nb") == 13).select("m", "x", "trend")
+    sr = tr.groupBy(F.month("m").alias("moy")).agg(
+        F.avg(F.col("x") - F.col("trend")).alias("s_raw")
+    )
+    sm = sr.agg(F.avg("s_raw").alias("s_mean"))
+    seasonal = F.col("s_raw") - F.col("s_mean")
+    return (
+        tr.join(F.broadcast(sr), F.month("m") == F.col("moy"))
+        .crossJoin(F.broadcast(sm))
+        .select(
+            F.col("m").alias("month"),
+            F.col("x").alias("revenue"),
+            F.round(F.col("trend"), 4).alias("trend"),
+            F.round(seasonal, 4).alias("seasonal"),
+            # residual from the ROUNDED components: both engines then
+            # subtract bit-identical doubles, so the 4-decimal result
+            # can't straddle a rounding boundary on FP noise
+            F.round(
+                (F.col("x") - F.round(F.col("trend"), 4))
+                - F.round(seasonal, 4),
+                4,
+            ).alias("residual"),
+        )
+        .orderBy("month")
     )

@@ -3433,3 +3433,86 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Containment near-dup pairs: the asymmetric-inclusion complement of
+# ngram_jaccard_pairs (quotes / partial copies of a small doc inside a
+# bigger one score low Jaccard but high containment).
+# --------------------------------------------------------------------------
+_CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)]) AS s
+      FROM ({_SQL_TOKS})),
+    e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+    cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           ROUND(p.n_common * 1.0 / LEAST(ca.n, cb.n), 6) AS containment,
+           ROUND(p.n_common * 1.0 / (ca.n + cb.n - p.n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN cnt ca ON ca.doc_id = p.doc_a
+    JOIN cnt cb ON cb.doc_id = p.doc_b
+    WHERE p.n_common * 1.0 / LEAST(ca.n, cb.n) >= {_CONTAINMENT_THRESHOLD}
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: containment(A,B) =
+    |A ∩ B| / min(|A|, |B|) over distinct 5-token shingle sets — the
+    measure that catches a short document quoted or embedded inside a
+    long one, which symmetric Jaccard dilutes below threshold (the
+    jaccard column is emitted alongside to make the gap visible).
+    Same inverted-index candidate generation as ngram_jaccard_pairs:
+    docs sharing no shingle never meet.
+
+    Scale: identical shape to ngram_jaccard_pairs — one Arrow
+    shingling pass, groupBy(shingle-hash) bucket pair-generation
+    (row-local HOF), one pair-count aggregate; shuffles carry 8-byte
+    hashes. Containment needs no new joins: both set sizes already
+    ride the inverted index rows."""
+    e = _shingle_index(spark, sf_dir)
+    buckets = (
+        e.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        y["doc_id"].alias("doc_b"),
+                        x["n"].alias("na"),
+                        y["n"].alias("nb"),
+                    ),
+                ),
+            )
+        )
+    ).alias("p")
+    pairs = (
+        buckets.select(pair)
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") / F.least("na", "nb")
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.filter(cont >= _CONTAINMENT_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(cont, 6).alias("containment"),
+        F.round(jac, 6).alias("jaccard"),
+    )
