@@ -169,6 +169,9 @@ HEADLINE = [
     "revenue_gini_jackknife",
     "events_holt_daily_forecast",
     "orders_seasonal_decompose",
+    "recency_weighted_customer_value",
+    "events_gap_distribution",
+    "attribution_shapley",
 ]
 
 

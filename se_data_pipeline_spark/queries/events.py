@@ -3904,3 +3904,193 @@ def events_holt_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("trend"), 6).alias("trend"),
         F.round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-event gap distribution (log2-bucketed burstiness histogram).
+# --------------------------------------------------------------------------
+@query(
+    "events_gap_distribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    gaps AS (
+      -- whole-second gap via integer microsecond floor-division:
+      -- date_diff('second', ...) counts boundary CROSSINGS, which is
+      -- not floor(elapsed) and would diverge from the engine
+      SELECT event_type,
+             CAST(floor(log2(
+               ((epoch_us(ts) - epoch_us(prev_ts)) // 1000000) + 1))
+               AS INTEGER) AS gap_bucket
+      FROM seq WHERE prev_ts IS NOT NULL)
+    SELECT event_type, gap_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps
+    FROM gaps
+    GROUP BY event_type, gap_bucket
+    ORDER BY event_type, gap_bucket
+    """,
+)
+def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile: the distribution of seconds between a
+    user's consecutive events, log2-bucketed (bucket k covers
+    [2^k - 1, 2^(k+1) - 1) seconds), split by the type of the LATER
+    event — separates machine-gun bursts (bucket 0-2) from
+    session-gap returns (bucket 10+) per event type.
+
+    Scale: one shuffle for the per-user lag window (user-partitioned,
+    never global), one for the (type, bucket) rollup whose
+    cardinality is ~types x 30 buckets. Gap arithmetic is integer
+    seconds (floor'd epoch difference) so the log2 bucket edges are
+    exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    whole_secs = F.floor(
+        (_ts_micros(F.col("ts")) - _ts_micros(F.col("prev_ts")))
+        / F.lit(1_000_000.0)
+    )
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.log2(whole_secs + 1)).cast("int").alias("gap_bucket"),
+        )
+    )
+    return (
+        gaps.groupBy("event_type", "gap_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+        .orderBy("event_type", "gap_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-driven Shapley channel attribution (exact over the 4-channel
+# subset lattice).
+# --------------------------------------------------------------------------
+@query(
+    "attribution_shapley",
+    oracle="""
+    WITH touched AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           + 2 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           + 8 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id),
+    per_mask AS (
+      SELECT mask, COUNT(*) AS n_users, SUM(conv) AS n_conv
+      FROM touched GROUP BY mask),
+    lattice AS (
+      SELECT g.mask,
+             COALESCE(p.n_conv * 1.0 / p.n_users, 0.0) AS v
+      FROM (SELECT unnest(generate_series(0, 15)) AS mask) g
+      LEFT JOIN per_mask p ON p.mask = g.mask),
+    channels AS (
+      SELECT * FROM (VALUES (1, 'click'), (2, 'error'),
+                            (4, 'signup'), (8, 'view')) c(bitval, channel)),
+    contrib AS (
+      SELECT c.channel,
+             CASE (s.mask % 2) + ((s.mask // 2) % 2)
+                + ((s.mask // 4) % 2) + ((s.mask // 8) % 2)
+               WHEN 0 THEN 0.25 WHEN 1 THEN 1.0 / 12
+               WHEN 2 THEN 1.0 / 12 ELSE 0.25 END
+               * (w.v - s.v) AS phi_term
+      FROM channels c
+      JOIN lattice s ON ((s.mask // c.bitval) % 2) = 0
+      JOIN lattice w ON w.mask = s.mask + c.bitval)
+    SELECT channel, ROUND(SUM(phi_term), 6) AS shapley_value
+    FROM contrib GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact data-driven Shapley attribution over the four
+    non-purchase channels: each user's touched-channel set is a
+    4-bit mask, v(S) = observed conversion rate of users whose set is
+    exactly S (0 for unseen coalitions), and each channel's Shapley
+    value sums |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)) over the 8
+    coalitions excluding it — the marginal-contribution attribution
+    that first/last-touch heuristics approximate.
+
+    Scale: ONE data-sized shuffle (the per-user mask/conversion
+    rollup); per_mask is <= 16 rows, the lattice/weight algebra is a
+    constant 64-row join. Coalition weights and popcounts use pure
+    integer div/mod arithmetic so both engines build bit-identical
+    doubles before the one ROUND."""
+    ev = load_table(spark, sf_dir, "events")
+    touched = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            + 4
+            * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            + 8 * F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    per_mask = touched.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("conv").alias("n_conv")
+    )
+    lattice = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("mask"))
+        .join(F.broadcast(per_mask), "mask", "left")
+        .select(
+            "mask",
+            F.coalesce(
+                F.col("n_conv") * 1.0 / F.col("n_users"), F.lit(0.0)
+            ).alias("v"),
+        )
+        # 16 rows; checkpoint so the two lattice roles below don't
+        # each replay the events rollup
+        .localCheckpoint(eager=True)
+    )
+    channels = spark.range(4).select(
+        F.expr("shiftleft(1, cast(id AS int))").alias("bitval"),
+        F.element_at(
+            F.array(
+                F.lit("click"), F.lit("error"), F.lit("signup"), F.lit("view")
+            ),
+            F.col("id").cast("int") + 1,
+        ).alias("channel"),
+    )
+    s = lattice.select(F.col("mask").alias("s_mask"), F.col("v").alias("s_v"))
+    wl = lattice.select(F.col("mask").alias("w_mask"), F.col("v").alias("w_v"))
+    popcnt = (
+        F.pmod(F.col("s_mask"), 2)
+        + F.pmod(F.expr("s_mask div 2"), 2)
+        + F.pmod(F.expr("s_mask div 4"), 2)
+        + F.pmod(F.expr("s_mask div 8"), 2)
+    )
+    weight = (
+        F.when(popcnt == 0, F.lit(0.25))
+        .when(popcnt == 1, F.lit(1.0 / 12))
+        .when(popcnt == 2, F.lit(1.0 / 12))
+        .otherwise(F.lit(0.25))
+    )
+    contrib = (
+        channels.join(
+            F.broadcast(s),
+            F.pmod(F.expr("s_mask div bitval"), 2) == 0,
+        )
+        .join(
+            F.broadcast(wl), F.col("w_mask") == F.col("s_mask") + F.col("bitval")
+        )
+        .select(
+            "channel",
+            (weight * (F.col("w_v") - F.col("s_v"))).alias("phi_term"),
+        )
+    )
+    return (
+        contrib.groupBy("channel")
+        .agg(F.round(F.sum("phi_term"), 6).alias("shapley_value"))
+        .orderBy("channel")
+    )

@@ -3801,3 +3801,83 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Recency-weighted customer value (exponential time decay).
+# --------------------------------------------------------------------------
+_DECAY_HALF_LIFE_DAYS = 180.0
+
+
+@query(
+    "recency_weighted_customer_value",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    w AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS raw_value,
+             ROUND(SUM(o_totalprice *
+                       exp(-ln(2) / {_DECAY_HALF_LIFE_DAYS} *
+                           (date_diff('day', o_orderdate, mx.max_d)))), 2)
+               AS decayed_value
+      FROM orders CROSS JOIN mx
+      GROUP BY o_custkey)
+    SELECT o_custkey AS custkey, n_orders, raw_value, decayed_value,
+           ROUND(decayed_value / raw_value, 6) AS retention_ratio
+    FROM w
+    ORDER BY decayed_value DESC, custkey
+    LIMIT 100
+    """,
+)
+def recency_weighted_customer_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-100 customers by exponentially time-decayed revenue
+    (half-life 180 days, anchored at the corpus's own max order date
+    so the query is reproducible with no wall-clock dependence) —
+    the standard recency-weighted LTV ranking, with the
+    decayed/raw ratio exposing how recent each customer's value is.
+
+    Scale: the anchor is a 1-row broadcast; the weighting is a
+    row-local exp() folded into ONE customer-keyed aggregate — no
+    window, no second pass. Top-100 is TakeOrderedAndProject. The
+    decay exponent is integer days * a shared constant, so both
+    engines evaluate exp() on bit-identical inputs."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("max_d"))
+    lam = float(__import__("math").log(2)) / _DECAY_HALF_LIFE_DAYS
+    w = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("raw_value"),
+            F.round(
+                F.sum(
+                    F.col("o_totalprice")
+                    * F.exp(
+                        -F.lit(lam)
+                        * F.datediff(
+                            F.col("max_d").cast("date"),
+                            F.col("o_orderdate").cast("date"),
+                        )
+                    )
+                ),
+                2,
+            ).alias("decayed_value"),
+        )
+    )
+    return (
+        w.select(
+            F.col("o_custkey").alias("custkey"),
+            "n_orders",
+            "raw_value",
+            "decayed_value",
+            F.round(F.col("decayed_value") / F.col("raw_value"), 6).alias(
+                "retention_ratio"
+            ),
+        )
+        .orderBy(F.desc("decayed_value"), "custkey")
+        .limit(100)
+    )
