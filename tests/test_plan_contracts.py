@@ -392,3 +392,66 @@ def test_cusum_is_single_python_pass(spark, sf_dir):
     plan = plan_of(events_cusum_changepoints(spark, sf_dir))
     assert plan.count("ArrowEvalPython") == 0
     assert plan.count("MapInPandas") == 1
+
+
+def test_mann_kendall_pairwise_is_broadcast_day_grain(spark, sf_dir):
+    """daily_revenue_mann_kendall's pairwise sign frame must be a
+    broadcast non-equi join over the day-grain rollup (never a
+    CartesianProduct, never a sort-merge pair blowup), and no window
+    may appear anywhere."""
+    from se_data_pipeline_spark.queries.relational import (
+        daily_revenue_mann_kendall,
+    )
+
+    plan = plan_of(daily_revenue_mann_kendall(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_gini_jackknife_scans_orders_once(spark, sf_dir):
+    """revenue_gini_jackknife checkpoints the day-grain frames: the
+    orders rollup runs once, every jackknife branch reads the
+    materialized ~2.4k rows (scan count in the final plan is 0 —
+    all leaves are checkpointed RDD scans)."""
+    from se_data_pipeline_spark.queries.relational import (
+        revenue_gini_jackknife,
+    )
+
+    plan = plan_of(revenue_gini_jackknife(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 0  # only checkpoint scans
+    assert "Window" not in plan
+    df = revenue_gini_jackknife(spark, sf_dir)
+    row = df.collect()[0]
+    assert 0.0 <= row.gini <= 1.0
+    assert row.ci_lo <= row.gini <= row.ci_hi
+
+
+def test_shapley_single_data_shuffle(spark, sf_dir):
+    """attribution_shapley's only data-sized work is the per-user
+    mask rollup; the lattice algebra must ride broadcast joins. The
+    four Shapley values must sum to v(full) - v(empty) (efficiency
+    axiom) up to rounding."""
+    from se_data_pipeline_spark.queries.events import attribution_shapley
+
+    df = attribution_shapley(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    rows = {r.channel: r.shapley_value for r in df.collect()}
+    assert set(rows) == {"click", "error", "signup", "view"}
+
+
+def test_holt_forecast_is_calendar_bounded_fold(spark, sf_dir):
+    """events_holt_daily_forecast folds AFTER the day-grain rollup:
+    exactly one Python stage (applyInPandas over event types), and
+    the forecast column equals level + trend."""
+    from se_data_pipeline_spark.queries.events import (
+        events_holt_daily_forecast,
+    )
+
+    df = events_holt_daily_forecast(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    r = df.filter(F.col("trend") != 0).limit(1).collect()
+    if r:
+        assert abs(r[0].forecast_next - round(r[0].level + r[0].trend, 6)) < 1e-6
