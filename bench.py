@@ -172,6 +172,9 @@ HEADLINE = [
     "recency_weighted_customer_value",
     "events_gap_distribution",
     "attribution_shapley",
+    "embedding_matryoshka_fidelity",
+    "conversion_weibull_fit",
+    "attribution_markov_removal",
 ]
 
 

@@ -4094,3 +4094,376 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("phi_term"), 6).alias("shapley_value"))
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Closed-form Weibull fit of the signup->purchase delay distribution.
+# --------------------------------------------------------------------------
+@query(
+    "conversion_weibull_fit",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT s.user_id,
+             MIN(epoch_us(e.ts) - epoch_us(s.t0)) / 3600000000.0 AS delay_h
+      FROM signups s
+      JOIN events e ON e.user_id = s.user_id
+        AND e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY s.user_id),
+    q AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+             quantile_cont(delay_h, 0.25) AS t25,
+             quantile_cont(delay_h, 0.75) AS t75
+      FROM conv),
+    k AS (
+      SELECT n_conversions, t25, t75,
+             ln(ln(4.0) / ln(4.0 / 3.0)) / ln(t75 / t25) AS shape_k
+      FROM q)
+    SELECT n_conversions,
+           ROUND(t25, 4) AS t25_hours,
+           ROUND(t75, 4) AS t75_hours,
+           ROUND(shape_k, 6) AS shape_k,
+           ROUND(t25 / pow(ln(4.0 / 3.0), 1.0 / shape_k), 4)
+             AS scale_lambda_hours,
+           ROUND(t25 / pow(ln(4.0 / 3.0), 1.0 / shape_k)
+                 * pow(ln(2.0), 1.0 / shape_k), 4) AS median_hours
+    FROM k
+    """,
+)
+def conversion_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric time-to-convert model: fit a Weibull distribution
+    to the signup->first-purchase delay by quantile matching —
+    shape k = ln(ln4 / ln(4/3)) / ln(t75/t25), scale lambda =
+    t25 / ln(4/3)^(1/k) (from F(t)=1-exp(-(t/lambda)^k) at the two
+    observed quartiles), closed form and fully deterministic, no
+    iterative MLE. k < 1 means decelerating conversion hazard (users
+    who wait convert ever more slowly); the implied median
+    lambda * ln2^(1/k) summarizes the fit.
+
+    Scale: two shuffles (per-user signup min, per-user first
+    conversion via a user-keyed join on the same key) + one exact
+    percentile aggregate to a 1-row frame; all the Weibull algebra is
+    driver-free arithmetic on that single row. Delays are exact
+    integer microseconds divided by one double constant, so both
+    engines interpolate quantiles over identical values."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    conv = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.min(
+                    _ts_micros(F.col("ts")) - _ts_micros(F.col("t0"))
+                )
+                / F.lit(3_600_000_000.0)
+            ).alias("delay_h")
+        )
+    )
+    q = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.percentile("delay_h", F.lit(0.25)).alias("t25"),
+        F.percentile("delay_h", F.lit(0.75)).alias("t75"),
+    )
+    ln = F.log
+    shape_k = ln(ln(F.lit(4.0)) / ln(F.lit(4.0) / 3.0)) / ln(
+        F.col("t75") / F.col("t25")
+    )
+    lam = F.col("t25") / F.pow(
+        ln(F.lit(4.0) / 3.0), 1.0 / F.col("shape_k_raw")
+    )
+    return (
+        q.withColumn("shape_k_raw", shape_k)
+        .select(
+            "n_conversions",
+            F.round("t25", 4).alias("t25_hours"),
+            F.round("t75", 4).alias("t75_hours"),
+            F.round("shape_k_raw", 6).alias("shape_k"),
+            F.round(lam, 4).alias("scale_lambda_hours"),
+            F.round(
+                lam * F.pow(ln(F.lit(2.0)), 1.0 / F.col("shape_k_raw")), 4
+            ).alias("median_hours"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain complement of the
+# Shapley query above).
+# --------------------------------------------------------------------------
+_MARKOV_ITERS = 25
+_MARKOV_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _markov_transitions_sql() -> str:
+    """Shared transition-extraction SQL (DuckDB dialect): per-user
+    pre-first-purchase paths -> (src, dst, p) transition rows."""
+    return """
+    fp AS (
+      SELECT user_id, MIN(ts) AS fpts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    pre AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id, fp.fpts
+      FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      WHERE e.event_type <> 'purchase'
+        AND (fp.fpts IS NULL OR e.ts < fp.fpts)),
+    seq AS (
+      SELECT user_id, event_type, fpts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+      FROM pre),
+    steps AS (
+      SELECT COALESCE(prev_type, 'START') AS src, event_type AS dst
+      FROM seq
+      UNION ALL
+      SELECT event_type AS src,
+             CASE WHEN fpts IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS dst
+      FROM seq WHERE rn = n_ev
+      UNION ALL
+      SELECT 'START' AS src, 'CONV' AS dst
+      FROM fp
+      WHERE user_id NOT IN (SELECT user_id FROM pre)),
+    cnts AS (SELECT src, dst, COUNT(*) AS c FROM steps GROUP BY src, dst),
+    outs AS (SELECT src, SUM(c) AS o FROM cnts GROUP BY src),
+    trans AS (
+      SELECT c.src, c.dst, c.c * 1.0 / o.o AS p
+      FROM cnts c JOIN outs o ON o.src = c.src)
+    """
+
+
+def _markov_oracle() -> str:
+    chans = _MARKOV_CHANNELS
+    # per-scenario wide coefficient row: c_<src>_<dst> columns, with
+    # removed-channel redirection folded in
+    coef_cols = []
+    for s in ["START"] + chans:
+        sl = s.lower()
+        for t in chans:
+            coef_cols.append(
+                f"SUM(CASE WHEN src = '{s}' AND eff_dst = '{t}' "
+                f"THEN p ELSE 0 END) AS c_{sl}_{t}"
+            )
+        coef_cols.append(
+            f"SUM(CASE WHEN src = '{s}' AND eff_dst = 'CONV' "
+            f"THEN p ELSE 0 END) AS c_{sl}_conv"
+        )
+    upd = {
+        s: " + ".join(
+            [f"co.c_{s.lower()}_{t} * it.p_{t}" for t in chans]
+            + [f"co.c_{s.lower()}_conv"]
+        )
+        for s in ["START"] + chans
+    }
+    return f"""
+    WITH RECURSIVE {_markov_transitions_sql()},
+    scen AS (
+      SELECT unnest(['base', 'click', 'error', 'signup', 'view'])
+        AS removed),
+    strans AS (
+      SELECT scen.removed, t.src,
+             CASE WHEN t.dst = scen.removed THEN 'NULL' ELSE t.dst END
+               AS eff_dst,
+             t.p
+      FROM trans t CROSS JOIN scen
+      WHERE t.src <> scen.removed),
+    coef AS (
+      SELECT removed, {', '.join(coef_cols)}
+      FROM strans GROUP BY removed),
+    it AS (
+      -- CAST: bare 0.0 is DECIMAL(2,1) in DuckDB and the recursive
+      -- UNION would quantize every iteration to one decimal
+      SELECT removed, 0 AS iter,
+             CAST(0.0 AS DOUBLE) AS p_start, CAST(0.0 AS DOUBLE) AS p_click,
+             CAST(0.0 AS DOUBLE) AS p_error, CAST(0.0 AS DOUBLE) AS p_signup,
+             CAST(0.0 AS DOUBLE) AS p_view
+      FROM coef
+      UNION ALL
+      SELECT it.removed, it.iter + 1,
+             {upd['START']},
+             {upd['click']},
+             {upd['error']},
+             {upd['signup']},
+             {upd['view']}
+      FROM it JOIN coef co ON co.removed = it.removed
+      WHERE it.iter < {_MARKOV_ITERS}),
+    conv AS (
+      SELECT removed, p_start FROM it WHERE iter = {_MARKOV_ITERS}),
+    base AS (SELECT p_start AS p_base FROM conv WHERE removed = 'base'),
+    re AS (
+      SELECT c.removed AS channel,
+             ROUND(b.p_base, 6) AS p_conversion_base,
+             ROUND(c.p_start, 6) AS p_conversion_removed,
+             1 - c.p_start / b.p_base AS eff
+      FROM conv c CROSS JOIN base b WHERE c.removed <> 'base'),
+    tot AS (SELECT SUM(eff) AS te FROM re)
+    SELECT channel, p_conversion_base, p_conversion_removed,
+           ROUND(eff, 6) AS removal_effect,
+           ROUND(eff / tot.te, 6) AS attribution_share
+    FROM re CROSS JOIN tot
+    ORDER BY channel
+    """
+
+
+@query("attribution_markov_removal", oracle=_markov_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: build the first-order
+    channel-transition chain over each user's pre-first-purchase path
+    (START -> events -> CONV/NULL), then for each channel remove its
+    state (transitions into it divert to NULL) and measure how much
+    the chain's START->CONV absorption probability drops; shares
+    normalize the four removal effects. The absorption probability is
+    computed by {it} fixed Jacobi iterations of p = C p + c_conv in
+    WIDE form (one row per scenario, one column per state) — both
+    engines run the IDENTICAL truncated iteration with identical
+    term order, so results match exactly without convergence
+    arguments.
+
+    Scale: the data-sized work is one per-user lag window + one
+    (src, dst) count rollup — everything after is algebra on a 5-row
+    (scenario) x 30-column coefficient frame. The iteration
+    checkpoints every 5 rounds so the projection tree never
+    collapses into a 5^k-node expression; 25 tiny local jobs total,
+    independent of corpus size.""".format(it=_MARKOV_ITERS)
+    ev = load_table(spark, sf_dir, "events")
+    chans = _MARKOV_CHANNELS
+
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpts"))
+    )
+    pre = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(F.broadcast(fp), "user_id", "left")
+        .filter(F.col("fpts").isNull() | (F.col("ts") < F.col("fpts")))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = pre.select(
+        "user_id",
+        "event_type",
+        "fpts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n_ev"),
+    )
+    steps = (
+        seq.select(
+            F.coalesce(F.col("prev_type"), F.lit("START")).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .unionByName(
+            seq.filter(F.col("rn") == F.col("n_ev")).select(
+                F.col("event_type").alias("src"),
+                F.when(F.col("fpts").isNotNull(), F.lit("CONV"))
+                .otherwise(F.lit("NULL"))
+                .alias("dst"),
+            )
+        )
+        .unionByName(
+            fp.join(
+                pre.select("user_id").distinct(), "user_id", "left_anti"
+            ).select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+        )
+    )
+    cnts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    outs = cnts.groupBy("src").agg(F.sum("c").alias("o"))
+    trans = cnts.join(outs, "src").select(
+        "src", "dst", (F.col("c") * 1.0 / F.col("o")).alias("p")
+    )
+    scen = spark.range(5).select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in ["base"] + chans]),
+            F.col("id").cast("int") + 1,
+        ).alias("removed")
+    )
+    strans = (
+        trans.crossJoin(F.broadcast(scen))
+        .filter(F.col("src") != F.col("removed"))
+        .select(
+            "removed",
+            "src",
+            F.when(F.col("dst") == F.col("removed"), F.lit("NULL"))
+            .otherwise(F.col("dst"))
+            .alias("eff_dst"),
+            "p",
+        )
+    )
+    coef_aggs = []
+    for s in ["START"] + chans:
+        sl = s.lower()
+        for t in chans + ["CONV"]:
+            tn = "conv" if t == "CONV" else t
+            coef_aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("src") == s) & (F.col("eff_dst") == t),
+                        F.col("p"),
+                    ).otherwise(F.lit(0.0))
+                ).alias(f"c_{sl}_{tn}")
+            )
+    coef = (
+        strans.groupBy("removed").agg(*coef_aggs).localCheckpoint(eager=True)
+    )
+    # wide Jacobi iteration: p = C p + c_conv, identical term order
+    # to the oracle's recursive CTE
+    states = ["start"] + chans
+    p = coef.select(
+        "removed", *[F.lit(0.0).alias(f"p_{s}") for s in states]
+    )
+    for i in range(_MARKOV_ITERS):
+        p = p.join(coef, "removed").select(
+            "removed",
+            *[
+                (
+                    F.col(f"c_{s}_click") * F.col("p_click")
+                    + F.col(f"c_{s}_error") * F.col("p_error")
+                    + F.col(f"c_{s}_signup") * F.col("p_signup")
+                    + F.col(f"c_{s}_view") * F.col("p_view")
+                    + F.col(f"c_{s}_conv")
+                ).alias(f"p_{s}")
+                for s in states
+            ],
+        )
+        if (i + 1) % 5 == 0:
+            p = p.localCheckpoint(eager=True)
+    conv = p.select("removed", F.col("p_start"))
+    base = conv.filter(F.col("removed") == "base").select(
+        F.col("p_start").alias("p_base")
+    )
+    re = (
+        conv.filter(F.col("removed") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            F.round("p_base", 6).alias("p_conversion_base"),
+            F.round("p_start", 6).alias("p_conversion_removed"),
+            (1 - F.col("p_start") / F.col("p_base")).alias("eff"),
+        )
+    )
+    tot = re.agg(F.sum("eff").alias("te"))
+    return (
+        re.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "p_conversion_base",
+            "p_conversion_removed",
+            F.round("eff", 6).alias("removal_effect"),
+            F.round(F.col("eff") / F.col("te"), 6).alias(
+                "attribution_share"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -1357,3 +1357,152 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, v2[i]) for i in range(d)], "dim int, loading double"
     )
     return out.orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation fidelity: how much retrieval signal survives
+# prefix-truncating the embedding (MRL-style dimension reduction).
+# --------------------------------------------------------------------------
+_MATRYOSHKA_DIMS = [32, 16]
+
+
+@query(
+    "embedding_matryoshka_fidelity",
+    oracle="""
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS c
+      FROM flat GROUP BY label, pos),
+    carr AS (
+      SELECT label AS clabel, list(c ORDER BY pos) AS cvec FROM cent
+      GROUP BY clabel),
+    pairs AS (
+      SELECT e.vec_id, a.clabel, dims.d,
+             ROUND(
+               list_sum(list_transform(
+                 list_zip(list_transform(e.embedding[1:dims.d],
+                                         x -> CAST(x AS DOUBLE)),
+                          a.cvec[1:dims.d]),
+                 p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(e.embedding[1:dims.d],
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(a.cvec[1:dims.d],
+                         x -> x * x)))), 6) AS cos
+      FROM embeddings e
+      CROSS JOIN carr a
+      CROSS JOIN (SELECT unnest([64, 32, 16]) AS d) dims),
+    nearest AS (
+      SELECT vec_id, d,
+             arg_max(clabel, cos - clabel * 1e-9) AS near_label,
+             MAX(cos - clabel * 1e-9) AS _k
+      FROM pairs GROUP BY vec_id, d),
+    fullref AS (
+      SELECT vec_id, near_label AS full_label FROM nearest WHERE d = 64),
+    fullcos AS (
+      SELECT vec_id, clabel, cos AS cos_full FROM pairs WHERE d = 64)
+    SELECT p.d AS dims,
+           CAST(COUNT(DISTINCT p.vec_id) AS BIGINT) AS n_vecs,
+           ROUND(AVG(ABS(p.cos - fc.cos_full)), 6) AS mean_abs_cos_delta,
+           ROUND(AVG(CASE WHEN n.near_label = fr.full_label
+                          THEN 1.0 ELSE 0.0 END), 6) AS nearest_agreement
+    FROM pairs p
+    JOIN fullcos fc ON fc.vec_id = p.vec_id AND fc.clabel = p.clabel
+    JOIN nearest n ON n.vec_id = p.vec_id AND n.d = p.d
+    JOIN fullref fr ON fr.vec_id = p.vec_id
+    WHERE p.d < 64
+    GROUP BY p.d
+    ORDER BY p.d DESC
+    """,
+)
+def embedding_matryoshka_fidelity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style truncation audit: cosine of every vector
+    against every label centroid at full dimension (64) and at prefix
+    truncations 32 / 16, reporting per level the mean absolute cosine
+    shift and the fraction of vectors whose NEAREST centroid is
+    unchanged — the measure that decides how many dims the ANN index
+    can drop before retrieval quality moves.
+
+    Scale: identical shape to embedding_margin_report — the centroid
+    table is 10 rows (broadcast) and every cosine is a row-local
+    zip_with fold, so the whole audit is a constant 30x row expansion
+    + keyed aggregates, no vector-vector pairs. Cosines round to 6 dp
+    before deltas/argmax (both engines then compare identical
+    doubles); argmax ties break toward the smaller label via a 1e-9
+    key nudge, far below the rounding quantum."""
+    from se_data_pipeline_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = flat.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    carr = (
+        cent.groupBy(F.col("label").alias("clabel"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("cvec")
+        )
+        .localCheckpoint(eager=True)
+    )
+    dims = spark.range(3).select(
+        F.element_at(
+            F.array(F.lit(64), F.lit(32), F.lit(16)),
+            F.col("id").cast("int") + 1,
+        ).alias("d")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(carr))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "vec_id",
+            "clabel",
+            "d",
+            F.round(
+                cosine(
+                    F.slice(F.col("embedding"), 1, F.col("d")),
+                    F.slice(F.col("cvec"), 1, F.col("d")),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    key = F.col("cos") - F.col("clabel") * 1e-9
+    nearest = pairs.groupBy("vec_id", "d").agg(
+        F.max_by("clabel", key).alias("near_label")
+    )
+    fullref = nearest.filter(F.col("d") == 64).select(
+        "vec_id", F.col("near_label").alias("full_label")
+    )
+    fullcos = pairs.filter(F.col("d") == 64).select(
+        "vec_id", "clabel", F.col("cos").alias("cos_full")
+    )
+    return (
+        pairs.filter(F.col("d") < 64)
+        .join(fullcos, ["vec_id", "clabel"])
+        .join(nearest, ["vec_id", "d"])
+        .join(F.broadcast(fullref), "vec_id")
+        .groupBy(F.col("d").alias("dims"))
+        .agg(
+            F.countDistinct("vec_id").cast("long").alias("n_vecs"),
+            F.round(
+                F.avg(F.abs(F.col("cos") - F.col("cos_full"))), 6
+            ).alias("mean_abs_cos_delta"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("near_label") == F.col("full_label"), 1.0
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("nearest_agreement"),
+        )
+        .orderBy(F.desc("dims"))
+    )
