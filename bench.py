@@ -175,6 +175,9 @@ HEADLINE = [
     "embedding_matryoshka_fidelity",
     "conversion_weibull_fit",
     "attribution_markov_removal",
+    "doc_tokenizer_fertility",
+    "promo_did_analysis",
+    "supplier_hhi_by_nation",
 ]
 
 

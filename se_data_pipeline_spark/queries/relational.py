@@ -3881,3 +3881,194 @@ def recency_weighted_customer_value(
         .orderBy(F.desc("decayed_value"), "custkey")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences: promo vs non-promo revenue around a cutoff.
+# --------------------------------------------------------------------------
+_DID_CUTOFF = "1995-01-01"
+
+
+@query(
+    "promo_did_analysis",
+    oracle=f"""
+    WITH lines AS (
+      SELECT CASE WHEN p.p_type LIKE 'PROMO%%' THEN 'promo'
+                  ELSE 'ctrl' END AS grp,
+             CASE WHEN l.l_shipdate >= TIMESTAMP '{_DID_CUTOFF}'
+                  THEN 'post' ELSE 'pre' END AS period,
+             l.l_extendedprice * (1 - l.l_discount) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    cells AS (
+      SELECT grp, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(y), 4) AS m,
+             VAR_SAMP(y) AS v
+      FROM lines GROUP BY grp, period),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN grp='promo' AND period='pre' THEN m END) AS m_pp,
+        MAX(CASE WHEN grp='promo' AND period='post' THEN m END) AS m_pq,
+        MAX(CASE WHEN grp='ctrl' AND period='pre' THEN m END) AS m_cp,
+        MAX(CASE WHEN grp='ctrl' AND period='post' THEN m END) AS m_cq,
+        SUM(v / n) AS var_did
+      FROM cells)
+    SELECT m_pp AS mean_promo_pre, m_pq AS mean_promo_post,
+           m_cp AS mean_ctrl_pre, m_cq AS mean_ctrl_post,
+           ROUND((m_pq - m_pp) - (m_cq - m_cp), 4) AS did_estimate,
+           ROUND(sqrt(var_did), 4) AS se,
+           ROUND(ROUND((m_pq - m_pp) - (m_cq - m_cp), 4)
+                 / ROUND(sqrt(var_did), 4), 4) AS t_stat
+    FROM wide
+    """,
+)
+def promo_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the promo effect on
+    per-line discounted revenue around the {cut} cutoff:
+    DiD = (promo_post - promo_pre) - (ctrl_post - ctrl_pre), with the
+    four-cell pooled standard error sqrt(sum var_g/n_g) and the
+    resulting t statistic — the standard observational causal
+    contrast, entirely as aggregates.
+
+    Scale: one broadcast dimension join (part) + ONE 4-cell
+    conditional aggregate over lineitem; the DiD algebra runs on the
+    4-row frame. Cell means round to 4 dp before differencing and the
+    t statistic divides the two ROUNDED quantities, so both engines
+    branch on identical doubles.""".format(cut=_DID_CUTOFF)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lines = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        F.when(F.col("p_type").like("PROMO%"), F.lit("promo"))
+        .otherwise(F.lit("ctrl"))
+        .alias("grp"),
+        F.when(
+            F.col("l_shipdate") >= F.lit(_DID_CUTOFF).cast("timestamp_ntz"),
+            F.lit("post"),
+        )
+        .otherwise(F.lit("pre"))
+        .alias("period"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    )
+    cells = lines.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("y"), 4).alias("m"),
+        F.var_samp("y").alias("v"),
+    )
+    wide = cells.agg(
+        F.max(
+            F.when((F.col("grp") == "promo") & (F.col("period") == "pre"),
+                   F.col("m"))
+        ).alias("m_pp"),
+        F.max(
+            F.when((F.col("grp") == "promo") & (F.col("period") == "post"),
+                   F.col("m"))
+        ).alias("m_pq"),
+        F.max(
+            F.when((F.col("grp") == "ctrl") & (F.col("period") == "pre"),
+                   F.col("m"))
+        ).alias("m_cp"),
+        F.max(
+            F.when((F.col("grp") == "ctrl") & (F.col("period") == "post"),
+                   F.col("m"))
+        ).alias("m_cq"),
+        F.sum(F.col("v") / F.col("n")).alias("var_did"),
+    )
+    did = F.round(
+        (F.col("m_pq") - F.col("m_pp")) - (F.col("m_cq") - F.col("m_cp")), 4
+    )
+    se = F.round(F.sqrt(F.col("var_did")), 4)
+    return wide.select(
+        F.col("m_pp").alias("mean_promo_pre"),
+        F.col("m_pq").alias("mean_promo_post"),
+        F.col("m_cp").alias("mean_ctrl_pre"),
+        F.col("m_cq").alias("mean_ctrl_post"),
+        did.alias("did_estimate"),
+        se.alias("se"),
+        F.round(did / se, 4).alias("t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration per nation.
+# --------------------------------------------------------------------------
+@query(
+    "supplier_hhi_by_nation",
+    oracle="""
+    WITH sup_rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount))
+                        * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey),
+    nat AS (
+      SELECT s_nationkey, SUM(cents) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             MAX(cents) AS top_cents
+      FROM sup_rev GROUP BY s_nationkey)
+    SELECT n.s_nationkey AS nationkey, n.n_suppliers,
+           ROUND(SUM((r.cents * 1.0 / n.tot) * (r.cents * 1.0 / n.tot)),
+                 6) AS hhi,
+           ROUND(n.top_cents * 1.0 / n.tot, 6) AS top_share
+    FROM sup_rev r JOIN nat n ON n.s_nationkey = r.s_nationkey
+    GROUP BY n.s_nationkey, n.n_suppliers, n.top_cents, n.tot
+    ORDER BY nationkey
+    """,
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: HHI = sum of squared revenue shares (1/n = perfectly
+    even, 1.0 = monopoly), with supplier count and the largest single
+    share — the market-structure metric regulators and marketplace
+    health dashboards both use.
+
+    Scale: one lineitem-side shuffle on (nation, supplier) with the
+    supplier dimension broadcast, then a nation-keyed rollup over the
+    ~supplier-count frame. Revenues convert to exact integer CENTS
+    before shares, so numerator/denominator are identical BIGINTs in
+    both engines and every share is the same double; only the final
+    HHI sum needs its ROUND."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    sup_rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    nat = sup_rev.groupBy("s_nationkey").agg(
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.max("cents").alias("top_cents"),
+    )
+    share = F.col("cents") * 1.0 / F.col("tot")
+    return (
+        sup_rev.join(F.broadcast(nat), "s_nationkey")
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            "n_suppliers",
+            "top_cents",
+            "tot",
+        )
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+        .select(
+            "nationkey",
+            "n_suppliers",
+            "hhi",
+            F.round(F.col("top_cents") * 1.0 / F.col("tot"), 6).alias(
+                "top_share"
+            ),
+        )
+        .orderBy("nationkey")
+    )

@@ -3516,3 +3516,79 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cont, 6).alias("containment"),
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility per language (training-budget planning).
+# --------------------------------------------------------------------------
+@query(
+    "doc_tokenizer_fertility",
+    oracle=f"""
+    WITH pt AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')
+               AS toks
+      FROM documents),
+    per_doc AS (
+      SELECT lang,
+             len(words) AS n_words,
+             list_sum([(length(t) + 3) // 4 for t in toks]) AS n_sub,
+             list_sum([length(t) for t in toks]) AS n_chars
+      FROM pt)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           ROUND(SUM(n_sub) * 1.0 / SUM(n_words), 6) AS fertility,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_sub), 6) AS chars_per_subword
+    FROM per_doc GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: estimated subwords per
+    whitespace word (and chars per subword) using the GPT-2-style
+    pre-tokenizer + ceil(len/4) subword estimate of
+    doc_bpe_token_estimate — the budgeting number that decides how
+    many TOKENS a language's share of the corpus actually costs
+    (high-fertility languages eat budget faster than their text size
+    suggests).
+
+    Scale: both tokenizations are row-local codegen expressions
+    (regexp_extract_all + HOF folds); the only shuffle is the final
+    5-row language rollup, pre-aggregated map-side. Integer
+    counts make every ratio exact-input; one ROUND at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_SPLIT), 0)
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    sub = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+    )
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(words).cast("long").alias("n_words"),
+        sub.alias("n_sub"),
+        chars.alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("n_sub") * 1.0 / F.sum("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars") * 1.0 / F.sum("n_sub"), 6
+            ).alias("chars_per_subword"),
+        )
+        .orderBy("lang")
+    )
