@@ -178,6 +178,8 @@ HEADLINE = [
     "doc_tokenizer_fertility",
     "promo_did_analysis",
     "supplier_hhi_by_nation",
+    "customer_interorder_hazard",
+    "revenue_periodogram",
 ]
 
 

@@ -4072,3 +4072,200 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Discrete inter-order hazard / survival curve by week gap.
+# --------------------------------------------------------------------------
+@query(
+    "customer_interorder_hazard",
+    oracle="""
+    WITH gaps AS (
+      SELECT CAST(date_diff('day', lag(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey), o_orderdate) // 7
+             AS INTEGER) AS wk
+      FROM orders
+      QUALIFY lag(o_orderdate) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) IS NOT NULL),
+    wk_counts AS (
+      SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_eq FROM gaps GROUP BY wk),
+    at_risk AS (
+      SELECT a.wk, a.n_eq,
+             CAST(SUM(b.n_eq) AS BIGINT) AS n_at_risk
+      FROM wk_counts a JOIN wk_counts b ON b.wk >= a.wk
+      GROUP BY a.wk, a.n_eq),
+    tot AS (SELECT SUM(n_eq) AS n FROM wk_counts)
+    SELECT r.wk AS week_gap, r.n_eq AS n_reordered, r.n_at_risk,
+           ROUND(r.n_eq * 1.0 / r.n_at_risk, 6) AS hazard,
+           ROUND((r.n_at_risk - r.n_eq) * 1.0 / t.n, 6) AS survival_after
+    FROM at_risk r CROSS JOIN tot t
+    ORDER BY week_gap
+    """,
+)
+def customer_interorder_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time reorder hazard: bucket every customer's
+    consecutive-order gap into weeks, then h(w) = reorders at week w
+    / reorders taking >= w weeks (the at-risk set), plus the
+    empirical survival S(w) = fraction still un-reordered after w —
+    the lifecycle curve behind every churn-intervention trigger
+    ("hazard collapses after week 6 → intervene at week 5").
+
+    Scale: one per-customer lag window (customer-partitioned) and a
+    week-grain rollup; the at-risk suffix sums come from a banded
+    self-join over the ~week-count frame (calendar-bounded, never
+    data-bounded) instead of an ordered cumulative window — no
+    unpartitioned window at any size. All ratios divide exact
+    BIGINTs."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_d"),
+        )
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.col("prev_d").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("wk")
+        )
+    )
+    wk_counts = (
+        gaps.groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eq"))
+        .localCheckpoint(eager=True)
+    )
+    b = wk_counts.select(
+        F.col("wk").alias("bwk"), F.col("n_eq").alias("bn")
+    )
+    at_risk = (
+        wk_counts.join(F.broadcast(b), F.col("bwk") >= F.col("wk"))
+        .groupBy("wk", "n_eq")
+        .agg(F.sum("bn").cast("long").alias("n_at_risk"))
+    )
+    tot = wk_counts.agg(F.sum("n_eq").alias("n"))
+    return (
+        at_risk.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("wk").alias("week_gap"),
+            F.col("n_eq").alias("n_reordered"),
+            "n_at_risk",
+            F.round(F.col("n_eq") * 1.0 / F.col("n_at_risk"), 6).alias(
+                "hazard"
+            ),
+            F.round(
+                (F.col("n_at_risk") - F.col("n_eq")) * 1.0 / F.col("n"), 6
+            ).alias("survival_after"),
+        )
+        .orderBy("week_gap")
+    )
+
+
+# --------------------------------------------------------------------------
+# Periodogram of daily revenue: dominant cycle detection via DFT power.
+# --------------------------------------------------------------------------
+_PERIODOGRAM_MAX_K = 40
+
+
+@query(
+    "revenue_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             ROUND(SUM(o_totalprice), 2) AS x
+      FROM orders GROUP BY day),
+    span AS (
+      SELECT MIN(day) AS d0, CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    dm AS (SELECT AVG(x) AS mu FROM daily),
+    idx AS (
+      SELECT CAST(date_diff('day', s.d0, d.day) AS DOUBLE) AS t,
+             d.x - dm.mu AS xc, s.n
+      FROM daily d CROSS JOIN span s CROSS JOIN dm),
+    ks AS (SELECT unnest(generate_series(1, {_PERIODOGRAM_MAX_K})) AS k),
+    comp AS (
+      SELECT ks.k, ANY_VALUE(idx.n) AS n,
+             SUM(idx.xc * cos(2 * pi() * ks.k * idx.t / idx.n)) AS re,
+             SUM(idx.xc * sin(2 * pi() * ks.k * idx.t / idx.n)) AS im,
+             SUM(idx.xc * idx.xc) AS ss
+      FROM idx CROSS JOIN ks GROUP BY ks.k)
+    SELECT k AS frequency,
+           ROUND(n * 1.0 / k, 2) AS period_days,
+           ROUND((re * re + im * im) / (n * ss), 6) AS norm_power
+    FROM comp
+    ORDER BY ROUND((re * re + im * im) / (n * ss), 6) DESC, k
+    LIMIT 10
+    """,
+)
+def revenue_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral cycle detection: the normalized DFT periodogram of
+    the demeaned daily revenue series at frequencies k = 1..40
+    (period = n/k days), reporting the 10 dominant periods — the
+    principled "is there a weekly / monthly / quarterly cycle"
+    answer that eyeballing a seasonality chart approximates.
+
+    Scale: the series is day-grain (calendar-bounded), so the
+    day x frequency expansion is a constant ~96k-row broadcast
+    product at ANY corpus size; the only data-sized shuffle is the
+    daily rollup. Power normalizes by n * sum-of-squares (scale-free
+    in [0, 1]); daily sums are cents-rounded first, and ordering uses
+    the ROUNDED power with k as tie-break, so the top-10 set is
+    engine-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    span = daily.agg(
+        F.min("day").alias("d0"), F.count(F.lit(1)).alias("n")
+    )
+    dm = daily.agg(F.avg("x").alias("mu"))
+    idx = (
+        daily.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(dm))
+        .select(
+            F.datediff(F.col("day").cast("date"), F.col("d0").cast("date"))
+            .cast("double")
+            .alias("t"),
+            (F.col("x") - F.col("mu")).alias("xc"),
+            "n",
+        )
+    )
+    ks = spark.range(1, _PERIODOGRAM_MAX_K + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    two_pi = 2 * 3.141592653589793
+    arg = F.lit(two_pi) * F.col("k") * F.col("t") / F.col("n")
+    comp = (
+        idx.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.any_value(F.col("n")).alias("n"),
+            F.sum(F.col("xc") * F.cos(arg)).alias("re"),
+            F.sum(F.col("xc") * F.sin(arg)).alias("im"),
+            F.sum(F.col("xc") * F.col("xc")).alias("ss"),
+        )
+    )
+    norm_power = F.round(
+        (F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+        / (F.col("n") * F.col("ss")),
+        6,
+    )
+    return (
+        comp.select(
+            F.col("k").alias("frequency"),
+            F.round(F.col("n") * 1.0 / F.col("k"), 2).alias("period_days"),
+            norm_power.alias("norm_power"),
+        )
+        .orderBy(F.desc("norm_power"), "frequency")
+        .limit(10)
+    )
