@@ -4176,11 +4176,16 @@ def conversion_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("delay_h", F.lit(0.75)).alias("t75"),
     )
     ln = F.log
-    shape_k = ln(ln(F.lit(4.0)) / ln(F.lit(4.0) / 3.0)) / ln(
-        F.col("t75") / F.col("t25")
+    shape_k = F.try_divide(
+        ln(ln(F.lit(4.0)) / ln(F.lit(4.0) / 3.0)),
+        ln(F.try_divide(F.col("t75"), F.col("t25"))),
     )
-    lam = F.col("t25") / F.pow(
-        ln(F.lit(4.0) / 3.0), 1.0 / F.col("shape_k_raw")
+    lam = F.try_divide(
+        F.col("t25"),
+        F.pow(
+            ln(F.lit(4.0) / 3.0),
+            F.try_divide(F.lit(1.0), F.col("shape_k_raw")),
+        ),
     )
     return (
         q.withColumn("shape_k_raw", shape_k)
@@ -4191,7 +4196,12 @@ def conversion_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("shape_k_raw", 6).alias("shape_k"),
             F.round(lam, 4).alias("scale_lambda_hours"),
             F.round(
-                lam * F.pow(ln(F.lit(2.0)), 1.0 / F.col("shape_k_raw")), 4
+                lam
+                * F.pow(
+                    ln(F.lit(2.0)),
+                    F.try_divide(F.lit(1.0), F.col("shape_k_raw")),
+                ),
+                4,
             ).alias("median_hours"),
         )
     )
@@ -4450,7 +4460,9 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("removed").alias("channel"),
             F.round("p_base", 6).alias("p_conversion_base"),
             F.round("p_start", 6).alias("p_conversion_removed"),
-            (1 - F.col("p_start") / F.col("p_base")).alias("eff"),
+            (1 - F.try_divide(F.col("p_start"), F.col("p_base"))).alias(
+                "eff"
+            ),
         )
     )
     tot = re.agg(F.sum("eff").alias("te"))
@@ -4461,7 +4473,7 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_conversion_base",
             "p_conversion_removed",
             F.round("eff", 6).alias("removal_effect"),
-            F.round(F.col("eff") / F.col("te"), 6).alias(
+            F.round(F.try_divide(F.col("eff"), F.col("te")), 6).alias(
                 "attribution_share"
             ),
         )

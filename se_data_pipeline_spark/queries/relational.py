@@ -3651,14 +3651,12 @@ def revenue_gini_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rowsum").alias("d"),
     )
     jk = rs.crossJoin(F.broadcast(tot)).select(
-        (
-            (F.col("d") - 2 * F.col("rowsum"))
-            / (
-                2.0
-                * (F.col("n") - 1)
-                * (F.col("n") - 1)
-                * ((F.col("s") - F.col("x")) / (F.col("n") - 1))
-            )
+        F.try_divide(
+            F.col("d") - 2 * F.col("rowsum"),
+            2.0
+            * (F.col("n") - 1)
+            * (F.col("n") - 1)
+            * F.try_divide(F.col("s") - F.col("x"), F.col("n") - 1),
         ).alias("theta")
     )
     jm = jk.agg(F.avg("theta").alias("theta_bar"))
@@ -3678,7 +3676,7 @@ def revenue_gini_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("se_jack")
     )
-    gini = F.col("d") / (2.0 * F.col("n") * F.col("s"))
+    gini = F.try_divide(F.col("d"), 2.0 * F.col("n") * F.col("s"))
     return tot.crossJoin(F.broadcast(se)).select(
         F.col("n").alias("n_days"),
         F.round(gini, 6).alias("gini"),
@@ -3874,9 +3872,9 @@ def recency_weighted_customer_value(
             "n_orders",
             "raw_value",
             "decayed_value",
-            F.round(F.col("decayed_value") / F.col("raw_value"), 6).alias(
-                "retention_ratio"
-            ),
+            F.round(
+                F.try_divide(F.col("decayed_value"), F.col("raw_value")), 6
+            ).alias("retention_ratio"),
         )
         .orderBy(F.desc("decayed_value"), "custkey")
         .limit(100)
@@ -3987,7 +3985,7 @@ def promo_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_cq").alias("mean_ctrl_post"),
         did.alias("did_estimate"),
         se.alias("se"),
-        F.round(did / se, 4).alias("t_stat"),
+        F.round(F.try_divide(did, se), 4).alias("t_stat"),
     )
 
 
@@ -4052,7 +4050,7 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
         F.max("cents").alias("top_cents"),
     )
-    share = F.col("cents") * 1.0 / F.col("tot")
+    share = F.try_divide(F.col("cents") * 1.0, F.col("tot"))
     return (
         sup_rev.join(F.broadcast(nat), "s_nationkey")
         .groupBy(
@@ -4066,9 +4064,9 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nationkey",
             "n_suppliers",
             "hhi",
-            F.round(F.col("top_cents") * 1.0 / F.col("tot"), 6).alias(
-                "top_share"
-            ),
+            F.round(
+                F.try_divide(F.col("top_cents") * 1.0, F.col("tot")), 6
+            ).alias("top_share"),
         )
         .orderBy("nationkey")
     )
@@ -4256,8 +4254,10 @@ def revenue_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     norm_power = F.round(
-        (F.col("re") * F.col("re") + F.col("im") * F.col("im"))
-        / (F.col("n") * F.col("ss")),
+        F.try_divide(
+            F.col("re") * F.col("re") + F.col("im") * F.col("im"),
+            F.col("n") * F.col("ss"),
+        ),
         6,
     )
     return (
@@ -4268,4 +4268,189 @@ def revenue_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("norm_power"), "frequency")
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Directed association rules with confidence and lift.
+# --------------------------------------------------------------------------
+@query(
+    "basket_rules_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    part_n AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+      FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey <> b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING COUNT(*) >= 2)
+    SELECT p.part_a AS antecedent, p.part_b AS consequent, p.n_ab,
+           ROUND(p.n_ab * 1.0 / na.n_part, 6) AS confidence,
+           ROUND(p.n_ab * 1.0 * t.n / (na.n_part * nb.n_part), 6) AS lift
+    FROM pairs p
+    JOIN part_n na ON na.l_partkey = p.part_a
+    JOIN part_n nb ON nb.l_partkey = p.part_b
+    CROSS JOIN n_orders t
+    ORDER BY ROUND(p.n_ab * 1.0 * t.n / (na.n_part * nb.n_part), 6) DESC,
+             antecedent, consequent
+    LIMIT 20
+    """,
+)
+def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules A -> B over order baskets:
+    confidence = P(B | A) and lift = P(A,B) / (P(A) P(B)), support
+    floor 2 co-orders, top-20 by lift — the recommender rule miner
+    one level above part_cooccurrence_pairs' undirected counts.
+
+    Scale: baskets come from ONE collect_set shuffle per order;
+    directed pairs are a row-local HOF fan-out bounded by basket size
+    squared (~49 here), counted map-side-combinable; the per-part
+    marginals attach via two part-keyed joins (vocab-sized), the
+    1-row order total broadcasts, and top-20 is
+    TakeOrderedAndProject on the ROUNDED lift (integer-count ratios
+    are engine-identical; ties break on the keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    part_n = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_part"))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda a: F.filter(
+                    F.transform(
+                        F.col("parts"),
+                        lambda b: F.struct(
+                            a.alias("part_a"), b.alias("part_b")
+                        ),
+                    ),
+                    lambda s: s["part_a"] != s["part_b"],
+                ),
+            )
+        )
+    ).alias("p")
+    pairs = (
+        baskets.select(pair)
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    lift = F.round(
+        F.col("n_ab") * 1.0 * F.col("n") / (F.col("n_a") * F.col("n_b")), 6
+    )
+    return (
+        pairs.join(
+            part_n.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_part").alias("n_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            part_n.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_part").alias("n_b"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("part_a").alias("antecedent"),
+            F.col("part_b").alias("consequent"),
+            "n_ab",
+            F.round(F.col("n_ab") * 1.0 / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical process control: weekly return-rate p-chart.
+# --------------------------------------------------------------------------
+@query(
+    "return_rate_p_chart",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', l_shipdate) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returns
+      FROM lineitem GROUP BY week),
+    pbar AS (
+      SELECT SUM(n_returns) * 1.0 / SUM(n_lines) AS p FROM weekly)
+    SELECT w.week, w.n_lines, w.n_returns,
+           ROUND(w.n_returns * 1.0 / w.n_lines, 6) AS p_week,
+           ROUND(b.p + 3 * sqrt(b.p * (1 - b.p) / w.n_lines), 6) AS ucl,
+           ROUND(GREATEST(b.p - 3 * sqrt(b.p * (1 - b.p) / w.n_lines),
+                          0.0), 6) AS lcl,
+           (w.n_returns * 1.0 / w.n_lines
+              > b.p + 3 * sqrt(b.p * (1 - b.p) / w.n_lines))
+           OR (w.n_returns * 1.0 / w.n_lines
+              < b.p - 3 * sqrt(b.p * (1 - b.p) / w.n_lines))
+             AS out_of_control
+    FROM weekly w CROSS JOIN pbar b
+    ORDER BY week
+    """,
+)
+def return_rate_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart on the weekly return rate: centerline p-bar
+    from the whole series, per-week 3-sigma binomial control limits
+    p-bar +/- 3*sqrt(p-bar(1-p-bar)/n_week), and the out-of-control
+    flag — the SPC complement to the CUSUM changepoint query (CUSUM
+    finds slow drifts; the p-chart flags single exceptional weeks).
+
+    Scale: one week-grain conditional aggregate + a 1-row broadcast
+    centerline; limits are row-local arithmetic. Every input to every
+    comparison is a ratio of exact BIGINTs (identical doubles in both
+    engines), so the boolean flag can't straddle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        F.date_trunc("week", "l_shipdate").alias("week")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_returns"),
+    )
+    pbar = weekly.agg(
+        (F.sum("n_returns") * 1.0 / F.sum("n_lines")).alias("p")
+    )
+    sig = F.sqrt(F.col("p") * (1 - F.col("p")) / F.col("n_lines"))
+    pw = F.col("n_returns") * 1.0 / F.col("n_lines")
+    return (
+        weekly.crossJoin(F.broadcast(pbar))
+        .select(
+            "week",
+            "n_lines",
+            "n_returns",
+            F.round(pw, 6).alias("p_week"),
+            F.round(F.col("p") + 3 * sig, 6).alias("ucl"),
+            F.round(F.greatest(F.col("p") - 3 * sig, F.lit(0.0)), 6).alias(
+                "lcl"
+            ),
+            (
+                (pw > F.col("p") + 3 * sig) | (pw < F.col("p") - 3 * sig)
+            ).alias("out_of_control"),
+        )
+        .orderBy("week")
     )

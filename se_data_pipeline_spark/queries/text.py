@@ -3592,3 +3592,73 @@ def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Policy-lexicon tagger (denylist hit-rate flagging).
+# --------------------------------------------------------------------------
+_POLICY_LEXICON = ["slow", "dup", "error"]
+_POLICY_PER_MILLE = 25  # flag docs above 25 hits per 1000 tokens
+
+
+@query(
+    "doc_policy_lexicon_tags",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks,
+               x -> list_contains(['slow', 'dup', 'error'], x)))
+               AS BIGINT) AS n_hits
+      FROM t)
+    SELECT doc_id, n_tokens, n_hits,
+           ROUND(n_hits * 1000.0 / n_tokens, 4) AS hits_per_1k,
+           n_hits * 1000 > {_POLICY_PER_MILLE} * n_tokens AS flagged
+    FROM h WHERE n_tokens > 0
+    ORDER BY doc_id
+    """,
+)
+def doc_policy_lexicon_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based policy tagger: per-document hit rate against a
+    configurable denylist (placeholder terms here; swap in a real
+    toxicity/PII/spam lexicon), flagging docs above 25 hits per 1000
+    tokens — the Dolma/C4-style tagger stage that annotates rather
+    than drops, so downstream mixes can choose their own strictness.
+
+    Scale: pure row-local HOF filtering against a broadcast-constant
+    array — zero shuffles, pipelines with the scan. The flag
+    comparison is INTEGER cross-multiplication (hits*1000 vs
+    25*tokens), so no float boundary exists to straddle."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = F.array(*[F.lit(x) for x in _POLICY_LEXICON])
+    toks = F.filter(
+        F.split(F.col("text"), " "), lambda x: x != F.lit("")
+    )
+    h = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(lex, x))
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return (
+        h.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_hits",
+            F.round(
+                F.col("n_hits") * 1000.0 / F.col("n_tokens"), 4
+            ).alias("hits_per_1k"),
+            (
+                F.col("n_hits") * 1000
+                > F.lit(_POLICY_PER_MILLE) * F.col("n_tokens")
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1434,7 +1434,7 @@ def embedding_matryoshka_fidelity(
     before deltas/argmax (both engines then compare identical
     doubles); argmax ties break toward the smaller label via a 1e-9
     key nudge, far below the rounding quantum."""
-    from se_data_pipeline_spark.functions.vectors import cosine
+    from se_data_pipeline_spark.functions.vectors import dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     flat = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
@@ -1465,9 +1465,15 @@ def embedding_matryoshka_fidelity(
             "clabel",
             "d",
             F.round(
-                cosine(
-                    F.slice(F.col("embedding"), 1, F.col("d")),
-                    F.slice(F.col("cvec"), 1, F.col("d")),
+                # try_divide: a zero-norm (degenerate) vector yields a
+                # NULL cosine instead of an ANSI divide-by-zero crash
+                F.try_divide(
+                    dot(
+                        F.slice(F.col("embedding"), 1, F.col("d")),
+                        F.slice(F.col("cvec"), 1, F.col("d")),
+                    ),
+                    norm(F.slice(F.col("embedding"), 1, F.col("d")))
+                    * norm(F.slice(F.col("cvec"), 1, F.col("d"))),
                 ),
                 6,
             ).alias("cos"),
