@@ -378,3 +378,46 @@ def token_hash_dims_udf(n_dims: int):
         return pd.Series([one(t) for t in texts])
 
     return _dims
+
+
+def winnow_fingerprints_udf(k: int = 4, w: int = 5):
+    """Winnowing fingerprints in one Arrow pass: SEQUENTIAL k-token
+    k-grams (order and duplicates preserved — word_shingles_udf's
+    distinct-set output would change which hash each window minimizes
+    over), each hashed to the first 48 bits of md5 (portable: any
+    engine hashing the same string gets the same integer), then the
+    minimum per sliding w-window, deduplicated. Doing hash+windows in
+    the same kernel also keeps Catalyst from inlining the hash
+    transform into every window slice (no CSE inside HOF lambdas)."""
+    import hashlib
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    def one(text) -> list[int]:
+        if not text:
+            return []
+        toks = [t for t in text.split(" ") if t != ""]
+        if len(toks) < k:
+            return []
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + k]).encode()
+                ).hexdigest()[:12],
+                16,
+            )
+            for i in range(len(toks) - k + 1)
+        ]
+        if len(hs) < w:
+            return [min(hs)]
+        seen: dict[int, None] = {}
+        for j in range(len(hs) - w + 1):
+            seen.setdefault(min(hs[j : j + w]), None)
+        return list(seen)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        return pd.Series([one(t) for t in texts])
+
+    return _fp

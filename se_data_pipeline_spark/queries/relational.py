@@ -4454,3 +4454,82 @@ def return_rate_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# Log-log price elasticity of demand per brand (grouped OLS slope).
+# --------------------------------------------------------------------------
+@query(
+    "brand_price_elasticity",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand AS brand,
+             ln(l.l_extendedprice / l.l_quantity) AS lx,
+             ln(l.l_quantity) AS ly
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+    m AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(lx) AS mx, AVG(ly) AS my,
+             AVG(lx * ly) AS mxy, AVG(lx * lx) AS mxx
+      FROM pts GROUP BY brand)
+    SELECT brand, n,
+           ROUND((mxy - mx * my) / (mxx - mx * mx), 6) AS elasticity,
+           ROUND(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6)
+             AS intercept
+    FROM m
+    WHERE n >= 30 AND (mxx - mx * mx) > 1e-12
+    ORDER BY brand
+    """,
+)
+def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand: the OLS slope of
+    ln(quantity) on ln(unit price) — elasticity < -1 means demand is
+    elastic (revenue falls when price rises), the per-brand pricing
+    signal. Closed-form moments (E[xy]-E[x]E[y])/(E[x^2]-E[x]^2), no
+    iterative fit.
+
+    Scale: one broadcast part join + ONE brand-keyed moment
+    aggregate (all five moments ride the same map-side-combinable
+    pass); the slope algebra runs on the ~brand-count frame. Groups
+    need n >= 30 and non-degenerate price variance (the same guard
+    in both engines, on identically-computed doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pts = (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "lx"
+            ),
+            F.log("l_quantity").alias("ly"),
+        )
+    )
+    m = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("lx").alias("mx"),
+        F.avg("ly").alias("my"),
+        F.avg(F.col("lx") * F.col("ly")).alias("mxy"),
+        F.avg(F.col("lx") * F.col("lx")).alias("mxx"),
+    )
+    var_x = F.col("mxx") - F.col("mx") * F.col("mx")
+    slope = F.try_divide(
+        F.col("mxy") - F.col("mx") * F.col("my"), var_x
+    )
+    return (
+        m.filter((F.col("n") >= 30) & (var_x > 1e-12))
+        .select(
+            "brand",
+            "n",
+            F.round(slope, 6).alias("elasticity"),
+            F.round(F.col("my") - slope * F.col("mx"), 6).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("brand")
+    )
