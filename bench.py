@@ -180,6 +180,14 @@ HEADLINE = [
     "supplier_hhi_by_nation",
     "customer_interorder_hazard",
     "revenue_periodogram",
+    "basket_rules_lift",
+    "return_rate_p_chart",
+    "doc_policy_lexicon_tags",
+    "brand_price_elasticity",
+    "winnowing_fingerprint_pairs",
+    "doc_curriculum_phases",
+    "token_budget_projection",
+    "user_bot_scores",
 ]
 
 

@@ -802,3 +802,158 @@ def training_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering: difficulty-ranked training phases per language.
+# --------------------------------------------------------------------------
+_CURRICULUM_PHASES = 4
+
+
+@query(
+    "doc_curriculum_phases",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_tokens, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM scored)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(LEAST(CAST(ceil(rk * {_CURRICULUM_PHASES}.0 / cnt)
+                           AS INTEGER),
+                      {_CURRICULUM_PHASES}) AS INTEGER) AS phase
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: rank documents within
+    each language by a difficulty proxy (token count — swap in
+    perplexity or quality score for a real run) and cut into 4
+    equal-count phases, easiest first — the deterministic ordering a
+    curriculum training loop consumes shard by shard.
+
+    Scale: difficulty is row-local; the only shuffle is the per-lang
+    rank window (language-partitioned — never global). Phase = the
+    ceil of the rank fraction, integer arithmetic end to end; the
+    (n_tokens, doc_id) tie-break makes ranks engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    cw = W.partitionBy("lang")
+    ranked = scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
+    phase = F.least(
+        F.ceil(F.col("rk") * float(_CURRICULUM_PHASES) / F.col("cnt")).cast(
+            "int"
+        ),
+        F.lit(_CURRICULUM_PHASES),
+    )
+    return ranked.select(
+        "doc_id", "lang", "n_tokens", phase.cast("int").alias("phase")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Token-budget projection: temperature mix x tokenizer cost per source.
+# --------------------------------------------------------------------------
+@query(
+    "token_budget_projection",
+    oracle=f"""
+    WITH pt AS (
+      SELECT source,
+             list_sum([(length(t) + 3) // 4 for t in
+               regexp_extract_all(text,
+                 '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')])
+               AS n_sub
+      FROM documents),
+    per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_sub) AS BIGINT) AS n_tokens
+      FROM pt GROUP BY source),
+    tot AS (
+      SELECT SUM(pow(CAST(n_docs AS DOUBLE), 0.7)) AS z,
+             CAST(SUM(n_tokens) AS DOUBLE) AS all_tokens
+      FROM per_src)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           ROUND(pow(CAST(p.n_docs AS DOUBLE), 0.7) / t.z, 6) AS mix_weight,
+           CAST(ROUND(pow(CAST(p.n_docs AS DOUBLE), 0.7) / t.z
+                      * t.all_tokens) AS BIGINT) AS budget_tokens,
+           ROUND((pow(CAST(p.n_docs AS DOUBLE), 0.7) / t.z * t.all_tokens)
+                 / p.n_tokens, 4) AS epochs_implied
+    FROM per_src p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def token_budget_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone mix-planning report: per source, its actual token
+    cost (BPE-ish estimate), the temperature-0.7 mixture weight, the
+    projected token budget at the corpus's own total, and the implied
+    epoch count (budget / available tokens — >1 means that source
+    repeats, the over-sampling signal reviewers check before a
+    training run).
+
+    Scale: tokenization is row-local codegen; ONE source rollup
+    shuffle; the normalizer/total is a 1-row broadcast. Token counts
+    are exact BIGINTs, the p^0.7 algebra matches
+    training_mix_temperature's association order."""
+    docs = load_table(spark, sf_dir, "documents")
+    from se_data_pipeline_spark.queries.text import _BPE_SPLIT
+
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_SPLIT), 0)
+    n_sub = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.floor((F.length(t) + 3) / 4).cast("long"),
+    )
+    per_src = (
+        docs.select("source", n_sub.alias("n_sub"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sub").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), 0.7)).alias("z"),
+        F.sum("n_tokens").cast("double").alias("all_tokens"),
+    )
+    wgt = F.pow(F.col("n_docs").cast("double"), 0.7) / F.col("z")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(wgt, 6).alias("mix_weight"),
+            F.round(wgt * F.col("all_tokens"))
+            .cast("long")
+            .alias("budget_tokens"),
+            F.round(
+                F.try_divide(wgt * F.col("all_tokens"), F.col("n_tokens")),
+                4,
+            ).alias("epochs_implied"),
+        )
+        .orderBy("source")
+    )

@@ -4479,3 +4479,135 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral bot-likelihood scoring.
+# --------------------------------------------------------------------------
+_BOT_MIN_GAPS = 5
+_BOT_TOP_N = 200
+
+
+@query(
+    "user_bot_scores",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    gaps AS (
+      SELECT user_id,
+             CAST(floor(log2(
+               ((epoch_us(ts) - epoch_us(prev_ts)) // 1000000) + 1))
+               AS INTEGER) AS b
+      FROM seq WHERE prev_ts IS NOT NULL),
+    gb AS (
+      SELECT user_id, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM gaps GROUP BY user_id, b),
+    gt AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_gaps
+      FROM gb GROUP BY user_id),
+    ent2 AS (
+      SELECT gb.user_id, ANY_VALUE(gt.n_gaps) AS n_gaps,
+             -SUM((gb.c * 1.0 / gt.n_gaps)
+                  * ln(gb.c * 1.0 / gt.n_gaps)) AS h
+      FROM gb JOIN gt ON gt.user_id = gb.user_id
+      GROUP BY gb.user_id),
+    stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT)
+               AS n_minutes,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT s.user_id, s.n_events, e.n_gaps,
+             ROUND(s.n_events * 1.0 / s.n_minutes, 4) AS events_per_minute,
+             ROUND(e.h, 6) AS gap_entropy,
+             ROUND(s.n_types / 5.0, 4) AS type_diversity,
+             ROUND(0.5 * LEAST(s.n_events * 1.0 / s.n_minutes / 10, 1.0)
+                   + 0.3 * (1 - e.h / ln(16.0))
+                   + 0.2 * (1 - s.n_types / 5.0), 6) AS bot_score
+      FROM stats s JOIN ent2 e ON e.user_id = s.user_id
+      WHERE e.n_gaps >= {_BOT_MIN_GAPS})
+    SELECT user_id, n_events, n_gaps, events_per_minute, gap_entropy,
+           type_diversity, bot_score
+    FROM scored
+    ORDER BY bot_score DESC, user_id
+    LIMIT {_BOT_TOP_N}
+    """,
+)
+def user_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot-likelihood ranking: burst rate (events per
+    active minute, saturating at 10), inter-event-gap ENTROPY over
+    log2 buckets (real humans are irregular — low entropy means
+    metronomic automation), and event-type diversity, combined
+    0.5/0.3/0.2 into a score; top-200 most bot-like users with >= 5
+    gaps. The abuse-filtering stage of a data pipeline — bot traffic
+    poisons both analytics and training corpora.
+
+    Scale: two user-keyed shuffles (the lag window + the stats
+    rollup share the same key, so AQE co-partitions them into one
+    exchange each) and a (user, bucket) sub-aggregate for the
+    entropy; top-200 is TakeOrderedAndProject on the ROUNDED score
+    (ties break on user_id). Entropy inputs are exact integer-count
+    ratios, identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    whole_secs = F.floor(
+        (_ts_micros(F.col("ts")) - _ts_micros(F.col("prev_ts")))
+        / F.lit(1_000_000.0)
+    )
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            F.floor(F.log2(whole_secs + 1)).cast("int").alias("b"),
+        )
+    )
+    gb = gaps.groupBy("user_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    gt = gb.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_gaps")
+    )
+    p = F.col("c") * 1.0 / F.col("n_gaps")
+    ent = (
+        gb.join(gt, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value(F.col("n_gaps")).alias("n_gaps"),
+            (-F.sum(p * F.log(p))).alias("h"),
+        )
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.date_trunc("minute", F.col("ts")))
+        .cast("long")
+        .alias("n_minutes"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+    epm = F.col("n_events") * 1.0 / F.col("n_minutes")
+    score = F.round(
+        0.5 * F.least(epm / 10, F.lit(1.0))
+        + 0.3 * (1 - F.col("h") / F.log(F.lit(16.0)))
+        + 0.2 * (1 - F.col("n_types") / 5.0),
+        6,
+    )
+    return (
+        stats.join(ent, "user_id")
+        .filter(F.col("n_gaps") >= _BOT_MIN_GAPS)
+        .select(
+            "user_id",
+            "n_events",
+            "n_gaps",
+            F.round(epm, 4).alias("events_per_minute"),
+            F.round(F.col("h"), 6).alias("gap_entropy"),
+            F.round(F.col("n_types") / 5.0, 4).alias("type_diversity"),
+            score.alias("bot_score"),
+        )
+        .orderBy(F.desc("bot_score"), "user_id")
+        .limit(_BOT_TOP_N)
+    )
