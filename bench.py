@@ -188,6 +188,8 @@ HEADLINE = [
     "doc_curriculum_phases",
     "token_budget_projection",
     "user_bot_scores",
+    "orders_interrupted_time_series",
+    "events_adstock_regression",
 ]
 
 

@@ -4611,3 +4611,121 @@ def user_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bot_score"), "user_id")
         .limit(_BOT_TOP_N)
     )
+
+
+# --------------------------------------------------------------------------
+# Adstock regression: geometric-decay carryover of views -> purchases.
+# --------------------------------------------------------------------------
+_ADSTOCK_LAMBDA = 0.8
+_ADSTOCK_MAX_LAG = 14  # days of carryover worth keeping (0.8^14 ~ 4%)
+
+
+@query(
+    "events_adstock_regression",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS views,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY day),
+    ad AS (
+      SELECT a.day, ANY_VALUE(a.purchases) AS purchases,
+             SUM(b.views * pow({_ADSTOCK_LAMBDA},
+                               date_diff('day', b.day, a.day))) AS adstock
+      FROM daily a
+      JOIN daily b
+        ON date_diff('day', b.day, a.day) BETWEEN 0 AND {_ADSTOCK_MAX_LAG}
+      GROUP BY a.day),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(adstock) AS mx, AVG(purchases) AS my,
+             AVG(adstock * purchases) AS mxy,
+             AVG(adstock * adstock) AS mxx,
+             AVG(purchases * purchases) AS myy
+      FROM ad)
+    SELECT n AS n_days,
+           ROUND((mxy - mx * my) / (mxx - mx * mx), 6) AS beta,
+           ROUND(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6)
+             AS intercept,
+           ROUND(pow(mxy - mx * my, 2)
+                 / ((mxx - mx * mx) * (myy - my * my)), 6) AS r2
+    FROM m
+    """,
+)
+def events_adstock_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adstock (geometric-carryover) media-response model: transform
+    daily views into adstock_t = sum over the last 14 days of
+    views_s * 0.8^(t-s) — the closed-form finite window replaces the
+    textbook recursion, no fold needed — then OLS purchases on
+    adstock, reporting beta, intercept and R^2. The marketing-mix
+    primitive for "how long does exposure keep converting".
+
+    Scale: daily rollup is the only data-sized shuffle; the carryover
+    is a banded DAY x DAY self-join (calendar-bounded, 15 lags per
+    day) and the fit is one moment aggregate. Integer daily counts
+    make the decay terms bit-identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("views"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("purchases"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = daily.select(F.col("day").alias("bday"), F.col("views").alias("bv"))
+    lag = F.datediff(
+        F.col("day").cast("date"), F.col("bday").cast("date")
+    )
+    ad = (
+        daily.join(
+            F.broadcast(b), (lag >= 0) & (lag <= _ADSTOCK_MAX_LAG)
+        )
+        .groupBy("day")
+        .agg(
+            F.any_value(F.col("purchases")).alias("purchases"),
+            F.sum(
+                F.col("bv")
+                * F.pow(
+                    F.lit(_ADSTOCK_LAMBDA),
+                    F.datediff(
+                        F.col("day").cast("date"),
+                        F.col("bday").cast("date"),
+                    ),
+                )
+            ).alias("adstock"),
+        )
+    )
+    m = ad.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("adstock").alias("mx"),
+        F.avg("purchases").alias("my"),
+        F.avg(F.col("adstock") * F.col("purchases")).alias("mxy"),
+        F.avg(F.col("adstock") * F.col("adstock")).alias("mxx"),
+        F.avg(F.col("purchases") * F.col("purchases")).alias("myy"),
+    )
+    beta = F.try_divide(
+        F.col("mxy") - F.col("mx") * F.col("my"),
+        F.col("mxx") - F.col("mx") * F.col("mx"),
+    )
+    r2 = F.try_divide(
+        F.pow(F.col("mxy") - F.col("mx") * F.col("my"), F.lit(2.0)),
+        (F.col("mxx") - F.col("mx") * F.col("mx"))
+        * (F.col("myy") - F.col("my") * F.col("my")),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.col("my") - beta * F.col("mx"), 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -4533,3 +4533,103 @@ def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Interrupted time series: pre-period trend projected over the post
+# period (CausalImpact-style counterfactual, closed form).
+# --------------------------------------------------------------------------
+_ITS_CUTOFF = "1997-01-01"
+
+
+@query(
+    "orders_interrupted_time_series",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             ROUND(SUM(o_totalprice), 2) AS x
+      FROM orders GROUP BY day),
+    t0 AS (SELECT MIN(day) AS d0 FROM daily),
+    idx AS (
+      SELECT d.day, d.x,
+             CAST(date_diff('day', t.d0, d.day) AS DOUBLE) AS t,
+             d.day >= TIMESTAMP '{_ITS_CUTOFF}' AS is_post
+      FROM daily d CROSS JOIN t0 t),
+    fit AS (
+      SELECT AVG(t) AS mt, AVG(x) AS mx,
+             AVG(t * x) AS mtx, AVG(t * t) AS mtt
+      FROM idx WHERE NOT is_post),
+    coefs AS (
+      SELECT (mtx - mt * mx) / (mtt - mt * mt) AS slope,
+             mx - (mtx - mt * mx) / (mtt - mt * mt) * mt AS icept
+      FROM fit)
+    SELECT i.day, i.x AS actual,
+           ROUND(c.icept + c.slope * i.t, 2) AS expected,
+           ROUND(i.x - ROUND(c.icept + c.slope * i.t, 2), 2) AS abnormal,
+           ROUND((i.x - ROUND(c.icept + c.slope * i.t, 2))
+                 / ROUND(c.icept + c.slope * i.t, 2), 6) AS abnormal_pct
+    FROM idx i CROSS JOIN coefs c
+    WHERE i.is_post
+    ORDER BY i.day
+    """,
+)
+def orders_interrupted_time_series(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interrupted-time-series counterfactual: fit level+trend OLS on
+    pre-{cut} daily revenue, project it across the post period, and
+    report each post day's abnormal revenue (actual - expected) and
+    its percentage — the closed-form core of a CausalImpact readout
+    for "did the launch move the needle".
+
+    Scale: the series is day-grain (calendar-bounded); the fit is a
+    four-moment aggregate over the pre rows and a 1-row broadcast of
+    (slope, intercept) — the only data-sized work is the daily
+    rollup. Abnormal values difference the ROUNDED expectation so
+    both engines subtract identical doubles.""".format(cut=_ITS_CUTOFF)
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    t0 = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(t0)).select(
+        "day",
+        "x",
+        F.datediff(F.col("day").cast("date"), F.col("d0").cast("date"))
+        .cast("double")
+        .alias("t"),
+        (F.col("day") >= F.lit(_ITS_CUTOFF).cast("timestamp_ntz")).alias(
+            "is_post"
+        ),
+    )
+    fit = idx.filter(~F.col("is_post")).agg(
+        F.avg("t").alias("mt"),
+        F.avg("x").alias("mx"),
+        F.avg(F.col("t") * F.col("x")).alias("mtx"),
+        F.avg(F.col("t") * F.col("t")).alias("mtt"),
+    )
+    slope = F.try_divide(
+        F.col("mtx") - F.col("mt") * F.col("mx"),
+        F.col("mtt") - F.col("mt") * F.col("mt"),
+    )
+    coefs = fit.select(
+        slope.alias("slope"),
+        (F.col("mx") - slope * F.col("mt")).alias("icept"),
+    )
+    expected = F.round(F.col("icept") + F.col("slope") * F.col("t"), 2)
+    return (
+        idx.filter(F.col("is_post"))
+        .crossJoin(F.broadcast(coefs))
+        .select(
+            "day",
+            F.col("x").alias("actual"),
+            expected.alias("expected"),
+            F.round(F.col("x") - expected, 2).alias("abnormal"),
+            F.round(
+                F.try_divide(F.col("x") - expected, expected), 6
+            ).alias("abnormal_pct"),
+        )
+        .orderBy("day")
+    )
