@@ -190,6 +190,8 @@ HEADLINE = [
     "user_bot_scores",
     "orders_interrupted_time_series",
     "events_adstock_regression",
+    "markov_next_event_accuracy",
+    "orders_littles_law_check",
 ]
 
 

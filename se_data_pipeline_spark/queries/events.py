@@ -4729,3 +4729,98 @@ def events_adstock_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("my") - beta * F.col("mx"), 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# In-sample accuracy of the first-order Markov next-event predictor.
+# --------------------------------------------------------------------------
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type AS src, event_type AS dst FROM seq
+      WHERE prev_type IS NOT NULL),
+    cnts AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY src, dst),
+    pred AS (
+      SELECT src, arg_max(dst, c * 100 - length(dst)) AS predicted,
+             CAST(SUM(c) AS BIGINT) AS n_total,
+             MAX(c * 100 - length(dst)) AS _k
+      FROM cnts GROUP BY src),
+    hit AS (
+      SELECT c.src, p.predicted, ANY_VALUE(p.n_total) AS n_total,
+             CAST(SUM(CASE WHEN c.dst = p.predicted THEN c.c ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM cnts c JOIN pred p ON p.src = c.src
+      GROUP BY c.src, p.predicted)
+    SELECT src AS current_event, predicted AS predicted_next,
+           n_total, n_hits,
+           ROUND(n_hits * 1.0 / n_total, 6) AS accuracy
+    FROM hit
+    ORDER BY current_event
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline next-event predictor evaluation: predict each
+    event's successor as the argmax of the first-order transition
+    counts from its type, and report per-type in-sample top-1
+    accuracy — the floor any sequence model must beat, and the
+    sanity number behind the Markov-chain analyses (a near-uniform
+    chain shows accuracy ~ 1/|types| and little to model).
+
+    Scale: one per-user lag window + one (src, dst) count rollup
+    (25 cells); the argmax and accuracy join run on the 5-row
+    transition frame. Argmax ties break toward the shorter (then
+    implicitly earlier) type name via the integer c*100 - len key —
+    both engines pick identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+    )
+    cnts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pred = cnts.groupBy("src").agg(
+        F.max_by(
+            "dst", F.col("c") * 100 - F.length(F.col("dst"))
+        ).alias("predicted"),
+        F.sum("c").cast("long").alias("n_total"),
+    )
+    hit = (
+        cnts.join(F.broadcast(pred), "src")
+        .groupBy("src", "predicted")
+        .agg(
+            F.any_value(F.col("n_total")).alias("n_total"),
+            F.sum(
+                F.when(F.col("dst") == F.col("predicted"), F.col("c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    return hit.select(
+        F.col("src").alias("current_event"),
+        F.col("predicted").alias("predicted_next"),
+        "n_total",
+        "n_hits",
+        F.round(F.col("n_hits") * 1.0 / F.col("n_total"), 6).alias(
+            "accuracy"
+        ),
+    ).orderBy("current_event")

@@ -4633,3 +4633,99 @@ def orders_interrupted_time_series(
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Little's law consistency check on the order pipeline.
+# --------------------------------------------------------------------------
+@query(
+    "orders_littles_law_check",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             MAX(l.l_shipdate) AS done_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    span AS (
+      SELECT MIN(o_orderdate) AS d0, MAX(done_d) AS d1 FROM per_order),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             AVG(CAST(date_diff('day', o_orderdate, done_d) AS DOUBLE))
+               AS w_days,
+             SUM(CAST(date_diff('day', o_orderdate, done_d) AS DOUBLE))
+               AS order_days,
+             ANY_VALUE(CAST(date_diff('day', s.d0, s.d1) + 1 AS DOUBLE))
+               AS horizon
+      FROM per_order CROSS JOIN span s)
+    SELECT n_orders,
+           ROUND(w_days, 4) AS avg_flow_time_days,
+           ROUND(n_orders / horizon, 4) AS arrival_rate_per_day,
+           ROUND(order_days / horizon, 4) AS avg_wip_direct,
+           ROUND((n_orders / horizon) * w_days, 4) AS avg_wip_littles,
+           ROUND(order_days / horizon - (n_orders / horizon) * w_days, 6)
+             AS residual
+    FROM m
+    """,
+)
+def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit of the order pipeline: L = lambda x W —
+    average work-in-progress measured two independent ways, (a)
+    direct time-integral (sum of each order's open days over the
+    horizon) and (b) arrival rate x average flow time. On a complete
+    window the residual is exactly 0 by Little's theorem — a nonzero
+    residual in production means censored/open orders are leaking
+    from the flow-time metric, which is precisely what this audit is
+    for.
+
+    Scale: one order-keyed join/rollup (ship-complete date per
+    order), then a 1-row moment aggregate; the span is a broadcast.
+    Day differences are exact integers cast to double, so both
+    engines aggregate identical values."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(
+            li.select("l_orderkey", "l_shipdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("done_d"))
+        .localCheckpoint(eager=True)
+    )
+    span = per_order.agg(
+        F.min("o_orderdate").alias("d0"), F.max("done_d").alias("d1")
+    )
+    flow = F.datediff(
+        F.col("done_d").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("double")
+    m = (
+        per_order.crossJoin(F.broadcast(span))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.avg(flow).alias("w_days"),
+            F.sum(flow).alias("order_days"),
+            F.any_value(
+                (
+                    F.datediff(
+                        F.col("d1").cast("date"), F.col("d0").cast("date")
+                    )
+                    + 1
+                ).cast("double")
+            ).alias("horizon"),
+        )
+    )
+    lam = F.col("n_orders") / F.col("horizon")
+    return m.select(
+        "n_orders",
+        F.round(F.col("w_days"), 4).alias("avg_flow_time_days"),
+        F.round(lam, 4).alias("arrival_rate_per_day"),
+        F.round(F.col("order_days") / F.col("horizon"), 4).alias(
+            "avg_wip_direct"
+        ),
+        F.round(lam * F.col("w_days"), 4).alias("avg_wip_littles"),
+        F.round(
+            F.col("order_days") / F.col("horizon")
+            - lam * F.col("w_days"),
+            6,
+        ).alias("residual"),
+    )
