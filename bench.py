@@ -192,6 +192,8 @@ HEADLINE = [
     "events_adstock_regression",
     "markov_next_event_accuracy",
     "orders_littles_law_check",
+    "doc_source_semantic_dispersion",
+    "events_dwell_by_transition",
 ]
 
 

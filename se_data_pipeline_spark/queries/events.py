@@ -4824,3 +4824,78 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy"
         ),
     ).orderBy("current_event")
+
+
+# --------------------------------------------------------------------------
+# Dwell time per transition (the time-labeled Markov edge list).
+# --------------------------------------------------------------------------
+@query(
+    "events_dwell_by_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    d AS (
+      SELECT prev_type AS src, event_type AS dst,
+             ((epoch_us(ts) - epoch_us(prev_ts)) // 1000000) AS secs
+      FROM seq WHERE prev_type IS NOT NULL)
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(AVG(CAST(secs AS DOUBLE)), 4) AS mean_dwell_s,
+           ROUND(quantile_cont(CAST(secs AS DOUBLE), 0.5), 4)
+             AS median_dwell_s,
+           ROUND(quantile_cont(CAST(secs AS DOUBLE), 0.9), 4)
+             AS p90_dwell_s
+    FROM d GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+)
+def events_dwell_by_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-labeled Markov edges: mean / median / p90 whole-second
+    dwell time between consecutive events, per (from, to) transition
+    — the timing layer the transition-count matrix lacks (a
+    view->purchase edge that takes 2s is a different product than
+    one that takes 2 days).
+
+    Scale: one per-user lag window + one 25-cell aggregate carrying
+    exact percentiles (swap percentile_approx at 100 TB — the
+    documented trade for bounded-memory sketch aggregation). Dwell
+    values are integer microsecond floor-divisions, identical in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.floor(
+        (_ts_micros(F.col("ts")) - _ts_micros(F.col("prev_ts")))
+        / F.lit(1_000_000.0)
+    ).cast("double")
+    d = (
+        ev.select(
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+            secs.alias("secs"),
+        )
+    )
+    return (
+        d.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.round(F.avg("secs"), 4).alias("mean_dwell_s"),
+            F.round(F.percentile("secs", F.lit(0.5)), 4).alias(
+                "median_dwell_s"
+            ),
+            F.round(F.percentile("secs", F.lit(0.9)), 4).alias(
+                "p90_dwell_s"
+            ),
+        )
+        .orderBy("src", "dst")
+    )

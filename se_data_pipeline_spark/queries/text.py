@@ -3788,3 +3788,126 @@ def winnowing_fingerprint_pairs(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source semantic dispersion over hashed document vectors.
+# --------------------------------------------------------------------------
+@query(
+    "doc_source_semantic_dispersion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             [x for x in string_split(text, ' ') if x <> ''] AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, source, len(toks) AS n,
+             unnest([CAST(list_reduce(
+               list_prepend(0, [ascii(c) for c in string_split(tk, '')]),
+               (acc, c) -> (acc * 31 + c) % 1000003) AS BIGINT)
+               % {_FH_DIMS} for tk in toks]) AS dim
+      FROM t WHERE len(toks) > 0),
+    doc_vec AS (
+      SELECT doc_id, ANY_VALUE(source) AS source, dim,
+             COUNT(*) * 1.0 / ANY_VALUE(n) AS pd
+      FROM h GROUP BY doc_id, dim),
+    src_tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS sn FROM h GROUP BY source),
+    src_vec AS (
+      SELECT h.source, h.dim,
+             COUNT(*) * 1.0 / ANY_VALUE(st.sn) AS ps
+      FROM h JOIN src_tot st ON st.source = h.source
+      GROUP BY h.source, h.dim),
+    joined AS (
+      SELECT d.doc_id, d.source,
+             SUM(ABS(d.pd - s.ps)) AS l1_common,
+             SUM(d.pd) AS pd_common, SUM(s.ps) AS ps_common
+      FROM doc_vec d
+      JOIN src_vec s ON s.source = d.source AND s.dim = d.dim
+      GROUP BY d.doc_id, d.source),
+    per_doc AS (
+      SELECT source,
+             l1_common + (1 - pd_common) + (1 - ps_common) AS l1
+      FROM joined)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(l1), 6) AS mean_l1_to_centroid,
+           ROUND(MIN(l1), 6) AS min_l1,
+           ROUND(MAX(l1), 6) AS max_l1
+    FROM per_doc GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_source_semantic_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Within-source semantic homogeneity: L1 distance between each
+    document's hashed-feature distribution and its source's pooled
+    distribution (the hashing-trick centroid), aggregated per source
+    — low dispersion flags template farms / scraped mirrors whose
+    documents all look alike, high dispersion flags incoherent
+    grab-bag sources; both are curation signals no single-doc score
+    sees. Out-of-support mass is closed-form (distributions sum to
+    1), so the sparse join only touches shared dims.
+
+    Scale: the hashed featurizer is the same one-Arrow-pass kernel
+    as doc_hashed_embeddings; the distance join keys on
+    (source, dim) — dims are a 64-bucket constant, so the source
+    vector side is tiny and broadcastable; one (doc, dim) aggregate
+    and one source rollup are the only data-sized shuffles."""
+    from se_data_pipeline_spark.functions.text import token_hash_dims_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            token_hash_dims_udf(_FH_DIMS)(F.col("text")).alias("ds"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size("ds").alias("n"),
+            F.explode("ds").alias("dim"),
+        )
+    )
+    doc_vec = base.groupBy("doc_id", "dim").agg(
+        F.any_value(F.col("source")).alias("source"),
+        (F.count(F.lit(1)) * 1.0 / F.any_value(F.col("n"))).alias("pd"),
+    )
+    src_tot = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("sn")
+    )
+    src_vec = (
+        base.join(F.broadcast(src_tot), "source")
+        .groupBy("source", "dim")
+        .agg(
+            (F.count(F.lit(1)) * 1.0 / F.any_value(F.col("sn"))).alias(
+                "ps"
+            )
+        )
+    )
+    joined = (
+        doc_vec.join(F.broadcast(src_vec), ["source", "dim"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.abs(F.col("pd") - F.col("ps"))).alias("l1_common"),
+            F.sum("pd").alias("pd_common"),
+            F.sum("ps").alias("ps_common"),
+        )
+    )
+    l1 = (
+        F.col("l1_common")
+        + (1 - F.col("pd_common"))
+        + (1 - F.col("ps_common"))
+    )
+    return (
+        joined.select("source", l1.alias("l1"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("l1"), 6).alias("mean_l1_to_centroid"),
+            F.round(F.min("l1"), 6).alias("min_l1"),
+            F.round(F.max("l1"), 6).alias("max_l1"),
+        )
+        .orderBy("source")
+    )
