@@ -194,6 +194,7 @@ HEADLINE = [
     "orders_littles_law_check",
     "doc_source_semantic_dispersion",
     "events_dwell_by_transition",
+    "events_value_tail_index",
 ]
 
 

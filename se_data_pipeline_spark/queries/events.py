@@ -4899,3 +4899,70 @@ def events_dwell_by_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+# --------------------------------------------------------------------------
+# Hill estimator: power-law tail index of the event-value distribution.
+# --------------------------------------------------------------------------
+_HILL_K = 200
+
+
+@query(
+    "events_value_tail_index",
+    oracle=f"""
+    WITH top AS (
+      SELECT value FROM events
+      WHERE value > 0
+      ORDER BY value DESC, event_id
+      LIMIT {_HILL_K}),
+    mn AS (SELECT MIN(value) AS xk FROM top),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             AVG(ln(t.value)) - ln(ANY_VALUE(mn.xk)) AS inv_alpha
+      FROM top t CROSS JOIN mn)
+    SELECT k,
+           ROUND(1.0 / inv_alpha, 6) AS tail_index_alpha,
+           ROUND(inv_alpha, 6) AS hill_mean_excess,
+           CASE WHEN 1.0 / inv_alpha < 2 THEN 'infinite_variance'
+                WHEN 1.0 / inv_alpha < 3 THEN 'heavy'
+                ELSE 'light' END AS tail_class
+    FROM m
+    """,
+)
+def events_value_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value distribution's power-law tail
+    index over the top-{k} order statistics: 1/alpha = mean(ln x_i)
+    - ln(x_k). alpha < 2 means infinite variance — sample means stop
+    converging and every percentile-based SLO needs a rethink; the
+    one-number answer to "how dangerous is this distribution's
+    tail".
+
+    Scale: the top-k is TakeOrderedAndProject (k = {k} rows to one
+    task — constant), then a 1-row moment aggregate; nothing else
+    touches the data. Ties on value break by event_id so both
+    engines select the identical top set.""".format(k=_HILL_K)
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.filter(F.col("value") > 0)
+        .select("value", "event_id")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(_HILL_K)
+        .localCheckpoint(eager=True)
+    )
+    mn = top.agg(F.min("value").alias("xk"))
+    m = top.crossJoin(F.broadcast(mn)).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (
+            F.avg(F.log("value")) - F.log(F.any_value(F.col("xk")))
+        ).alias("inv_alpha"),
+    )
+    alpha = F.try_divide(F.lit(1.0), F.col("inv_alpha"))
+    return m.select(
+        "k",
+        F.round(alpha, 6).alias("tail_index_alpha"),
+        F.round(F.col("inv_alpha"), 6).alias("hill_mean_excess"),
+        F.when(alpha < 2, F.lit("infinite_variance"))
+        .when(alpha < 3, F.lit("heavy"))
+        .otherwise(F.lit("light"))
+        .alias("tail_class"),
+    )
