@@ -195,6 +195,8 @@ HEADLINE = [
     "doc_source_semantic_dispersion",
     "events_dwell_by_transition",
     "events_value_tail_index",
+    "part_brand_nb_classifier",
+    "session_duration_lognormal_fit",
 ]
 
 

@@ -4966,3 +4966,107 @@ def events_value_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("light"))
         .alias("tail_class"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lognormal fit of session durations (method of moments on ln).
+# --------------------------------------------------------------------------
+@query(
+    "session_duration_lognormal_fit",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR (epoch_us(ts) - epoch_us(lag(ts) OVER w))
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM seq),
+    dur AS (
+      SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0
+               AS secs
+      FROM sess GROUP BY user_id, sid
+      HAVING COUNT(*) > 1),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             AVG(ln(secs)) AS mu,
+             AVG(ln(secs) * ln(secs)) AS m2
+      FROM dur WHERE secs > 0)
+    SELECT n_sessions,
+           ROUND(mu, 6) AS mu_log,
+           ROUND(sqrt(m2 - mu * mu), 6) AS sigma_log,
+           ROUND(exp(mu), 4) AS median_secs,
+           ROUND(exp(mu + (m2 - mu * mu) / 2), 4) AS mean_secs_implied
+    FROM m
+    """,
+)
+def session_duration_lognormal_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Parametric session model: sessionize with the standard
+    30-minute gap rule, then fit a lognormal to multi-event session
+    durations by method of moments on ln(secs) — median = e^mu and
+    implied mean = e^(mu + sigma^2/2), the two numbers capacity
+    planning wants (the implied mean exceeding the sample median by
+    3x+ is the fingerprint of lognormal session behavior).
+
+    Scale: the user-partitioned lag + running-sum windows are the
+    same shuffles user_sessions pays; the fit is a 1-row moment
+    aggregate. Durations are exact integer-microsecond differences
+    over 1e6."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _ts_micros(F.col("ts")) - _ts_micros(F.lag("ts").over(w))
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap > 1_800_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sess = seq.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    dur = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            (
+                (
+                    _ts_micros(F.max("ts")) - _ts_micros(F.min("ts"))
+                )
+                / F.lit(1_000_000.0)
+            ).alias("secs"),
+        )
+        .filter((F.col("n_ev") > 1) & (F.col("secs") > 0))
+    )
+    m = dur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.avg(F.log("secs")).alias("mu"),
+        F.avg(F.log("secs") * F.log("secs")).alias("m2"),
+    )
+    var = F.col("m2") - F.col("mu") * F.col("mu")
+    return m.select(
+        "n_sessions",
+        F.round(F.col("mu"), 6).alias("mu_log"),
+        F.round(F.sqrt(var), 6).alias("sigma_log"),
+        F.round(F.exp(F.col("mu")), 4).alias("median_secs"),
+        F.round(F.exp(F.col("mu") + var / 2), 4).alias(
+            "mean_secs_implied"
+        ),
+    )

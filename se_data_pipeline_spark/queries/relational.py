@@ -4729,3 +4729,147 @@ def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("residual"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes: part-name tokens -> brand (in-engine ML).
+# --------------------------------------------------------------------------
+@query(
+    "part_brand_nb_classifier",
+    oracle="""
+    WITH pt AS (
+      SELECT p_partkey, p_brand,
+             unnest(string_split(p_name, ' ')) AS tok
+      FROM part),
+    prior AS (
+      SELECT p_brand, CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_parts
+      FROM pt GROUP BY p_brand),
+    n_total AS (SELECT SUM(n_parts) AS n FROM prior),
+    tb AS (
+      SELECT p_brand, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pt GROUP BY p_brand, tok),
+    btot AS (
+      SELECT p_brand, CAST(SUM(c) AS BIGINT) AS bt FROM tb
+      GROUP BY p_brand),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM pt),
+    scores AS (
+      SELECT d.p_partkey, d.p_brand AS true_brand, pr.p_brand AS cand,
+             ANY_VALUE(ln(pr.n_parts * 1.0 / t.n)) +
+             SUM(ln((COALESCE(tb.c, 0) + 1.0) / (bt.bt + vc.v)))
+               AS score
+      FROM pt d
+      CROSS JOIN prior pr
+      JOIN btot bt ON bt.p_brand = pr.p_brand
+      CROSS JOIN n_total t CROSS JOIN vocab vc
+      LEFT JOIN tb ON tb.p_brand = pr.p_brand AND tb.tok = d.tok
+      GROUP BY d.p_partkey, d.p_brand, pr.p_brand),
+    pred AS (
+      SELECT p_partkey, ANY_VALUE(true_brand) AS true_brand,
+             arg_max(cand, ROUND(score, 6)
+                           - CAST(regexp_extract(cand, '[0-9]+')
+                                  AS INTEGER) * 1e-9) AS predicted
+      FROM scores GROUP BY p_partkey)
+    SELECT true_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN predicted = true_brand THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN predicted = true_brand THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS accuracy
+    FROM pred GROUP BY true_brand
+    ORDER BY brand
+    """,
+)
+def part_brand_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained AND evaluated in-engine:
+    P(brand) priors + Laplace-smoothed token likelihoods from part
+    names, every part scored against all 25 brands via
+    ln P(b) + sum ln P(t|b), argmax prediction, per-brand in-sample
+    accuracy — the classical text classifier as pure dataflow (the
+    shape a quality-classifier training pipeline uses before
+    graduating to hashed linear models).
+
+    Scale: token-brand counts are vocab x brands (tiny, broadcast);
+    the scoring frame is tokens x 25 candidate brands — a constant
+    row multiplier on the token stream, aggregated per (part, cand)
+    then per part. Argmax uses (-rounded score, brand) so ties break
+    deterministically in both engines."""
+    part = load_table(spark, sf_dir, "part")
+    pt = part.select(
+        "p_partkey", "p_brand", F.explode(F.split("p_name", " ")).alias("tok")
+    )
+    prior = pt.groupBy("p_brand").agg(
+        F.countDistinct("p_partkey").cast("long").alias("n_parts")
+    )
+    n_total = prior.agg(F.sum("n_parts").alias("n"))
+    tb = pt.groupBy("p_brand", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    btot = tb.groupBy("p_brand").agg(F.sum("c").cast("long").alias("bt"))
+    vocab = pt.agg(F.countDistinct("tok").cast("long").alias("v"))
+    cand = (
+        prior.select(F.col("p_brand").alias("cand"), "n_parts")
+        .join(btot.withColumnRenamed("p_brand", "cand"), "cand")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(vocab))
+    )
+    scores = (
+        pt.crossJoin(F.broadcast(cand))
+        .join(
+            F.broadcast(
+                tb.select(
+                    F.col("p_brand").alias("cand"),
+                    F.col("tok"),
+                    F.col("c"),
+                )
+            ),
+            ["cand", "tok"],
+            "left",
+        )
+        .groupBy("p_partkey", "p_brand", "cand")
+        .agg(
+            (
+                F.any_value(
+                    F.log(F.col("n_parts") * 1.0 / F.col("n"))
+                )
+                + F.sum(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("bt") + F.col("v"))
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    pred = scores.groupBy("p_partkey").agg(
+        F.any_value(F.col("p_brand")).alias("true_brand"),
+        F.max_by(
+            "cand",
+            F.round(F.col("score"), 6)
+            - F.regexp_extract(F.col("cand"), "[0-9]+", 0).cast("int")
+            * 1e-9,
+        ).alias("predicted"),
+    )
+    return (
+        pred.groupBy(F.col("true_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(
+                F.when(
+                    F.col("predicted") == F.col("true_brand"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("predicted") == F.col("true_brand"), 1
+                    ).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("brand")
+    )
