@@ -197,6 +197,8 @@ HEADLINE = [
     "events_value_tail_index",
     "part_brand_nb_classifier",
     "session_duration_lognormal_fit",
+    "doc_heaps_law_fit",
+    "user_purchase_rate_shrunk",
 ]
 
 

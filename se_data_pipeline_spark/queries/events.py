@@ -5070,3 +5070,104 @@ def session_duration_lognormal_fit(
             "mean_secs_implied"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-user purchase rates.
+# --------------------------------------------------------------------------
+@query(
+    "user_purchase_rate_shrunk",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purch
+      FROM events GROUP BY user_id),
+    rates AS (
+      SELECT user_id, n_events, n_purch,
+             n_purch * 1.0 / n_events AS raw_rate
+      FROM per_user WHERE n_events >= 3),
+    mom AS (
+      SELECT AVG(raw_rate) AS mu, VAR_SAMP(raw_rate) AS v,
+             AVG(1.0 / n_events) AS inv_n
+      FROM rates),
+    ab AS (
+      -- Beta method of moments with binomial sampling-noise
+      -- correction: var_true = v - mu(1-mu)E[1/n]; kappa = alpha+beta
+      SELECT mu,
+             GREATEST(v - mu * (1 - mu) * inv_n, 1e-8) AS vt,
+             mu * (1 - mu) / GREATEST(v - mu * (1 - mu) * inv_n, 1e-8) - 1
+               AS kappa
+      FROM mom)
+    SELECT r.user_id, r.n_events, r.n_purch,
+           ROUND(r.raw_rate, 6) AS raw_rate,
+           ROUND((r.n_purch + ab.mu * ab.kappa)
+                 / (r.n_events + ab.kappa), 6) AS shrunk_rate,
+           ROUND(ab.mu * ab.kappa, 6) AS prior_alpha,
+           ROUND((1 - ab.mu) * ab.kappa, 6) AS prior_beta
+    FROM rates r CROSS JOIN ab
+    ORDER BY r.user_id
+    """,
+)
+def user_purchase_rate_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (Beta-binomial) shrinkage of per-user purchase
+    rates: fit the Beta prior by method of moments with the binomial
+    sampling-noise correction (true variance = observed variance -
+    mu(1-mu)E[1/n]), then shrink each user's rate toward the prior
+    mean weighted by their evidence — the standard fix for "this
+    2-event user is 50% purchase" small-sample noise in ranking and
+    segmentation.
+
+    Scale: one user rollup, a 1-row moment aggregate, and a
+    broadcast of the fitted (mu, kappa) — shrinkage itself is
+    row-local arithmetic. The shrunk rate divides identically-built
+    doubles in both engines (integer counts + one shared prior
+    row)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purch"),
+    )
+    rates = per_user.filter(F.col("n_events") >= 3).select(
+        "user_id",
+        "n_events",
+        "n_purch",
+        (F.col("n_purch") * 1.0 / F.col("n_events")).alias("raw_rate"),
+    )
+    mom = rates.agg(
+        F.avg("raw_rate").alias("mu"),
+        F.var_samp("raw_rate").alias("v"),
+        F.avg(1.0 / F.col("n_events")).alias("inv_n"),
+    )
+    vt = F.greatest(
+        F.col("v") - F.col("mu") * (1 - F.col("mu")) * F.col("inv_n"),
+        F.lit(1e-8),
+    )
+    ab = mom.select(
+        "mu",
+        vt.alias("vt"),
+        (F.col("mu") * (1 - F.col("mu")) / vt - 1).alias("kappa"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(ab))
+        .select(
+            "user_id",
+            "n_events",
+            "n_purch",
+            F.round("raw_rate", 6).alias("raw_rate"),
+            F.round(
+                (F.col("n_purch") + F.col("mu") * F.col("kappa"))
+                / (F.col("n_events") + F.col("kappa")),
+                6,
+            ).alias("shrunk_rate"),
+            F.round(F.col("mu") * F.col("kappa"), 6).alias("prior_alpha"),
+            F.round((1 - F.col("mu")) * F.col("kappa"), 6).alias(
+                "prior_beta"
+            ),
+        )
+        .orderBy("user_id")
+    )

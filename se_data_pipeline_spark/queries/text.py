@@ -3736,18 +3736,23 @@ def winnowing_fingerprint_pairs(
     # per access, and a JVM hash transform inlines into every window
     # slice (no CSE inside lambdas) — measured 43s -> ~1s at sf0.01
     par = max(spark.sparkContext.defaultParallelism, 8)
-    fps = (
-        docs.repartition(par)
-        .select(
-            "doc_id",
-            winnow_fingerprints_udf(_WINNOW_K, _WINNOW_W)(
-                F.col("text")
-            ).alias("fp"),
-        )
-        .filter(F.size("fp") >= 1)
+    # no size() filter: the predicate pushes below the projection and
+    # re-evaluates the UDF in its own Arrow stage; exploding an empty
+    # fingerprint array emits no rows anyway
+    fps = docs.repartition(par).select(
+        "doc_id",
+        winnow_fingerprints_udf(_WINNOW_K, _WINNOW_W)(
+            F.col("text")
+        ).alias("fp"),
     )
-    e = fps.select(
-        "doc_id", F.size("fp").alias("m"), F.explode("fp").alias("f")
+    # explode_outer + null-drop on the GENERATED attribute: plain
+    # explode infers a size(udf(text))>0 pre-filter that runs the
+    # kernel in a second Arrow stage (same trap _shingle_index
+    # documents); size() reads the retained array attribute
+    e = (
+        fps.select("doc_id", "fp", F.explode_outer("fp").alias("f"))
+        .filter(F.col("f").isNotNull())
+        .select("doc_id", F.size("fp").alias("m"), "f")
     )
     buckets = (
         e.groupBy("f")
@@ -3910,4 +3915,137 @@ def doc_source_semantic_dispersion(
             F.round(F.max("l1"), 6).alias("max_l1"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law: vocabulary-growth curve and power-law fit.
+# --------------------------------------------------------------------------
+_HEAPS_POINTS = 20
+
+
+@query(
+    "doc_heaps_law_fit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    first_occ AS (
+      SELECT w, MIN(doc_id) AS fd FROM u GROUP BY w),
+    per_doc AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+    span AS (
+      SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM per_doc),
+    cuts AS (
+      SELECT g.k,
+             CAST(floor(s.mn + (s.mx - s.mn) * g.k /
+                        {_HEAPS_POINTS}.0) AS BIGINT) AS cut_doc
+      FROM (SELECT unnest(generate_series(1, {_HEAPS_POINTS})) AS k) g
+      CROSS JOIN span s),
+    curve AS (
+      SELECT c.k, c.cut_doc,
+             (SELECT CAST(SUM(p.n_toks) AS DOUBLE) FROM per_doc p
+              WHERE p.doc_id <= c.cut_doc) AS n_total,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM first_occ f
+              WHERE f.fd <= c.cut_doc) AS vocab
+      FROM cuts c),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pts,
+             AVG(ln(n_total)) AS mx, AVG(ln(vocab)) AS my,
+             AVG(ln(n_total) * ln(vocab)) AS mxy,
+             AVG(ln(n_total) * ln(n_total)) AS mxx
+      FROM curve WHERE n_total > 0 AND vocab > 0)
+    SELECT n_pts,
+           ROUND((mxy - mx * my) / (mxx - mx * mx), 6) AS heaps_beta,
+           ROUND(exp(my - (mxy - mx * my) / (mxx - mx * mx) * mx), 4)
+             AS heaps_k
+    FROM m
+    """,
+)
+def doc_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: V(N) = K * N^beta fitted by
+    log-log OLS over {pts} cumulative corpus prefixes (by doc_id
+    order) — the projection that answers "how big does the tokenizer
+    vocab get at 10x the corpus" (beta ~ 0.5 typical for natural
+    text; near-0 means a closed vocabulary, near-1 endless novelty).
+
+    Scale: each token's FIRST-occurrence doc comes from one
+    token-keyed min aggregate (vocab-sized result); prefix vocab
+    counts are then {pts} broadcast threshold comparisons against
+    that frame — the corpus is never re-scanned per prefix, and the
+    thresholds are VALUE-range cuts from a 1-row (min, max) span (a
+    rank-based prefix would need a global window or a doc x doc
+    join). Fit is a 4-moment aggregate over {pts} points.
+    """.format(pts=_HEAPS_POINTS)
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", toks.alias("toks")).localCheckpoint(
+        eager=True
+    )
+    u = base.select("doc_id", F.explode("toks").alias("w"))
+    first_occ = u.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    per_doc = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks")
+    )
+    # value-range prefixes (doc_id thresholds), NOT rank-based: a
+    # rank needs either a global window or a doc x doc join — both
+    # break at data-sized doc counts; any nested increasing corpus
+    # sequence serves Heaps' fit equally
+    span = per_doc.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    ks = spark.range(1, _HEAPS_POINTS + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    cuts = (
+        ks.crossJoin(F.broadcast(span))
+        .select(
+            "k",
+            F.floor(
+                F.col("mn")
+                + (F.col("mx") - F.col("mn"))
+                * F.col("k")
+                / float(_HEAPS_POINTS)
+            )
+            .cast("long")
+            .alias("cut_doc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        per_doc.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("cut_doc"))
+        .groupBy("k", "cut_doc")
+        .agg(F.sum("n_toks").cast("double").alias("n_total"))
+    )
+    vocabs = (
+        first_occ.crossJoin(F.broadcast(cuts))
+        .filter(F.col("fd") <= F.col("cut_doc"))
+        .groupBy(F.col("k").alias("k2"))
+        .agg(F.count(F.lit(1)).cast("double").alias("vocab"))
+    )
+    curve = totals.join(vocabs, F.col("k") == F.col("k2"))
+    m = curve.filter(
+        (F.col("n_total") > 0) & (F.col("vocab") > 0)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.avg(F.log("n_total")).alias("mx"),
+        F.avg(F.log("vocab")).alias("my"),
+        F.avg(F.log("n_total") * F.log("vocab")).alias("mxy"),
+        F.avg(F.log("n_total") * F.log("n_total")).alias("mxx"),
+    )
+    beta = F.try_divide(
+        F.col("mxy") - F.col("mx") * F.col("my"),
+        F.col("mxx") - F.col("mx") * F.col("mx"),
+    )
+    return m.select(
+        "n_pts",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(F.col("my") - beta * F.col("mx")), 4).alias(
+            "heaps_k"
+        ),
     )

@@ -455,3 +455,63 @@ def test_holt_forecast_is_calendar_bounded_fold(spark, sf_dir):
     r = df.filter(F.col("trend") != 0).limit(1).collect()
     if r:
         assert abs(r[0].forecast_next - round(r[0].level + r[0].trend, 6)) < 1e-6
+
+
+def test_winnowing_single_arrow_stage(spark, sf_dir):
+    """winnowing_fingerprint_pairs runs the whole fingerprint pass in
+    ONE Arrow kernel — a second Python stage would mean the hash
+    transform leaked back into a JVM projection that re-evaluates per
+    window."""
+    from se_data_pipeline_spark.queries.text import (
+        winnowing_fingerprint_pairs,
+    )
+
+    plan = plan_of(winnowing_fingerprint_pairs(spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_adstock_banded_join_no_window(spark, sf_dir):
+    """events_adstock_regression's carryover is a banded broadcast
+    day-join — no ordered window, no cartesian."""
+    from se_data_pipeline_spark.queries.events import (
+        events_adstock_regression,
+    )
+
+    plan = plan_of(events_adstock_regression(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_nb_classifier_broadcasts_model(spark, sf_dir):
+    """part_brand_nb_classifier scores tokens against a broadcast
+    model (priors + likelihood table) — a SortMergeJoin on the
+    scoring path would shuffle the token stream per candidate
+    brand."""
+    from se_data_pipeline_spark.queries.relational import (
+        part_brand_nb_classifier,
+    )
+
+    df = part_brand_nb_classifier(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    # in-sample NB on informative name tokens must beat the 1/25 prior
+    total = sum(r.n_parts for r in rows)
+    correct = sum(r.n_correct for r in rows)
+    assert correct / total > 1.0 / 25
+
+
+def test_tail_index_is_constant_work_after_topk(spark, sf_dir):
+    """events_value_tail_index reduces to a k-row frame via top-k
+    before any math — the final plan reads only the checkpointed
+    top-k rows (zero parquet scans)."""
+    from se_data_pipeline_spark.queries.events import (
+        events_value_tail_index,
+    )
+
+    df = events_value_tail_index(spark, sf_dir)
+    assert plan_of(df).count("FileScan parquet") == 0
+    row = df.collect()[0]
+    assert row.k > 0 and row.tail_index_alpha is not None
