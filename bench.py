@@ -199,6 +199,8 @@ HEADLINE = [
     "session_duration_lognormal_fit",
     "doc_heaps_law_fit",
     "user_purchase_rate_shrunk",
+    "markov_sequence_perplexity",
+    "brand_bullwhip_indicator",
 ]
 
 

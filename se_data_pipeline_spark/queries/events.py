@@ -5171,3 +5171,83 @@ def user_purchase_rate_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence perplexity under the first-order Markov model (proper
+# scoring complement of markov_next_event_accuracy).
+# --------------------------------------------------------------------------
+@query(
+    "markov_sequence_perplexity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type AS src, event_type AS dst FROM seq
+      WHERE prev_type IS NOT NULL),
+    cnts AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY src, dst),
+    outs AS (SELECT src, CAST(SUM(c) AS BIGINT) AS o FROM cnts
+             GROUP BY src),
+    m AS (
+      SELECT CAST(SUM(c.c) AS BIGINT) AS n_transitions,
+             SUM(c.c * ln(c.c * 1.0 / o.o)) / SUM(c.c) AS mean_ll
+      FROM cnts c JOIN outs o ON o.src = c.src)
+    SELECT n_transitions,
+           ROUND(-mean_ll, 6) AS cross_entropy_nats,
+           ROUND(exp(-mean_ll), 6) AS perplexity,
+           ROUND(exp(-mean_ll) / 5.0, 6) AS perplexity_vs_uniform
+    FROM m
+    """,
+)
+def markov_sequence_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper-scoring evaluation of the first-order event model:
+    corpus cross-entropy H = -sum c(s,t) ln P(t|s) / N over all
+    transitions and its perplexity e^H — the likelihood-based twin
+    of markov_next_event_accuracy (accuracy only scores the argmax;
+    perplexity scores the whole predicted distribution, so a model
+    can rank identically yet calibrate terribly). A ratio near 1.0
+    vs the uniform 5-type baseline means event order carries almost
+    no signal.
+
+    Scale: identical shuffles to the transition matrix (per-user lag
+    + 25-cell rollup); the entropy fold weights each cell by its own
+    count, so no second pass over events is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+    )
+    cnts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    outs = cnts.groupBy("src").agg(F.sum("c").cast("long").alias("o"))
+    m = cnts.join(outs, "src").agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        (
+            F.sum(
+                F.col("c") * F.log(F.col("c") * 1.0 / F.col("o"))
+            )
+            / F.sum("c")
+        ).alias("mean_ll"),
+    )
+    return m.select(
+        "n_transitions",
+        F.round(-F.col("mean_ll"), 6).alias("cross_entropy_nats"),
+        F.round(F.exp(-F.col("mean_ll")), 6).alias("perplexity"),
+        F.round(F.exp(-F.col("mean_ll")) / 5.0, 6).alias(
+            "perplexity_vs_uniform"
+        ),
+    )

@@ -4873,3 +4873,96 @@ def part_brand_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Bullwhip indicator: order-vs-shipment variance amplification.
+# --------------------------------------------------------------------------
+@query(
+    "brand_bullwhip_indicator",
+    oracle="""
+    WITH ordered AS (
+      SELECT p.p_brand AS brand, date_trunc('day', o.o_orderdate) AS d,
+             SUM(l.l_quantity) AS q
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY brand, d),
+    shipped AS (
+      SELECT p.p_brand AS brand, date_trunc('day', l.l_shipdate) AS d,
+             SUM(l.l_quantity) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY brand, d),
+    vo AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_days_ordered,
+             VAR_SAMP(q) AS vq, AVG(q) AS mq
+      FROM ordered GROUP BY brand),
+    vs AS (
+      SELECT brand, VAR_SAMP(q) AS vq, AVG(q) AS mq
+      FROM shipped GROUP BY brand)
+    SELECT o.brand, o.n_days_ordered,
+           ROUND(o.vq / (o.mq * o.mq), 6) AS order_cv2,
+           ROUND(s.vq / (s.mq * s.mq), 6) AS ship_cv2,
+           ROUND((o.vq / (o.mq * o.mq)) / (s.vq / (s.mq * s.mq)), 6)
+             AS bullwhip_ratio
+    FROM vo o JOIN vs s ON s.brand = o.brand
+    ORDER BY o.brand
+    """,
+)
+def brand_bullwhip_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bullwhip-effect indicator per brand: squared coefficient of
+    variation of DAILY ORDERED quantity over that of DAILY SHIPPED
+    quantity — ratio > 1 means demand signals amplify upstream
+    (ordering is burstier than fulfillment), the classic supply-chain
+    instability marker, CV-normalized so scale cancels.
+
+    Scale: two (brand, day) rollups with the part dimension
+    broadcast, then brand-grain variance frames joined brand-to-brand
+    — nothing beyond the rollups touches row-level data. ROUND guards
+    the variance LSBs; both CV^2 inputs divide identically-built
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    pb = F.broadcast(part.select("p_partkey", "p_brand"))
+    ordered = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(pb, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("day", "o_orderdate").alias("d"),
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    shipped = (
+        li.join(pb, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("day", "l_shipdate").alias("d"),
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    vo = ordered.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_ordered"),
+        F.var_samp("q").alias("vq_o"),
+        F.avg("q").alias("mq_o"),
+    )
+    vs = shipped.groupBy("brand").agg(
+        F.var_samp("q").alias("vq_s"), F.avg("q").alias("mq_s")
+    )
+    ocv = F.col("vq_o") / (F.col("mq_o") * F.col("mq_o"))
+    scv = F.col("vq_s") / (F.col("mq_s") * F.col("mq_s"))
+    return (
+        vo.join(vs, "brand")
+        .select(
+            "brand",
+            "n_days_ordered",
+            F.round(ocv, 6).alias("order_cv2"),
+            F.round(scv, 6).alias("ship_cv2"),
+            F.round(F.try_divide(ocv, scv), 6).alias("bullwhip_ratio"),
+        )
+        .orderBy("brand")
+    )
