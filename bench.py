@@ -201,6 +201,7 @@ HEADLINE = [
     "user_purchase_rate_shrunk",
     "markov_sequence_perplexity",
     "brand_bullwhip_indicator",
+    "events_forecast_backtest",
 ]
 
 

@@ -5251,3 +5251,182 @@ def markov_sequence_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perplexity_vs_uniform"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest bake-off: naive / drift / seasonal-naive per type.
+# --------------------------------------------------------------------------
+_BACKTEST_HOLDOUT_DAYS = 28
+
+
+@query(
+    "events_forecast_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             ROUND(SUM(value), 6) AS x
+      FROM events GROUP BY event_type, day),
+    mx AS (SELECT MAX(day) AS dmax FROM daily),
+    lab AS (
+      SELECT d.event_type, d.day, d.x,
+             date_diff('day', d.day, m.dmax) < {_BACKTEST_HOLDOUT_DAYS}
+               AS is_test
+      FROM daily d CROSS JOIN mx m),
+    train AS (
+      SELECT event_type,
+             AVG(x) AS mean_x,
+             (arg_max(x, day) - arg_min(x, day))
+               / NULLIF(CAST(date_diff('day', MIN(day), MAX(day))
+                             AS DOUBLE), 0) AS drift,
+             arg_max(x, day) AS last_x,
+             MAX(day) AS last_day
+      FROM lab WHERE NOT is_test GROUP BY event_type),
+    season AS (
+      SELECT t.event_type, t.day AS test_day, s.x AS snaive
+      FROM lab t JOIN lab s
+        ON s.event_type = t.event_type
+       AND s.day = t.day - INTERVAL 7 DAY
+      WHERE t.is_test),
+    preds AS (
+      SELECT t.event_type, t.day, t.x,
+             tr.mean_x AS p_mean,
+             tr.last_x + tr.drift *
+               CAST(date_diff('day', tr.last_day, t.day) AS DOUBLE)
+               AS p_drift,
+             sn.snaive AS p_snaive
+      FROM lab t
+      JOIN train tr ON tr.event_type = t.event_type
+      LEFT JOIN season sn ON sn.event_type = t.event_type
+                         AND sn.test_day = t.day
+      WHERE t.is_test),
+    mae AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test_days,
+             ROUND(AVG(ABS(x - p_mean)), 4) AS mae_mean,
+             ROUND(AVG(ABS(x - p_drift)), 4) AS mae_drift,
+             ROUND(AVG(ABS(x - p_snaive)), 4) AS mae_snaive
+      FROM preds WHERE p_snaive IS NOT NULL
+      GROUP BY event_type)
+    SELECT event_type, n_test_days, mae_mean, mae_drift, mae_snaive,
+           CASE WHEN mae_snaive <= mae_drift AND mae_snaive <= mae_mean
+                THEN 'seasonal_naive'
+                WHEN mae_drift <= mae_mean THEN 'drift'
+                ELSE 'mean' END AS best_method
+    FROM mae
+    ORDER BY event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast bake-off with a {h}-day holdout per event type: the
+    three classical baselines (train mean, linear drift from first to
+    last train point, seasonal-naive lag-7) scored by MAE on the
+    holdout, with the winner named — the M-competition-style sanity
+    harness that any fancier forecaster (Holt, EWMA) must beat
+    before it ships.
+
+    Scale: one (type, day) rollup; everything else is calendar-grain
+    — the train stats are a 5-row broadcast, the seasonal join is
+    day-to-day-minus-7 within type. Comparisons branch on ROUNDED
+    MAEs, so the winner is engine-stable.""".format(
+        h=_BACKTEST_HOLDOUT_DAYS
+    )
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    mx = daily.agg(F.max("day").alias("dmax"))
+    lab = daily.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "day",
+        "x",
+        (
+            F.datediff(F.col("dmax").cast("date"), F.col("day").cast("date"))
+            < _BACKTEST_HOLDOUT_DAYS
+        ).alias("is_test"),
+    )
+    train = lab.filter(~F.col("is_test")).groupBy("event_type").agg(
+        F.avg("x").alias("mean_x"),
+        F.try_divide(
+            F.max_by("x", F.col("day")) - F.min_by("x", F.col("day")),
+            F.datediff(
+                F.max("day").cast("date"), F.min("day").cast("date")
+            ).cast("double"),
+        ).alias("drift"),
+        F.max_by("x", F.col("day")).alias("last_x"),
+        F.max("day").alias("last_day"),
+    )
+    season = (
+        lab.filter(F.col("is_test"))
+        .alias("t")
+        .join(
+            lab.select(
+                F.col("event_type").alias("se"),
+                F.col("day").alias("sday"),
+                F.col("x").alias("snaive"),
+            ),
+            (F.col("se") == F.col("event_type"))
+            & (
+                F.col("sday")
+                == F.col("day") - F.expr("INTERVAL 7 DAY")
+            ),
+        )
+        .select("event_type", F.col("day").alias("test_day"), "snaive")
+    )
+    preds = (
+        lab.filter(F.col("is_test"))
+        .join(F.broadcast(train), "event_type")
+        .join(
+            season.withColumnRenamed("test_day", "day"),
+            ["event_type", "day"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "x",
+            F.col("mean_x").alias("p_mean"),
+            (
+                F.col("last_x")
+                + F.col("drift")
+                * F.datediff(
+                    F.col("day").cast("date"),
+                    F.col("last_day").cast("date"),
+                ).cast("double")
+            ).alias("p_drift"),
+            F.col("snaive").alias("p_snaive"),
+        )
+    )
+    mae = (
+        preds.filter(F.col("p_snaive").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_days"),
+            F.round(F.avg(F.abs(F.col("x") - F.col("p_mean"))), 4).alias(
+                "mae_mean"
+            ),
+            F.round(
+                F.avg(F.abs(F.col("x") - F.col("p_drift"))), 4
+            ).alias("mae_drift"),
+            F.round(
+                F.avg(F.abs(F.col("x") - F.col("p_snaive"))), 4
+            ).alias("mae_snaive"),
+        )
+    )
+    return mae.select(
+        "event_type",
+        "n_test_days",
+        "mae_mean",
+        "mae_drift",
+        "mae_snaive",
+        F.when(
+            (F.col("mae_snaive") <= F.col("mae_drift"))
+            & (F.col("mae_snaive") <= F.col("mae_mean")),
+            F.lit("seasonal_naive"),
+        )
+        .when(F.col("mae_drift") <= F.col("mae_mean"), F.lit("drift"))
+        .otherwise(F.lit("mean"))
+        .alias("best_method"),
+    ).orderBy("event_type")
