@@ -4845,7 +4845,14 @@ def part_brand_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(
             "cand",
             F.round(F.col("score"), 6)
-            - F.regexp_extract(F.col("cand"), "[0-9]+", 0).cast("int")
+            # try_cast + coalesce: degenerate corpora have digit-free
+            # brand strings, and ANSI CAST('') throws
+            - F.coalesce(
+                F.regexp_extract(F.col("cand"), "[0-9]+", 0).try_cast(
+                    "int"
+                ),
+                F.lit(0),
+            )
             * 1e-9,
         ).alias("predicted"),
     )
