@@ -2349,7 +2349,10 @@ def dedup_method_recall_report(
     - prefix_filter: rarest-shingle prefix index (exact — recall 1
       by construction, the report PROVES it);
     - sorted_neighborhood: length-rank window blocking (recall is
-      whatever length-adjacency buys on this corpus).
+      whatever length-adjacency buys on this corpus);
+    - winnowing: MOSS local-min fingerprint sampling at overlap
+      >= 0.5 (samples ~1/w of the shingle index — its recall is the
+      price of that compression, measured here).
 
     One plan: the three method frames are tagged and unioned, the
     broadcast truth set joined once, per-method counts aggregated
@@ -2370,6 +2373,9 @@ def dedup_method_recall_report(
         "sorted_neighborhood": sorted_neighborhood_pairs(
             spark, sf_dir, sets=sets
         ).select("doc_a", "doc_b"),
+        "winnowing": winnowing_fingerprint_pairs(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ),
     }
     tagged = None
     for m, df in sorted(methods.items()):
@@ -2411,11 +2417,13 @@ def _compose_recall_oracle() -> None:
     mh = _registered_oracle("minhash_lsh_candidates")
     pf = _registered_oracle("jaccard_prefix_filter_pairs")
     sn = _registered_oracle("sorted_neighborhood_pairs")
+    wn = _registered_oracle("winnowing_fingerprint_pairs")
     sql = f"""
     WITH truth AS (SELECT doc_a, doc_b FROM ({truth})),
     mh AS (SELECT doc_a, doc_b FROM ({mh})),
     pf AS (SELECT doc_a, doc_b FROM ({pf})),
     sn AS (SELECT doc_a, doc_b FROM ({sn})),
+    wn AS (SELECT doc_a, doc_b FROM ({wn})),
     m AS (
       SELECT 'minhash_lsh' AS method,
              (SELECT COUNT(*) FROM mh) AS n_pairs,
@@ -2428,7 +2436,11 @@ def _compose_recall_oracle() -> None:
       UNION ALL
       SELECT 'sorted_neighborhood',
              (SELECT COUNT(*) FROM sn),
-             (SELECT COUNT(*) FROM sn JOIN truth USING (doc_a, doc_b)))
+             (SELECT COUNT(*) FROM sn JOIN truth USING (doc_a, doc_b))
+      UNION ALL
+      SELECT 'winnowing',
+             (SELECT COUNT(*) FROM wn),
+             (SELECT COUNT(*) FROM wn JOIN truth USING (doc_a, doc_b)))
     SELECT method, n_pairs, n_true_found,
            (SELECT COUNT(*) FROM truth) AS n_true_pairs,
            CASE WHEN (SELECT COUNT(*) FROM truth) > 0
@@ -2442,7 +2454,8 @@ def _compose_recall_oracle() -> None:
     )
 
 
-_compose_recall_oracle()
+# _compose_recall_oracle() runs at MODULE END: it needs every
+# method query (incl. winnowing, defined below) registered first.
 
 
 # --------------------------------------------------------------------------
@@ -4049,3 +4062,6 @@ def doc_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_k"
         ),
     )
+
+
+_compose_recall_oracle()
