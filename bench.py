@@ -202,6 +202,7 @@ HEADLINE = [
     "markov_sequence_perplexity",
     "brand_bullwhip_indicator",
     "events_forecast_backtest",
+    "embedding_intrinsic_dimension",
 ]
 
 

@@ -1512,3 +1512,136 @@ def embedding_matryoshka_fidelity(
         )
         .orderBy(F.desc("dims"))
     )
+
+
+# --------------------------------------------------------------------------
+# Levina-Bickel MLE intrinsic dimension of the embedding manifold.
+# --------------------------------------------------------------------------
+_ID_K = 10
+_ID_SAMPLE_MOD = 10  # deterministic 10% query sample: vec_id % 10 == 0
+
+
+@query(
+    "embedding_intrinsic_dimension",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % {_ID_SAMPLE_MOD} = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             sqrt(list_sum(list_transform(
+               list_zip(list_transform(c.embedding,
+                                       x -> CAST(x AS DOUBLE)),
+                        list_transform(q.qv, x -> CAST(x AS DOUBLE))),
+               p -> (p[1] - p[2]) * (p[1] - p[2])))) AS d
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id),
+    knn AS (
+      SELECT query_id, d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d, vec_id) AS rk
+      FROM scored
+      QUALIFY rk <= {_ID_K}),
+    tk AS (
+      SELECT query_id, MAX(d) AS t_k FROM knn GROUP BY query_id),
+    mi AS (
+      SELECT k.query_id,
+             1.0 / (SUM(ln(t.t_k / k.d)) / ({_ID_K} - 1)) AS m_hat
+      FROM knn k JOIN tk t ON t.query_id = k.query_id
+      WHERE k.rk < {_ID_K} AND k.d > 0
+      GROUP BY k.query_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({_ID_K} AS INTEGER) AS k,
+           ROUND(AVG(m_hat), 4) AS mean_intrinsic_dim,
+           ROUND(quantile_cont(m_hat, 0.5), 4) AS median_intrinsic_dim
+    FROM mi
+    """,
+)
+def embedding_intrinsic_dimension(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Levina-Bickel MLE intrinsic dimension: for each sampled query
+    vector, m_hat = [(1/(k-1)) sum ln(T_k/T_j)]^-1 over its k = 10
+    euclidean nearest-neighbor distances, averaged over a
+    deterministic 10% sample — the manifold-dimension estimate that
+    tells you whether 64 stored dims carry ~6 effective ones (PQ and
+    Matryoshka truncation will be nearly free) or ~40 (every
+    compression hurts).
+
+    Scale: same shape as embedding_knn_join — the sampled query
+    batch broadcasts, each Arrow candidate batch emits only LOCAL
+    top-k rows per query (numpy matmul), and the global window ranks
+    n_partitions x k rows per query, never the full candidate set.
+    The sample is fixed-size-per-corpus-slice, so total work is
+    linear in the table."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    queries = emb.filter(
+        F.col("vec_id") % _ID_SAMPLE_MOD == 0
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cands = (
+        emb.repartition(par)
+        .select("vec_id", F.col("embedding").alias("v"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            qm = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            diff = m - qm
+            d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "d": d,
+                }
+            )
+            yield (
+                out.sort_values(
+                    ["query_id", "d", "vec_id"],
+                    ascending=[True, True, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(_ID_K)
+            )
+
+    scored = cands.mapInPandas(
+        local_topk, "query_id long, vec_id long, d double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    knn = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _ID_K
+    )
+    tk = knn.groupBy("query_id").agg(F.max("d").alias("t_k"))
+    mi = (
+        knn.filter((F.col("rk") < _ID_K) & (F.col("d") > 0))
+        .join(tk, "query_id")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.lit(1.0)
+                / (
+                    F.sum(F.log(F.col("t_k") / F.col("d")))
+                    / (_ID_K - 1)
+                )
+            ).alias("m_hat")
+        )
+    )
+    return mi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.lit(_ID_K).cast("int").alias("k"),
+        F.round(F.avg("m_hat"), 4).alias("mean_intrinsic_dim"),
+        F.round(F.percentile("m_hat", F.lit(0.5)), 4).alias(
+            "median_intrinsic_dim"
+        ),
+    )
