@@ -203,6 +203,8 @@ HEADLINE = [
     "brand_bullwhip_indicator",
     "events_forecast_backtest",
     "embedding_intrinsic_dimension",
+    "revenue_waterfall",
+    "session_type_cooccurrence_lift",
 ]
 
 

@@ -5430,3 +5430,139 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("mean"))
         .alias("best_method"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Within-session event-type co-occurrence lift.
+# --------------------------------------------------------------------------
+@query(
+    "session_type_cooccurrence_lift",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR (epoch_us(ts) - epoch_us(lag(ts) OVER w))
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq),
+    st AS (
+      SELECT DISTINCT user_id, sid, event_type FROM sess),
+    n_sess AS (
+      SELECT CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS n
+      FROM st),
+    tp AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM st GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.sid = b.sid
+       AND a.event_type < b.event_type
+      GROUP BY type_a, type_b)
+    SELECT p.type_a, p.type_b, p.c_ab,
+           ROUND(p.c_ab * 1.0 * n.n / (ta.c * tb.c), 6) AS lift
+    FROM pairs p
+    JOIN tp ta ON ta.event_type = p.type_a
+    JOIN tp tb ON tb.event_type = p.type_b
+    CROSS JOIN n_sess n
+    ORDER BY type_a, type_b
+    """,
+)
+def session_type_cooccurrence_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which event types co-occur in the SAME session beyond chance:
+    lift = P(A,B in session) / (P(A) P(B)) over the session-level
+    type-presence sets — errors co-occurring with purchases above
+    1.0 is a checkout-bug smell; signup repelling purchase (< 1.0)
+    is an onboarding-friction smell. The behavioral-insight twin of
+    the order-basket rules, at session grain.
+
+    Scale: sessionization is the standard pair of user-partitioned
+    windows; the presence set dedups to <= 5 rows per session, so
+    the pair fan-out is bounded by C(5,2) per session and the type
+    marginals are a 5-row frame. All ratios divide exact BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _ts_micros(F.col("ts")) - _ts_micros(F.lag("ts").over(w))
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.lag("ts").over(w).isNull() | (gap > 1_800_000_000),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("sid"),
+    )
+    # checkpoint the presence frame: the pair self-join, the session
+    # count, and the marginals all read it (and the static plan would
+    # otherwise duplicate the sessionization windows per consumer)
+    st = (
+        sess.select("user_id", "sid", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_sess = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tp = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pairs = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                tp.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("c").alias("ca"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                tp.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("c").alias("cb"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab") * 1.0 * F.col("n")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

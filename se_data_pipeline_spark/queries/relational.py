@@ -4973,3 +4973,69 @@ def brand_bullwhip_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue waterfall: gross -> discount -> net -> tax -> billed.
+# --------------------------------------------------------------------------
+@query(
+    "revenue_waterfall",
+    oracle="""
+    WITH m AS (
+      SELECT ROUND(SUM(l_extendedprice), 2) AS gross,
+             ROUND(SUM(l_extendedprice * l_discount), 2) AS discount_amt,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net,
+             ROUND(SUM(l_extendedprice * (1 - l_discount) * l_tax), 2)
+               AS tax_amt,
+             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                   2) AS billed
+      FROM lineitem)
+    SELECT 1 AS step, 'gross' AS component, gross AS amount,
+           ROUND(gross / gross, 6) AS vs_gross FROM m
+    UNION ALL
+    SELECT 2, 'discount', -discount_amt,
+           ROUND(-discount_amt / gross, 6) FROM m
+    UNION ALL
+    SELECT 3, 'net', net, ROUND(net / gross, 6) FROM m
+    UNION ALL
+    SELECT 4, 'tax', tax_amt, ROUND(tax_amt / gross, 6) FROM m
+    UNION ALL
+    SELECT 5, 'billed', billed, ROUND(billed / gross, 6) FROM m
+    ORDER BY step
+    """,
+)
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge in waterfall form: gross list price, the
+    discount give-back, net revenue, tax collected, and the billed
+    total, each with its share of gross — the finance-review
+    decomposition, and the only consumer of l_tax outside the SQL
+    surface (the column the reference's per-segment arithmetic never
+    touches).
+
+    Scale: ONE map-side-combinable pass over lineitem computes all
+    five sums; the waterfall rows are a 5-row stack over the 1-row
+    aggregate (no re-scan per step). Cents-rounded sums make every
+    ratio engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep, dc, tx = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+    )
+    m = li.agg(
+        F.round(F.sum(ep), 2).alias("gross"),
+        F.round(F.sum(ep * dc), 2).alias("discount_amt"),
+        F.round(F.sum(ep * (1 - dc)), 2).alias("net"),
+        F.round(F.sum(ep * (1 - dc) * tx), 2).alias("tax_amt"),
+        F.round(F.sum(ep * (1 - dc) * (1 + tx)), 2).alias("billed"),
+    )
+    stack = (
+        "stack(5, "
+        "1, 'gross', gross, round(gross / gross, 6), "
+        "2, 'discount', -discount_amt, round(-discount_amt / gross, 6), "
+        "3, 'net', net, round(net / gross, 6), "
+        "4, 'tax', tax_amt, round(tax_amt / gross, 6), "
+        "5, 'billed', billed, round(billed / gross, 6)"
+        ") as (step, component, amount, vs_gross)"
+    )
+    return m.selectExpr(stack).orderBy("step")
