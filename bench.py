@@ -205,6 +205,8 @@ HEADLINE = [
     "embedding_intrinsic_dimension",
     "revenue_waterfall",
     "session_type_cooccurrence_lift",
+    "nation_customer_gini",
+    "error_mtbf_report",
 ]
 
 

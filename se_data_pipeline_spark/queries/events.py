@@ -5566,3 +5566,73 @@ def session_type_cooccurrence_lift(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Error MTBF and the exponential memorylessness check.
+# --------------------------------------------------------------------------
+@query(
+    "error_mtbf_report",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'error'),
+    gaps AS (
+      SELECT ((epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)))
+              // 1000000) AS secs
+      FROM err
+      QUALIFY lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) IS NOT NULL),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             AVG(CAST(secs AS DOUBLE)) AS mtbf,
+             quantile_cont(CAST(secs AS DOUBLE), 0.5) AS med
+      FROM gaps WHERE secs > 0)
+    SELECT n_gaps,
+           ROUND(mtbf, 4) AS mtbf_seconds,
+           ROUND(med, 4) AS median_seconds,
+           ROUND(med / mtbf, 6) AS median_over_mean,
+           ABS(med / mtbf - ln(2.0)) < 0.1 AS is_memoryless
+    FROM m
+    """,
+)
+def error_mtbf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability view of the error stream: per-user mean time
+    between errors (MTBF) and the memorylessness check — an
+    exponential (Poisson-arrival) process has median/mean = ln 2 ~
+    0.693, so a ratio far below it means errors CLUSTER into bursts
+    (retry storms) and naive per-day error budgets will be wrong in
+    both directions.
+
+    Scale: one user-partitioned lag window over the error subset
+    (pushed-down type filter) + a 1-row moment aggregate. Gaps are
+    integer whole seconds; the memoryless boolean compares
+    identically-derived doubles against the same ln(2) literal in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    err = ev.filter(F.col("event_type") == "error")
+    secs = F.floor(
+        (_ts_micros(F.col("ts")) - _ts_micros(F.col("prev_ts")))
+        / F.lit(1_000_000.0)
+    ).cast("double")
+    gaps = (
+        err.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(secs.alias("secs"))
+        .filter(F.col("secs") > 0)
+    )
+    m = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("secs").alias("mtbf"),
+        F.percentile("secs", F.lit(0.5)).alias("med"),
+    )
+    ratio = F.col("med") / F.col("mtbf")
+    return m.select(
+        "n_gaps",
+        F.round(F.col("mtbf"), 4).alias("mtbf_seconds"),
+        F.round(F.col("med"), 4).alias("median_seconds"),
+        F.round(ratio, 6).alias("median_over_mean"),
+        (F.abs(ratio - F.log(F.lit(2.0))) < 0.1).alias("is_memoryless"),
+    )

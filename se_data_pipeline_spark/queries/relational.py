@@ -5039,3 +5039,78 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") as (step, component, amount, vs_gross)"
     )
     return m.selectExpr(stack).orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# Per-nation customer revenue Gini (sorted closed form).
+# --------------------------------------------------------------------------
+@query(
+    "nation_customer_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             ROUND(SUM(o.o_totalprice), 2) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY nationkey, o.o_custkey),
+    ranked AS (
+      SELECT nationkey, rev,
+             row_number() OVER (PARTITION BY nationkey
+                                ORDER BY rev, o_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY nationkey) AS n,
+             SUM(rev) OVER (PARTITION BY nationkey) AS s
+      FROM cust)
+    SELECT nationkey, CAST(ANY_VALUE(n) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(rk * rev) / (ANY_VALUE(n) * ANY_VALUE(s))
+                 - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini
+    FROM ranked GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+)
+def nation_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration per nation via the sorted
+    closed form G = 2*sum(rank*x)/(n*sum(x)) - (n+1)/n — one rank
+    window per nation instead of the day-grain pairwise form the
+    global jackknife query uses, because customers (unlike days) are
+    data-sized: the window is NATION-partitioned so each nation's
+    sort is distributed and no pairwise frame exists.
+
+    Scale: one customer rollup + one nation-partitioned window; the
+    final nation rollup is 25 rows. Revenues round to cents before
+    ranking so rank order and every product is engine-identical
+    (ties break on custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust_dim = load_table(spark, sf_dir, "customer")
+    cust = (
+        orders.join(
+            F.broadcast(cust_dim.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), "o_custkey"
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    wr = W.partitionBy("nationkey").orderBy("rev", "o_custkey")
+    wp = W.partitionBy("nationkey")
+    ranked = cust.select(
+        "nationkey",
+        "rev",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("rev").over(wp).alias("s"),
+    )
+    return (
+        ranked.groupBy("nationkey")
+        .agg(
+            F.any_value(F.col("n")).cast("long").alias("n_customers"),
+            F.round(
+                2.0
+                * F.sum(F.col("rk") * F.col("rev"))
+                / (F.any_value(F.col("n")) * F.any_value(F.col("s")))
+                - (F.any_value(F.col("n")) + 1.0)
+                / F.any_value(F.col("n")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("nationkey")
+    )
