@@ -4960,8 +4960,8 @@ def brand_bullwhip_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = shipped.groupBy("brand").agg(
         F.var_samp("q").alias("vq_s"), F.avg("q").alias("mq_s")
     )
-    ocv = F.col("vq_o") / (F.col("mq_o") * F.col("mq_o"))
-    scv = F.col("vq_s") / (F.col("mq_s") * F.col("mq_s"))
+    ocv = F.try_divide(F.col("vq_o"), F.col("mq_o") * F.col("mq_o"))
+    scv = F.try_divide(F.col("vq_s"), F.col("mq_s") * F.col("mq_s"))
     return (
         vo.join(vs, "brand")
         .select(
@@ -5031,11 +5031,12 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stack = (
         "stack(5, "
-        "1, 'gross', gross, round(gross / gross, 6), "
-        "2, 'discount', -discount_amt, round(-discount_amt / gross, 6), "
-        "3, 'net', net, round(net / gross, 6), "
-        "4, 'tax', tax_amt, round(tax_amt / gross, 6), "
-        "5, 'billed', billed, round(billed / gross, 6)"
+        "1, 'gross', gross, round(try_divide(gross, gross), 6), "
+        "2, 'discount', -discount_amt, "
+        "round(try_divide(-discount_amt, gross), 6), "
+        "3, 'net', net, round(try_divide(net, gross), 6), "
+        "4, 'tax', tax_amt, round(try_divide(tax_amt, gross), 6), "
+        "5, 'billed', billed, round(try_divide(billed, gross), 6)"
         ") as (step, component, amount, vs_gross)"
     )
     return m.selectExpr(stack).orderBy("step")
@@ -5104,9 +5105,10 @@ def nation_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value(F.col("n")).cast("long").alias("n_customers"),
             F.round(
-                2.0
-                * F.sum(F.col("rk") * F.col("rev"))
-                / (F.any_value(F.col("n")) * F.any_value(F.col("s")))
+                F.try_divide(
+                    2.0 * F.sum(F.col("rk") * F.col("rev")),
+                    F.any_value(F.col("n")) * F.any_value(F.col("s")),
+                )
                 - (F.any_value(F.col("n")) + 1.0)
                 / F.any_value(F.col("n")),
                 6,

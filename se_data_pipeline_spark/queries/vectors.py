@@ -1640,12 +1640,9 @@ def embedding_intrinsic_dimension(
         .join(tk, "query_id")
         .groupBy("query_id")
         .agg(
-            (
-                F.lit(1.0)
-                / (
-                    F.sum(F.log(F.col("t_k") / F.col("d")))
-                    / (_ID_K - 1)
-                )
+            F.try_divide(
+                F.lit(1.0),
+                F.sum(F.log(F.col("t_k") / F.col("d"))) / (_ID_K - 1),
             ).alias("m_hat")
         )
     )
