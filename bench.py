@@ -207,6 +207,8 @@ HEADLINE = [
     "session_type_cooccurrence_lift",
     "nation_customer_gini",
     "error_mtbf_report",
+    "conversion_path_length",
+    "priority_sla_attainment",
 ]
 
 

@@ -5636,3 +5636,86 @@ def error_mtbf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).alias("median_over_mean"),
         (F.abs(ratio - F.log(F.lit(2.0))) < 0.1).alias("is_memoryless"),
     )
+
+
+# --------------------------------------------------------------------------
+# Events-to-convert distribution and geometric fit.
+# --------------------------------------------------------------------------
+@query(
+    "conversion_path_length",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS fpts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    pre AS (
+      SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_pre
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE e.ts < fp.fpts AND e.event_type <> 'purchase'
+      GROUP BY e.user_id),
+    lens AS (
+      SELECT f.user_id, COALESCE(p.n_pre, 0) AS path_len
+      FROM fp f LEFT JOIN pre p ON p.user_id = f.user_id),
+    hist AS (
+      SELECT path_len, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM lens GROUP BY path_len),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CAST(path_len AS DOUBLE)) AS mean_len
+      FROM lens)
+    SELECT h.path_len, h.n_users,
+           ROUND(h.n_users * 1.0 / m.n, 6) AS frac,
+           ROUND(pow(m.mean_len / (1 + m.mean_len),
+                     h.path_len) / (1 + m.mean_len), 6) AS geom_expected
+    FROM hist h CROSS JOIN m
+    ORDER BY h.path_len
+    """,
+)
+def conversion_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many events a converting user takes before the first
+    purchase: the observed path-length histogram next to the
+    geometric distribution implied by its own mean (P(L=k) =
+    (mu/(1+mu))^k / (1+mu)) — observed mass far above geometric at
+    k=0 means impulse buyers are a separate population, the "should
+    we model this as one funnel" diagnostic.
+
+    Scale: one purchase rollup, one pre-purchase count per converted
+    user (anti-window: plain aggregates), a path-length histogram,
+    and a 1-row moment broadcast. All fractions divide exact
+    BIGINTs; the geometric pmf evaluates the same double algebra in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpts"))
+    )
+    pre = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(F.broadcast(fp), "user_id")
+        .filter(F.col("ts") < F.col("fpts"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pre"))
+    )
+    lens = fp.join(pre, "user_id", "left").select(
+        "user_id", F.coalesce(F.col("n_pre"), F.lit(0)).alias("path_len")
+    ).localCheckpoint(eager=True)
+    hist = lens.groupBy("path_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    m = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.col("path_len").cast("double")).alias("mean_len"),
+    )
+    geom = F.pow(
+        F.col("mean_len") / (1 + F.col("mean_len")), F.col("path_len")
+    ) / (1 + F.col("mean_len"))
+    return (
+        hist.crossJoin(F.broadcast(m))
+        .select(
+            "path_len",
+            "n_users",
+            F.round(F.col("n_users") * 1.0 / F.col("n"), 6).alias("frac"),
+            F.round(geom, 6).alias("geom_expected"),
+        )
+        .orderBy("path_len")
+    )

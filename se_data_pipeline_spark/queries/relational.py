@@ -5116,3 +5116,74 @@ def nation_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Monthly ship-SLA attainment by order priority.
+# --------------------------------------------------------------------------
+_SLA_DAYS = 30
+
+
+@query(
+    "priority_sla_attainment",
+    oracle=f"""
+    WITH first_ship AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS fs FROM lineitem
+      GROUP BY l_orderkey),
+    flagged AS (
+      SELECT o.o_orderpriority AS priority,
+             date_trunc('month', o.o_orderdate) AS month,
+             CASE WHEN date_diff('day', o.o_orderdate, f.fs)
+                  <= {_SLA_DAYS} THEN 1 ELSE 0 END AS met
+      FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey)
+    SELECT priority, month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(met) AS BIGINT) AS n_met,
+           ROUND(SUM(met) * 1.0 / COUNT(*), 6) AS attainment
+    FROM flagged
+    GROUP BY priority, month
+    ORDER BY priority, month
+    """,
+)
+def priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly first-shipment SLA attainment ({d}-day promise) per
+    order priority — the ops trend report that shows whether URGENT
+    actually ships faster, month by month, as an exact fraction.
+
+    Scale: one order-keyed first-ship rollup joined back on the same
+    key (co-partitioned — AQE plans a single exchange pair), then a
+    (priority, month) conditional aggregate. The SLA flag is an
+    integer day comparison, attainment a BIGINT ratio.""".format(
+        d=_SLA_DAYS
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("fs")
+    )
+    flagged = orders.join(
+        first_ship, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.when(
+            F.datediff(
+                F.col("fs").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            <= _SLA_DAYS,
+            1,
+        )
+        .otherwise(0)
+        .alias("met"),
+    )
+    return (
+        flagged.groupBy("priority", "month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("met").cast("long").alias("n_met"),
+            F.round(F.sum("met") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "attainment"
+            ),
+        )
+        .orderBy("priority", "month")
+    )
