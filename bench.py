@@ -209,6 +209,7 @@ HEADLINE = [
     "error_mtbf_report",
     "conversion_path_length",
     "priority_sla_attainment",
+    "brand_supply_redundancy",
 ]
 
 

@@ -5187,3 +5187,78 @@ def priority_sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "month")
     )
+
+
+# --------------------------------------------------------------------------
+# Supply-redundancy risk: single-source parts per brand.
+# --------------------------------------------------------------------------
+@query(
+    "brand_supply_redundancy",
+    oracle="""
+    WITH per_part AS (
+      SELECT l.l_partkey,
+             CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_sup,
+             CAST(COUNT(DISTINCT s.s_nationkey) AS BIGINT) AS n_nations
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY l.l_partkey),
+    joined AS (
+      SELECT p.p_brand AS brand, pp.n_sup, pp.n_nations
+      FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey)
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN n_sup = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS single_sourced,
+           ROUND(SUM(CASE WHEN n_sup = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS single_source_rate,
+           ROUND(AVG(CAST(n_sup AS DOUBLE)), 4) AS avg_suppliers,
+           ROUND(AVG(CAST(n_nations AS DOUBLE)), 4) AS avg_nations
+    FROM joined GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def brand_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain resilience profile: per brand, how many of its
+    traded parts are SINGLE-SOURCED (one observed supplier) and the
+    average supplier / supplier-nation redundancy — the
+    concentration-risk report procurement reviews before a
+    disruption, not after.
+
+    Scale: one part-keyed distinct-count rollup (supplier dimension
+    broadcast), one broadcast brand attach, one 25-row brand
+    aggregate. Exact integer counts throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    per_part = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_sup"),
+            F.countDistinct("s_nationkey").cast("long").alias("n_nations"),
+        )
+    )
+    joined = per_part.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    single = F.sum(F.when(F.col("n_sup") == 1, 1).otherwise(0))
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            single.cast("long").alias("single_sourced"),
+            F.round(single * 1.0 / F.count(F.lit(1)), 6).alias(
+                "single_source_rate"
+            ),
+            F.round(F.avg(F.col("n_sup").cast("double")), 4).alias(
+                "avg_suppliers"
+            ),
+            F.round(F.avg(F.col("n_nations").cast("double")), 4).alias(
+                "avg_nations"
+            ),
+        )
+        .orderBy("brand")
+    )
