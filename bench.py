@@ -210,6 +210,7 @@ HEADLINE = [
     "conversion_path_length",
     "priority_sla_attainment",
     "brand_supply_redundancy",
+    "weekend_effect_welch_ttest",
 ]
 
 

@@ -5719,3 +5719,89 @@ def conversion_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("path_len")
     )
+
+
+# --------------------------------------------------------------------------
+# Welch two-sample t-test: weekday vs weekend daily event value.
+# --------------------------------------------------------------------------
+@query(
+    "weekend_effect_welch_ttest",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             ROUND(SUM(value), 6) AS x,
+             CAST(extract(isodow FROM ts) AS INTEGER) >= 6 AS is_weekend
+      FROM events GROUP BY day, is_weekend),
+    g AS (
+      SELECT is_weekend, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(x) AS m, VAR_SAMP(x) AS v
+      FROM daily GROUP BY is_weekend),
+    wide AS (
+      SELECT MAX(CASE WHEN is_weekend THEN n END) AS n_we,
+             MAX(CASE WHEN is_weekend THEN m END) AS m_we,
+             MAX(CASE WHEN is_weekend THEN v END) AS v_we,
+             MAX(CASE WHEN NOT is_weekend THEN n END) AS n_wd,
+             MAX(CASE WHEN NOT is_weekend THEN m END) AS m_wd,
+             MAX(CASE WHEN NOT is_weekend THEN v END) AS v_wd
+      FROM g)
+    SELECT n_wd AS n_weekday, n_we AS n_weekend,
+           ROUND(m_wd, 4) AS mean_weekday,
+           ROUND(m_we, 4) AS mean_weekend,
+           ROUND((m_we - m_wd) /
+                 sqrt(v_we / n_we + v_wd / n_wd), 4) AS welch_t,
+           ROUND(pow(v_we / n_we + v_wd / n_wd, 2) /
+                 (pow(v_we / n_we, 2) / (n_we - 1)
+                  + pow(v_wd / n_wd, 2) / (n_wd - 1)), 2) AS welch_df
+    FROM wide
+    """,
+)
+def weekend_effect_welch_ttest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch's unequal-variance t-test for the weekend effect on
+    daily event value: t = (m_we - m_wd)/sqrt(v_we/n_we + v_wd/n_wd)
+    with the Welch-Satterthwaite degrees of freedom — the two-sample
+    test the ANOVA family doesn't cover (it assumes equal variances;
+    weekend traffic rarely obliges).
+
+    Scale: one day-grain conditional rollup, a 2-row group frame,
+    and pure algebra on the 1-row wide pivot. ISO day-of-week splits
+    identically in both engines; daily sums round to 1e-6 first."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.dayofweek("ts").isin(1, 7)).alias("is_weekend"),
+    ).agg(F.round(F.sum("value"), 6).alias("x"))
+    g = daily.groupBy("is_weekend").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("v"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("is_weekend"), F.col("n"))).alias("n_we"),
+        F.max(F.when(F.col("is_weekend"), F.col("m"))).alias("m_we"),
+        F.max(F.when(F.col("is_weekend"), F.col("v"))).alias("v_we"),
+        F.max(F.when(~F.col("is_weekend"), F.col("n"))).alias("n_wd"),
+        F.max(F.when(~F.col("is_weekend"), F.col("m"))).alias("m_wd"),
+        F.max(F.when(~F.col("is_weekend"), F.col("v"))).alias("v_wd"),
+    )
+    se2 = F.col("v_we") / F.col("n_we") + F.col("v_wd") / F.col("n_wd")
+    return wide.select(
+        F.col("n_wd").alias("n_weekday"),
+        F.col("n_we").alias("n_weekend"),
+        F.round(F.col("m_wd"), 4).alias("mean_weekday"),
+        F.round(F.col("m_we"), 4).alias("mean_weekend"),
+        F.round(
+            F.try_divide(F.col("m_we") - F.col("m_wd"), F.sqrt(se2)), 4
+        ).alias("welch_t"),
+        F.round(
+            F.try_divide(
+                F.pow(se2, F.lit(2.0)),
+                F.pow(F.col("v_we") / F.col("n_we"), F.lit(2.0))
+                / (F.col("n_we") - 1)
+                + F.pow(F.col("v_wd") / F.col("n_wd"), F.lit(2.0))
+                / (F.col("n_wd") - 1),
+            ),
+            2,
+        ).alias("welch_df"),
+    )
