@@ -211,6 +211,7 @@ HEADLINE = [
     "priority_sla_attainment",
     "brand_supply_redundancy",
     "weekend_effect_welch_ttest",
+    "order_size_dispersion_check",
 ]
 
 

@@ -5262,3 +5262,71 @@ def brand_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Order-size overdispersion: Poisson vs negative-binomial verdict.
+# --------------------------------------------------------------------------
+@query(
+    "order_size_dispersion_check",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             AVG(CAST(n_lines AS DOUBLE)) AS mu,
+             VAR_SAMP(CAST(n_lines AS DOUBLE)) AS v
+      FROM sizes)
+    SELECT n_orders,
+           ROUND(mu, 6) AS mean_lines,
+           ROUND(v, 6) AS var_lines,
+           ROUND(v / mu, 6) AS dispersion_index,
+           CASE WHEN v / mu > 1.2 THEN 'overdispersed_negbin'
+                WHEN v / mu < 0.8 THEN 'underdispersed'
+                ELSE 'poisson_like' END AS verdict,
+           ROUND(CASE WHEN v > mu THEN mu * mu / (v - mu) END, 4)
+             AS negbin_r
+    FROM m
+    """,
+)
+def order_size_dispersion_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-model selection for order sizes: the dispersion index
+    var/mean of lines-per-order decides between Poisson (index ~ 1)
+    and negative binomial (index >> 1, with the implied NB shape
+    r = mu^2/(var-mu)) — the first question any demand or capacity
+    model asks of a count distribution before choosing its
+    likelihood.
+
+    Scale: one order-keyed count rollup and a 1-row moment
+    aggregate. The verdict thresholds compare identically-derived
+    doubles (integer counts in, same division) in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    m = sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.avg(F.col("n_lines").cast("double")).alias("mu"),
+        F.var_samp(F.col("n_lines").cast("double")).alias("v"),
+    )
+    idx = F.try_divide(F.col("v"), F.col("mu"))
+    return m.select(
+        "n_orders",
+        F.round(F.col("mu"), 6).alias("mean_lines"),
+        F.round(F.col("v"), 6).alias("var_lines"),
+        F.round(idx, 6).alias("dispersion_index"),
+        F.when(idx > 1.2, F.lit("overdispersed_negbin"))
+        .when(idx < 0.8, F.lit("underdispersed"))
+        .otherwise(F.lit("poisson_like"))
+        .alias("verdict"),
+        F.round(
+            F.when(
+                F.col("v") > F.col("mu"),
+                F.col("mu") * F.col("mu") / (F.col("v") - F.col("mu")),
+            ),
+            4,
+        ).alias("negbin_r"),
+    )
