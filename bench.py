@@ -212,6 +212,7 @@ HEADLINE = [
     "brand_supply_redundancy",
     "weekend_effect_welch_ttest",
     "order_size_dispersion_check",
+    "returns_by_fulfillment_delay",
 ]
 
 

@@ -5330,3 +5330,84 @@ def order_size_dispersion_check(
             4,
         ).alias("negbin_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# Return rate vs fulfillment delay (the ops-quality dose-response).
+# --------------------------------------------------------------------------
+@query(
+    "returns_by_fulfillment_delay",
+    oracle="""
+    WITH flagged AS (
+      -- floor(x/7.0), NOT x // 7: the synthetic ship dates are not
+      -- ordered after their order dates, and DuckDB's integer //
+      -- truncates toward zero on negatives where Spark floors
+      SELECT CAST(floor(date_diff('day', o.o_orderdate, l.l_shipdate)
+                        / 7.0) AS INTEGER) AS delay_weeks,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    tot AS (
+      SELECT SUM(ret) * 1.0 / COUNT(*) AS base_rate FROM flagged)
+    SELECT f.delay_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(f.ret) AS BIGINT) AS n_returns,
+           ROUND(SUM(f.ret) * 1.0 / COUNT(*), 6) AS return_rate,
+           ROUND((SUM(f.ret) * 1.0 / COUNT(*)) / t.base_rate, 6)
+             AS lift_vs_base
+    FROM flagged f CROSS JOIN tot t
+    GROUP BY f.delay_weeks, t.base_rate
+    ORDER BY f.delay_weeks
+    """,
+)
+def returns_by_fulfillment_delay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dose-response between fulfillment delay and returns: return
+    rate per order-to-ship delay bucket (weeks) with its lift over
+    the base rate — a monotone-increasing curve is the operational
+    smoking gun that slow fulfillment CAUSES returns (and tells you
+    which week threshold to alarm on).
+
+    Scale: one order-keyed broadcast-free join (both sides keyed,
+    AQE co-partitions), then a ~15-bucket conditional aggregate with
+    a 1-row base-rate broadcast. All rates divide exact BIGINTs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    flagged = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.floor(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("delay_weeks"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    tot = flagged.agg(
+        (F.sum("ret") * 1.0 / F.count(F.lit(1))).alias("base_rate")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(tot))
+        .groupBy("delay_weeks", "base_rate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("ret").cast("long").alias("n_returns"),
+            F.round(
+                F.sum("ret") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("return_rate"),
+            F.round(
+                F.try_divide(
+                    F.sum("ret") * 1.0 / F.count(F.lit(1)),
+                    F.any_value(F.col("base_rate")),
+                ),
+                6,
+            ).alias("lift_vs_base"),
+        )
+        .drop("base_rate")
+        .orderBy("delay_weeks")
+    )
