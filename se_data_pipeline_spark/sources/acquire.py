@@ -3,10 +3,13 @@ stage — playlist listing, audio download, metadata/format probes —
 behind pluggable backends with a typed error taxonomy and dead-letter
 routing (T4).
 
-The real backends shell out to yt-dlp / call the YouTube Data API
-(yt_download.py, test2.py); they are stubs here (no network in this
-container). The deterministic fakes generate stable synthetic data
-from key hashes, so every downstream operator is testable.
+The real backend (YtDlpBackend) shells out to yt-dlp exactly as the
+reference does (yt_download.py, test2.py): argv construction, stdout
+parsing and the stderr->error-class taxonomy are pure functions
+tested against recorded fixtures; only the subprocess call itself
+needs the binary + network (injectable runner). The deterministic
+fakes generate stable synthetic data from key hashes, so every
+downstream operator is testable.
 
 Execution-model decisions (SURVEY §4.1 "acquire barrier"):
 - fetch UDFs are marked asNondeterministic() so Catalyst neither
@@ -18,7 +21,9 @@ Execution-model decisions (SURVEY §4.1 "acquire barrier"):
 from __future__ import annotations
 
 import hashlib
-from typing import Protocol
+import os
+import subprocess
+from typing import Callable, Protocol
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -37,6 +42,9 @@ ERR_PREMIERE = "PREMIERE_VIDEO"
 ERR_OFFLINE = "OFFLINE_VIDEO"
 ERR_NO_OUTPUT = "NO_OUTPUT_FILE"
 ERROR_CLASSES = (ERR_PREMIERE, ERR_OFFLINE, ERR_NO_OUTPUT)
+# Unclassified non-zero exit (the reference re-raises the raw stderr,
+# yt_download.py:130): typed here so dead-letter routing still works.
+ERR_DOWNLOAD = "DOWNLOAD_ERROR"
 
 
 class PlaylistBackend(Protocol):
@@ -90,18 +98,178 @@ class FakeAcquireBackend:
         return None
 
 
+# -------------------------------------------------- yt-dlp adapter
+# Real transport code for S8-S11, structured like the silero
+# (operators/audio.py SileroVad) and HF (operators/classify.py
+# HfAstClassifier) adapters: argv construction + output parsing +
+# stderr->error-class mapping are pure functions testable against
+# recorded fixtures; only the subprocess execution itself needs the
+# yt-dlp binary + network (injectable `runner`, default
+# subprocess.run).
+
+
+def yt_playlist_argv(channel_url: str) -> list[str]:
+    """Flat-playlist id listing command (yt_download.py:15)."""
+    return ["yt-dlp", "--flat-playlist", "--print", "id", channel_url]
+
+
+def yt_formats_argv(video_url: str) -> list[str]:
+    """Format-table probe command (yt_download.py:32)."""
+    return ["yt-dlp", "-F", video_url]
+
+
+def yt_duration_argv(video_url: str) -> list[str]:
+    """Metadata-only duration probe. The reference uses the yt_dlp
+    Python API's extract_info(download=False)['duration']
+    (yt_download.py:72-77); the CLI equivalent keeps this adapter
+    binary-only and runner-injectable."""
+    return ["yt-dlp", "--skip-download", "--print", "duration", video_url]
+
+
+def yt_download_argv(
+    video_url: str,
+    output_dir: str = "./",
+    ss: float | None = None,
+    to: float | None = None,
+) -> list[str]:
+    """Audio-download command, argument-for-argument the reference's
+    (yt_download.py:96-117): bestaudio -> wav, resampled to 48 kHz
+    mono by the ffmpeg postprocessor, optional ffmpeg [ss, to) clip
+    window, id-templated output path."""
+    video_id = video_url.split("v=")[-1]
+    output_template = os.path.join(output_dir, f"{video_id}.%(ext)s")
+    command = [
+        "yt-dlp",
+        "-f",
+        "bestaudio",
+        "--extract-audio",
+        "--audio-format",
+        "wav",
+        "--audio-quality",
+        "0",
+        "--postprocessor-args",
+        "-ar 48000 -ac 1",
+    ]
+    if ss is not None and to is not None:
+        command.extend(
+            ["--external-downloader-args", f'ffmpeg:"-ss {ss} -to {to}"']
+        )
+    command.extend(["-o", output_template, video_url])
+    return command
+
+
+def parse_playlist_ids(stdout: str) -> list[str]:
+    """One id per stdout line, blanks dropped (yt_download.py:23-24)."""
+    return [vid for vid in stdout.strip().split("\n") if vid]
+
+
+def formats_have_48k_audio(stdout: str) -> bool:
+    """True iff the -F table lists an audio-only format at 48 kHz
+    (yt_download.py:43-49)."""
+    return any(
+        "audio only" in line and ("48000Hz" in line or "48k" in line)
+        for line in stdout.splitlines()
+    )
+
+
+def classify_yt_stderr(stderr: str) -> str:
+    """Map yt-dlp stderr to the typed error taxonomy
+    (yt_download.py:120-130), e.g.
+    'ERROR: [youtube] TQkOB9uMtdw: Premieres in 9 hours'."""
+    if "Premiere" in stderr:  # covers "Premieres in N hours" too
+        return ERR_PREMIERE
+    if "Offline" in stderr or "This live event will begin in a few moments" in stderr:
+        return ERR_OFFLINE
+    return ERR_DOWNLOAD
+
+
+def classify_download_result(
+    returncode: int, stderr: str, output_exists: bool
+) -> str | None:
+    """Full download outcome -> error class; None = success. A zero
+    exit without the expected .wav is NO_OUTPUT_FILE
+    (yt_download.py:132-134)."""
+    if returncode != 0:
+        return classify_yt_stderr(stderr)
+    if not output_exists:
+        return ERR_NO_OUTPUT
+    return None
+
+
+class AcquireError(Exception):
+    """Typed acquire failure; .error_class feeds dead-letter routing
+    (T4), .stderr keeps the raw transcript for the dead-letter row."""
+
+    def __init__(self, error_class: str, stderr: str = ""):
+        super().__init__(error_class)
+        self.error_class = error_class
+        self.stderr = stderr
+
+
 class YtDlpBackend:
-    """Real backend stub (yt_download.py:14-28,82-136 shell out to
-    yt-dlp). Requires network + yt-dlp binary; not available here."""
+    """Real S8-S11 backend (yt_download.py:14-28,82-136): shells out
+    to yt-dlp. `runner` has the subprocess.run(argv, ...) contract and
+    defaults to it; tests inject a fake returning recorded
+    stdout/stderr so every code path here runs without network."""
 
-    def playlist_ids(self, channel_url: str) -> list[str]:  # pragma: no cover
-        raise NotImplementedError("yt-dlp subprocess source; needs network")
+    def __init__(self, runner: Callable | None = None):
+        self._run = runner if runner is not None else self._subprocess_run
 
-    def video_duration_sec(self, video_url: str) -> int:  # pragma: no cover
-        raise NotImplementedError
+    @staticmethod
+    def _subprocess_run(argv: list[str]):  # pragma: no cover - needs binary
+        return subprocess.run(
+            argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+        )
 
-    def error_class(self, video_url: str) -> str | None:  # pragma: no cover
-        raise NotImplementedError
+    # PlaylistBackend
+    def playlist_ids(self, channel_url: str) -> list[str]:
+        result = self._run(yt_playlist_argv(channel_url))
+        if result.returncode != 0:
+            raise AcquireError(classify_yt_stderr(result.stderr), result.stderr)
+        return parse_playlist_ids(result.stdout)
+
+    # ProbeBackend
+    def video_duration_sec(self, video_url: str) -> int:
+        result = self._run(yt_duration_argv(video_url))
+        if result.returncode != 0:
+            raise AcquireError(classify_yt_stderr(result.stderr), result.stderr)
+        return int(float(result.stdout.strip()))
+
+    def error_class(self, video_url: str) -> str | None:
+        """Probe fetchability via the format table: a failing -F call
+        is classified; a succeeding one means downloadable."""
+        result = self._run(yt_formats_argv(video_url))
+        if result.returncode != 0:
+            return classify_yt_stderr(result.stderr)
+        return None
+
+    # S11 format probe
+    def has_48k_audio(self, video_url: str) -> bool:
+        result = self._run(yt_formats_argv(video_url))
+        if result.returncode != 0:
+            return False
+        return formats_have_48k_audio(result.stdout)
+
+    # S9 download kernel
+    def download_audio(
+        self,
+        video_url: str,
+        output_dir: str = "./",
+        ss: float | None = None,
+        to: float | None = None,
+    ) -> str:
+        """Fetch bestaudio as 48 kHz mono wav; returns the output path
+        or raises a typed AcquireError (yt_download.py:118-136)."""
+        os.makedirs(output_dir, exist_ok=True)
+        video_id = video_url.split("v=")[-1]
+        output_file = os.path.join(output_dir, f"{video_id}.wav")
+        result = self._run(yt_download_argv(video_url, output_dir, ss=ss, to=to))
+        err = classify_download_result(
+            result.returncode, result.stderr, os.path.exists(output_file)
+        )
+        if err is not None:
+            raise AcquireError(err, result.stderr)
+        return output_file
 
 
 def fetch_playlists(channels: DataFrame, backend: PlaylistBackend) -> DataFrame:

@@ -21,6 +21,24 @@ from se_data_pipeline_spark.operators.classify import (
     AC_SR,
     HfAstClassifier,
 )
+from se_data_pipeline_spark.sources.acquire import (
+    ERR_DOWNLOAD,
+    ERR_NO_OUTPUT,
+    ERR_OFFLINE,
+    ERR_PREMIERE,
+    AcquireError,
+    YtDlpBackend,
+    classify_download_result,
+    classify_yt_stderr,
+    fetch_playlists,
+    formats_have_48k_audio,
+    parse_playlist_ids,
+    probe_videos,
+    yt_download_argv,
+    yt_duration_argv,
+    yt_formats_argv,
+    yt_playlist_argv,
+)
 from se_data_pipeline_spark.sources.publish import (
     CheckpointedPublisher,
     HfHubPublisher,
@@ -169,3 +187,171 @@ def test_hf_hub_behind_checkpointed_publisher(tmp_path):
     assert pub.publish("b0", ['{"x":1}']) is False
     assert len(calls) == 1
     assert calls[0]["path_in_repo"] == "batches/b0.json"
+
+
+# ----------------------------------------------------------------- yt-dlp
+
+
+class _Result:
+    def __init__(self, returncode=0, stdout="", stderr=""):
+        self.returncode = returncode
+        self.stdout = stdout
+        self.stderr = stderr
+
+
+class _FakeRunner:
+    """Records argv; replays recorded stdout/stderr per subcommand."""
+
+    def __init__(self, results):
+        self.results = list(results)
+        self.argvs = []
+
+    def __call__(self, argv):
+        self.argvs.append(argv)
+        return self.results.pop(0)
+
+
+def test_yt_playlist_argv_matches_reference():
+    """yt_download.py:15 builds exactly this flat-playlist command."""
+    assert yt_playlist_argv("https://www.youtube.com/@chan") == [
+        "yt-dlp", "--flat-playlist", "--print", "id",
+        "https://www.youtube.com/@chan",
+    ]
+
+
+def test_yt_download_argv_matches_reference():
+    """yt_download.py:96-117: bestaudio -> wav at 48 kHz mono, output
+    templated by video id."""
+    url = "https://www.youtube.com/watch?v=TQkOB9uMtdw"
+    assert yt_download_argv(url, "/tmp/out") == [
+        "yt-dlp", "-f", "bestaudio", "--extract-audio",
+        "--audio-format", "wav", "--audio-quality", "0",
+        "--postprocessor-args", "-ar 48000 -ac 1",
+        "-o", "/tmp/out/TQkOB9uMtdw.%(ext)s", url,
+    ]
+
+
+def test_yt_download_argv_clip_window():
+    """ss/to insert the ffmpeg downloader-args clause
+    (yt_download.py:105-109)."""
+    argv = yt_download_argv("u?v=x", "/tmp/out", ss=0, to=600)
+    i = argv.index("--external-downloader-args")
+    assert argv[i + 1] == 'ffmpeg:"-ss 0 -to 600"'
+    assert argv[-1] == "u?v=x"
+
+
+def test_parse_playlist_ids_drops_blanks():
+    assert parse_playlist_ids("a1\n\nb2\nc3\n") == ["a1", "b2", "c3"]
+
+
+def test_formats_table_48k_detection():
+    """-F table parsing (yt_download.py:43-49): audio-only AND 48k."""
+    table_48k = (
+        "ID  EXT RESOLUTION\n"
+        "249 webm audio only 2ch 50k opus 48000Hz\n"
+        "602 mp4 256x144 30fps\n"
+    )
+    table_44k = "140 m4a audio only 2ch 129k mp4a 44100Hz\n"
+    video_only = "602 mp4 256x144 48k video only\n"
+    assert formats_have_48k_audio(table_48k) is True
+    assert formats_have_48k_audio(table_44k) is False
+    assert formats_have_48k_audio(video_only) is False
+
+
+def test_stderr_taxonomy_recorded_fixtures():
+    """Recorded stderr lines (yt_download.py:120-129) route to the
+    typed classes."""
+    assert (
+        classify_yt_stderr("ERROR: [youtube] TQkOB9uMtdw: Premieres in 9 hours\n")
+        == ERR_PREMIERE
+    )
+    assert classify_yt_stderr("ERROR: [youtube] abc: Offline\n") == ERR_OFFLINE
+    assert (
+        classify_yt_stderr("This live event will begin in a few moments\n")
+        == ERR_OFFLINE
+    )
+    assert classify_yt_stderr("ERROR: [youtube] xyz: Video unavailable\n") == ERR_DOWNLOAD
+
+
+def test_classify_download_result_no_output_file():
+    """rc=0 but missing .wav -> NO_OUTPUT_FILE (yt_download.py:132-134)."""
+    assert classify_download_result(0, "", output_exists=False) == ERR_NO_OUTPUT
+    assert classify_download_result(0, "", output_exists=True) is None
+    assert classify_download_result(1, "x Premieres y", True) == ERR_PREMIERE
+
+
+def test_ytdlp_backend_playlist_and_duration():
+    runner = _FakeRunner([
+        _Result(stdout="vidA\nvidB\n"),
+        _Result(stdout="1234.0\n"),
+    ])
+    be = YtDlpBackend(runner=runner)
+    assert be.playlist_ids("https://www.youtube.com/@c") == ["vidA", "vidB"]
+    assert be.video_duration_sec("u?v=vidA") == 1234
+    assert runner.argvs[0][:4] == ["yt-dlp", "--flat-playlist", "--print", "id"]
+    assert runner.argvs[1] == yt_duration_argv("u?v=vidA")
+
+
+def test_ytdlp_backend_error_class_probe():
+    runner = _FakeRunner([
+        _Result(returncode=1, stderr="ERROR: Premieres in 2 hours"),
+        _Result(returncode=0, stdout="249 webm audio only 48000Hz"),
+    ])
+    be = YtDlpBackend(runner=runner)
+    assert be.error_class("u?v=a") == ERR_PREMIERE
+    assert be.error_class("u?v=b") is None
+    assert runner.argvs[0] == yt_formats_argv("u?v=a")
+
+
+def test_ytdlp_backend_download_success_and_typed_failure(tmp_path):
+    out = str(tmp_path)
+
+    class _TouchRunner(_FakeRunner):
+        def __call__(self, argv):
+            # simulate yt-dlp writing the postprocessed wav
+            (tmp_path / "vidZ.wav").write_bytes(b"RIFF")
+            return super().__call__(argv)
+
+    be = YtDlpBackend(runner=_TouchRunner([_Result()]))
+    path = be.download_audio("https://www.youtube.com/watch?v=vidZ", out)
+    assert path.endswith("vidZ.wav")
+
+    be2 = YtDlpBackend(runner=_FakeRunner([_Result(returncode=1, stderr="Offline")]))
+    with pytest.raises(AcquireError) as ei:
+        be2.download_audio("u?v=vidQ", out)
+    assert ei.value.error_class == ERR_OFFLINE
+
+    # rc=0 with no file -> NO_OUTPUT_FILE
+    be3 = YtDlpBackend(runner=_FakeRunner([_Result()]))
+    with pytest.raises(AcquireError) as ei:
+        be3.download_audio("u?v=vidMissing", out)
+    assert ei.value.error_class == ERR_NO_OUTPUT
+
+
+def test_ytdlp_backend_drives_fetch_and_probe_stages(spark):
+    """The real adapter (with a recorded-fixture runner) slots into the
+    Spark acquire stages exactly like FakeAcquireBackend does."""
+    from pyspark.sql import Row
+
+    from types import SimpleNamespace
+
+    def _per_url_runner(argv):
+        # SimpleNamespace keeps the closure executor-picklable (the
+        # test module itself is not importable on executors)
+        if "--flat-playlist" in argv:
+            return SimpleNamespace(returncode=0, stdout="v001\nv002\n", stderr="")
+        url = argv[-1]
+        if "v001" in url:
+            return SimpleNamespace(returncode=0, stdout="90.0\n", stderr="")
+        return SimpleNamespace(
+            returncode=1, stdout="", stderr="ERROR: x: Premieres in 1 hour"
+        )
+
+    be = YtDlpBackend(runner=_per_url_runner)
+    chans = spark.createDataFrame([Row(id="c1", url="https://www.youtube.com/@c1")])
+    vids = fetch_playlists(chans, be)
+    rows = {r["video_id"]: r for r in probe_videos(vids, be).collect()}
+    assert set(rows) == {"v001", "v002"}
+    assert rows["v001"]["duration_sec"] == 90
+    assert rows["v001"]["error_class"] is None
+    assert rows["v002"]["error_class"] == ERR_PREMIERE
