@@ -287,7 +287,36 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # Full payload to a file: the driver's stdout capture keeps only a
+    # ~3 KB tail, and a 191-query JSON line is longer than that — the
+    # r4 record had "parsed": null because the front of the line was
+    # truncated away. BENCH_LOCAL.json always carries everything.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(out, fh)
+        fh.write("\n")
+
+    # stdout gets ONE compact line guaranteed to fit the tail window:
+    # same summary fields, but "queries" trimmed to the slowest 35
+    # (the scale-relevant ones) + a pointer to the full file.
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:35]
+    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(HEADLINE),
+        "n_timed": len(per_query),
+        "queries_file": "BENCH_LOCAL.json",
+        "calib_sec": calib,
+        "sf": sf,
+    }
+    if errors:
+        compact["n_errors"] = len(errors)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

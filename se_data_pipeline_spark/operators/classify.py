@@ -140,6 +140,46 @@ class HfAstClassifier:
 
 _PRED_SCHEMA_SUFFIX = "preds array<struct<label string, score double>>"
 
+
+def gpu_classify_profile(
+    gpus_per_task: float = 1.0,
+    cpus_per_task: int = 1,
+    executor_gpus: int = 1,
+    executor_cores: int | None = None,
+    discovery_script: str = "",
+):
+    """T6 as code: a stage-level ResourceProfile for the classify
+    stage — the Spark replacement for the reference's process-wide
+    GPU semaphore (mp.py:5, audio_ac.py:35-50). Attach it via
+    classify_segments(..., profile=...): only the classify stage's
+    tasks then demand `gpus_per_task` of the `gpu` resource, so the
+    scheduler serializes GPU work per device cluster-wide while every
+    other stage keeps full CPU parallelism — the semaphore's
+    exclusion property, but elastic and per-stage instead of
+    per-process.
+
+    Requires a cluster manager with stage-level scheduling
+    (YARN/k8s/standalone + dynamic allocation); local mode accepts
+    the profile's construction but refuses execution, so tests assert
+    the profile contents and the wiring, not a local run."""
+    from pyspark.resource import (
+        ExecutorResourceRequests,
+        ResourceProfileBuilder,
+        TaskResourceRequests,
+    )
+
+    treqs = (
+        TaskResourceRequests()
+        .cpus(cpus_per_task)
+        .resource("gpu", gpus_per_task)
+    )
+    ereqs = ExecutorResourceRequests().resource(
+        "gpu", executor_gpus, discoveryScript=discovery_script
+    )
+    if executor_cores is not None:
+        ereqs = ereqs.cores(executor_cores)
+    return ResourceProfileBuilder().require(treqs).require(ereqs).build
+
 # Executor-side singleton cache: one backend instance per (executor,
 # backend-class) — the Spark analog of the reference's module-level
 # model global (audio_ac.py:35-40).
@@ -150,6 +190,7 @@ def classify_segments(
     segments: DataFrame,
     backend_factory=FakeAcClassifier,
     audio_col: str = "audio",
+    profile=None,
 ) -> DataFrame:
     """Append a `preds` column (array<struct<label,score>>) to segment
     rows by running the backend over decoded audio in Arrow batches.
@@ -159,6 +200,9 @@ def classify_segments(
     spark.sql.execution.arrow.maxRecordsPerBatch to the accelerator's
     optimal batch size. The backend is constructed lazily once per
     executor process, not per batch.
+
+    `profile`: optional stage-level ResourceProfile (see
+    gpu_classify_profile) scoping GPU demand to THIS stage only (T6).
     """
     out_schema = ", ".join(
         [f"{name} {dt.simpleString()}" for name, dt in zip(segments.schema.names, [f.dataType for f in segments.schema.fields])]
@@ -189,4 +233,6 @@ def classify_segments(
             ]
             yield pdf[cols + ["preds"]]
 
+    if profile is not None:
+        return segments.mapInPandas(run, out_schema, profile=profile)
     return segments.mapInPandas(run, out_schema)

@@ -3603,55 +3603,56 @@ def events_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2
         ).alias("mid_us")
     )
-    with_half = ev.crossJoin(F.broadcast(bounds))
-    ref = with_half.filter(
-        _ts_micros(F.col("ts")) < F.col("mid_us")
-    ).select("event_type", "value")
-    cur = with_half.filter(
-        _ts_micros(F.col("ts")) >= F.col("mid_us")
-    ).select("event_type", "value")
-    cuts = ref.groupBy("event_type").agg(
-        F.expr(
-            "transform(percentile(value, array(0.1D, 0.2D, 0.3D, 0.4D, "
-            "0.5D, 0.6D, 0.7D, 0.8D, 0.9D)), x -> round(x, 6))"
-        ).alias("c")
+    # Reference-half decile cuts (|types| rows, broadcast back).
+    cuts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(_ts_micros(F.col("ts")) < F.col("mid_us"))
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(percentile(value, array(0.1D, 0.2D, 0.3D, 0.4D, "
+                "0.5D, 0.6D, 0.7D, 0.8D, 0.9D)), x -> round(x, 6))"
+            ).alias("c")
+        )
     )
-
-    def banded(df):
-        return (
-            df.join(F.broadcast(cuts), "event_type")
-            .select(
-                "event_type",
-                (
-                    F.lit(1)
-                    + F.size(
-                        F.filter(F.col("c"), lambda x: F.col("value") > x)
-                    )
-                ).alias("band"),
-            )
-            .groupBy("event_type", "band")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-
-    rb, cb = banded(ref), banded(cur)
-    rt = rb.groupBy("event_type").agg(F.sum("n").alias("nt_r"))
-    ct = cb.groupBy("event_type").agg(F.sum("n").alias("nt_c"))
-    terms = (
-        rb.join(F.broadcast(rt), "event_type")
-        .join(
-            F.broadcast(cb.withColumnRenamed("n", "n_c")),
-            ["event_type", "band"],
-            "left",
-        )
-        .join(F.broadcast(ct), "event_type")
+    # ONE banding pass over the full table: half assignment and band
+    # lookup are row-local, the conditional aggregate counts both
+    # halves map-side. (The r4 plan built ref/cur band tables as four
+    # separate lineages — 16 events scans; this shape reads events 4x:
+    # bounds, cuts' bounds, cuts, and this pass.)
+    is_ref = _ts_micros(F.col("ts")) < F.col("mid_us")
+    half_counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .join(F.broadcast(cuts), "event_type")
         .select(
             "event_type",
-            (F.col("n") * 1.0 / F.col("nt_r")).alias("p"),
+            is_ref.alias("in_ref"),
             (
-                (F.coalesce(F.col("n_c"), F.lit(0)) + 0.5)
-                * 1.0
-                / (F.col("nt_c") + 5.0)
-            ).alias("q"),
+                F.lit(1)
+                + F.size(F.filter(F.col("c"), lambda x: F.col("value") > x))
+            ).alias("band"),
+        )
+        .groupBy("event_type", "band")
+        .agg(
+            F.sum(F.when(F.col("in_ref"), 1).otherwise(0)).alias("n_r"),
+            F.sum(F.when(F.col("in_ref"), 0).otherwise(1)).alias("n_c"),
+        )
+    )
+    # Per-type totals via a partitioned window on the tiny banded
+    # frame (|types| x <=11 rows) — no self-joins, so the big scan
+    # lineage above is never duplicated.
+    w = W.partitionBy("event_type")
+    terms = (
+        half_counts.withColumn("nt_r", F.sum("n_r").over(w))
+        .withColumn("nt_c", F.sum("n_c").over(w))
+        # term set is keyed by REFERENCE bands (rb rows in the oracle);
+        # types with an empty current half vanish via the oracle's
+        # inner join to ct — nt_c > 0 replicates that exactly.
+        .filter((F.col("n_r") > 0) & (F.col("nt_c") > 0))
+        .select(
+            "event_type",
+            (F.col("n_r") * 1.0 / F.col("nt_r")).alias("p"),
+            ((F.col("n_c") + 0.5) * 1.0 / (F.col("nt_c") + 5.0)).alias("q"),
         )
     )
     psi = F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
@@ -4335,149 +4336,159 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     state (transitions into it divert to NULL) and measure how much
     the chain's START->CONV absorption probability drops; shares
     normalize the four removal effects. The absorption probability is
-    computed by {it} fixed Jacobi iterations of p = C p + c_conv in
-    WIDE form (one row per scenario, one column per state) — both
-    engines run the IDENTICAL truncated iteration with identical
-    term order, so results match exactly without convergence
-    arguments.
+    computed by {it} fixed Jacobi iterations of p = C p + c_conv —
+    both engines run the IDENTICAL truncated iteration with identical
+    (left-associative) term order, so results match exactly without
+    convergence arguments.
 
     Scale: the data-sized work is one per-user lag window + one
     (src, dst) count rollup — everything after is algebra on a 5-row
-    (scenario) x 30-column coefficient frame. The iteration
-    checkpoints every 5 rounds so the projection tree never
-    collapses into a 5^k-node expression; 25 tiny local jobs total,
-    independent of corpus size.""".format(it=_MARKOV_ITERS)
+    (scenario) x 30-column coefficient frame, which is BOUNDED BY
+    CONSTRUCTION (|scenarios| x |channels| is fixed, independent of
+    corpus size), so it is collected and iterated driver-side: IEEE
+    double + left-associative addition match the JVM bit-for-bit, and
+    the r4 shape's 25 tiny checkpointed Spark jobs (~4 s of pure
+    scheduling overhead at sf0.1) collapse into one collect. The
+    driver-side rounding replays Spark/DuckDB ROUND exactly
+    (shortest-repr decimal, HALF_UP) and try_divide's null-on-zero is
+    an explicit guard.""".format(it=_MARKOV_ITERS)
     ev = load_table(spark, sf_dir, "events")
     chans = _MARKOV_CHANNELS
 
-    fp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("fpts"))
-    )
-    pre = (
-        ev.filter(F.col("event_type") != "purchase")
-        .join(F.broadcast(fp), "user_id", "left")
-        .filter(F.col("fpts").isNull() | (F.col("ts") < F.col("fpts")))
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = pre.select(
-        "user_id",
-        "event_type",
-        "fpts",
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n_ev"),
+    # ONE pass over events: per user, the first-purchase timestamp
+    # and the (ts, event_id)-sorted non-purchase path come from a
+    # single groupBy — no fp join, no per-user windows, no 3-way
+    # union re-running the sequence lineage (the r4 shape cost ~3.4 s
+    # at sf0.1; this is one scan + one user-keyed shuffle). The path
+    # filter (events before first purchase) and the START/terminal
+    # transition synthesis are array HOFs on the grouped row.
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fpts"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("event_type") != "purchase",
+                    F.struct("ts", "event_id", "event_type"),
+                )
+            )
+        ).alias("evs_all"),
     )
     steps = (
-        seq.select(
-            F.coalesce(F.col("prev_type"), F.lit("START")).alias("src"),
-            F.col("event_type").alias("dst"),
+        per_user.withColumn(
+            "evs",
+            F.expr("filter(evs_all, x -> fpts IS NULL OR x.ts < fpts)"),
         )
-        .unionByName(
-            seq.filter(F.col("rn") == F.col("n_ev")).select(
-                F.col("event_type").alias("src"),
-                F.when(F.col("fpts").isNotNull(), F.lit("CONV"))
-                .otherwise(F.lit("NULL"))
-                .alias("dst"),
-            )
+        .select(
+            F.explode(
+                F.expr(
+                    """
+            CASE WHEN size(evs) = 0 THEN
+              IF(fpts IS NOT NULL,
+                 array(named_struct('src', 'START', 'dst', 'CONV')),
+                 array())
+            ELSE
+              concat(
+                transform(evs, (x, i) -> named_struct(
+                  'src', CASE WHEN i = 0 THEN 'START'
+                              ELSE evs[i - 1].event_type END,
+                  'dst', x.event_type)),
+                array(named_struct(
+                  'src', evs[size(evs) - 1].event_type,
+                  'dst', IF(fpts IS NOT NULL, 'CONV', 'NULL'))))
+            END
+            """
+                )
+            ).alias("step")
         )
-        .unionByName(
-            fp.join(
-                pre.select("user_id").distinct(), "user_id", "left_anti"
-            ).select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
-        )
+        .select("step.src", "step.dst")
     )
     cnts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
-    outs = cnts.groupBy("src").agg(F.sum("c").alias("o"))
-    trans = cnts.join(outs, "src").select(
-        "src", "dst", (F.col("c") * 1.0 / F.col("o")).alias("p")
-    )
-    scen = spark.range(5).select(
-        F.element_at(
-            F.array(*[F.lit(x) for x in ["base"] + chans]),
-            F.col("id").cast("int") + 1,
-        ).alias("removed")
-    )
-    strans = (
-        trans.crossJoin(F.broadcast(scen))
-        .filter(F.col("src") != F.col("removed"))
-        .select(
-            "removed",
-            "src",
-            F.when(F.col("dst") == F.col("removed"), F.lit("NULL"))
-            .otherwise(F.col("dst"))
-            .alias("eff_dst"),
-            "p",
-        )
-    )
-    coef_aggs = []
-    for s in ["START"] + chans:
-        sl = s.lower()
-        for t in chans + ["CONV"]:
-            tn = "conv" if t == "CONV" else t
-            coef_aggs.append(
-                F.sum(
-                    F.when(
-                        (F.col("src") == s) & (F.col("eff_dst") == t),
-                        F.col("p"),
-                    ).otherwise(F.lit(0.0))
-                ).alias(f"c_{sl}_{tn}")
-            )
-    coef = (
-        strans.groupBy("removed").agg(*coef_aggs).localCheckpoint(eager=True)
-    )
-    # wide Jacobi iteration: p = C p + c_conv, identical term order
-    # to the oracle's recursive CTE
+    # Bounded allreduce: the transition-count matrix is at most
+    # |states| x |states+absorbers| rows (~40) BY CONSTRUCTION — the
+    # only data-sized work above is one scan + two shuffles. Collect
+    # it once and run the scenario/coefficient/Jacobi algebra
+    # driver-side: every coefficient cell is a SINGLE c/o ratio (no
+    # float summation order to preserve — out-degrees sum exact
+    # BIGINTs), division and the left-associative Jacobi term order
+    # are IEEE-identical to the oracle's recursive CTE. The r4 shape
+    # (5-scenario crossJoin + 30-column pivot agg + 25 checkpointed
+    # iteration jobs) spent ~4 s of scheduler/codegen overhead on
+    # these same ~40 numbers.
+    cnt_rows = [(r["src"], r["dst"], r["c"]) for r in cnts.collect()]
+    outs: dict[str, int] = {}
+    for src, _dst, c in cnt_rows:
+        outs[src] = outs.get(src, 0) + c
+    trans_p = [(src, dst, c * 1.0 / outs[src]) for src, dst, c in cnt_rows]
+
     states = ["start"] + chans
-    p = coef.select(
-        "removed", *[F.lit(0.0).alias(f"p_{s}") for s in states]
-    )
-    for i in range(_MARKOV_ITERS):
-        p = p.join(coef, "removed").select(
-            "removed",
-            *[
-                (
-                    F.col(f"c_{s}_click") * F.col("p_click")
-                    + F.col(f"c_{s}_error") * F.col("p_error")
-                    + F.col(f"c_{s}_signup") * F.col("p_signup")
-                    + F.col(f"c_{s}_view") * F.col("p_view")
-                    + F.col(f"c_{s}_conv")
-                ).alias(f"p_{s}")
+    conv_rows = []
+    for removed in ["base"] + chans:
+        # removed channel: its outgoing rows drop, inbound divert to
+        # NULL; coef[src][t] for t in channels+CONV stays single-value
+        coef: dict[str, dict[str, float]] = {}
+        for src, dst, p in trans_p:
+            if src == removed:
+                continue
+            eff_dst = "NULL" if dst == removed else dst
+            key = "conv" if eff_dst == "CONV" else eff_dst
+            sl = src.lower()
+            coef.setdefault(sl, {})[key] = coef.get(sl, {}).get(key, 0.0) + p
+        p_vec = {s: 0.0 for s in states}
+        for _ in range(_MARKOV_ITERS):
+            p_vec = {
+                s: coef.get(s, {}).get("click", 0.0) * p_vec["click"]
+                + coef.get(s, {}).get("error", 0.0) * p_vec["error"]
+                + coef.get(s, {}).get("signup", 0.0) * p_vec["signup"]
+                + coef.get(s, {}).get("view", 0.0) * p_vec["view"]
+                + coef.get(s, {}).get("conv", 0.0)
                 for s in states
-            ],
+            }
+        conv_rows.append((removed, p_vec["start"]))
+
+    # Final 4-row projection, also driver-side: materializing it as
+    # Spark crossJoins over LocalRelations cost ~1.4 s of broadcast/
+    # AQE scheduling for four rows. _round6 reproduces Spark's and
+    # DuckDB's ROUND on doubles (shortest-repr decimal, HALF_UP);
+    # try_divide's null-on-zero becomes an explicit guard.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float | None) -> float | None:
+        if x is None:
+            return None
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
         )
-        if (i + 1) % 5 == 0:
-            p = p.localCheckpoint(eager=True)
-    conv = p.select("removed", F.col("p_start"))
-    base = conv.filter(F.col("removed") == "base").select(
-        F.col("p_start").alias("p_base")
-    )
-    re = (
-        conv.filter(F.col("removed") != "base")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("removed").alias("channel"),
-            F.round("p_base", 6).alias("p_conversion_base"),
-            F.round("p_start", 6).alias("p_conversion_removed"),
-            (1 - F.try_divide(F.col("p_start"), F.col("p_base"))).alias(
-                "eff"
+
+    p_base = dict(conv_rows)["base"]
+    re_rows = []
+    for removed, p_start in conv_rows:
+        if removed == "base":
+            continue
+        eff = None if p_base == 0 else 1 - p_start / p_base
+        re_rows.append((removed, p_start, eff))
+    effs = [e for _, _, e in re_rows if e is not None]
+    te = sum(effs) if effs else None
+    out_rows = [
+        (
+            channel,
+            _round6(p_base),
+            _round6(p_start),
+            _round6(eff),
+            _round6(
+                eff / te if eff is not None and te not in (None, 0.0) else None
             ),
         )
-    )
-    tot = re.agg(F.sum("eff").alias("te"))
-    return (
-        re.crossJoin(F.broadcast(tot))
-        .select(
-            "channel",
-            "p_conversion_base",
-            "p_conversion_removed",
-            F.round("eff", 6).alias("removal_effect"),
-            F.round(F.try_divide(F.col("eff"), F.col("te")), 6).alias(
-                "attribution_share"
-            ),
-        )
-        .orderBy("channel")
+        for channel, p_start, eff in re_rows
+    ]
+    return spark.createDataFrame(
+        sorted(out_rows),
+        "channel string, p_conversion_base double, "
+        "p_conversion_removed double, removal_effect double, "
+        "attribution_share double",
     )
 
 
@@ -5691,7 +5702,9 @@ def conversion_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre = (
         ev.filter(F.col("event_type") != "purchase")
-        .join(F.broadcast(fp), "user_id")
+        # no broadcast hint: fp is user-keyed (data-sized) — let AQE
+        # choose; a forced broadcast risks OOM at the 100 TB target
+        .join(fp, "user_id")
         .filter(F.col("ts") < F.col("fpts"))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pre"))

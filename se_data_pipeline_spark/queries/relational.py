@@ -4766,8 +4766,9 @@ def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred AS (
       SELECT p_partkey, ANY_VALUE(true_brand) AS true_brand,
              arg_max(cand, ROUND(score, 6)
-                           - CAST(regexp_extract(cand, '[0-9]+')
-                                  AS INTEGER) * 1e-9) AS predicted
+                           - COALESCE(TRY_CAST(regexp_extract(cand, '[0-9]+')
+                                               AS INTEGER), 0) * 1e-9)
+               AS predicted
       FROM scores GROUP BY p_partkey)
     SELECT true_brand AS brand,
            CAST(COUNT(*) AS BIGINT) AS n_parts,

@@ -3397,7 +3397,10 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's spelling). Counts are two hash aggregates keyed on 8-byte
     xxhash64 token keys; the doc pair stream joins the count tables on
     those same hashed keys (the heavy shuffles carry longs, not
-    strings), then one groupBy(doc_id) folds log-scores. The unigram
+    strings — assumes no 64-bit hash collision between distinct
+    tokens, the same negligible-probability convention as the other
+    hash-keyed queries; the oracle joins raw strings), then one
+    groupBy(doc_id) folds log-scores. The unigram
     total is a 1-row broadcast. Vocab tables are Zipf-bounded —
     far smaller than the corpus — so at 100 TB the count-table joins
     broadcast or AQE-sort-merge on keys that are already uniform."""

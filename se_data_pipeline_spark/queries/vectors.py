@@ -1563,8 +1563,10 @@ def embedding_intrinsic_dimension(
 ) -> DataFrame:
     """Levina-Bickel MLE intrinsic dimension: for each sampled query
     vector, m_hat = [(1/(k-1)) sum ln(T_k/T_j)]^-1 over its k = 10
-    euclidean nearest-neighbor distances, averaged over a
-    deterministic 10% sample — the manifold-dimension estimate that
+    euclidean nearest-neighbor distances, averaged over a fixed
+    50-query deterministic sample (_ID_N_QUERIES — constant-size by
+    design so the estimate's cost does not grow with the corpus) —
+    the manifold-dimension estimate that
     tells you whether 64 stored dims carry ~6 effective ones (PQ and
     Matryoshka truncation will be nearly free) or ~40 (every
     compression hurts).
