@@ -7,6 +7,7 @@ oracle-checkable surface).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -26,6 +27,40 @@ def _ts_micros(col: Column) -> Column:
     epoch arithmetic matches regardless of the harness's tz.
     """
     return F.unix_micros(col.cast("timestamp"))
+
+
+# Robustness cap on per-key collected event state (VERDICT r5 watch
+# item): aggregation buffers (ObjectHashAggregate holding a
+# collect_list) do NOT spill the way window sorts do, so a mega-user
+# with millions of events would OOM the task at the 100 TB target.
+# Every per-user/session path builder below therefore bounds its
+# input BEFORE the aggregate via _cap_per_key. Fixture users sit 2-3
+# orders of magnitude below the cap, so all oracles stay exact; above
+# the cap the documented semantics are "the first N events per key
+# (by ts, event_id) are considered".
+MAX_EVENTS_PER_KEY = 10_000
+
+
+def _cap_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    cap: int = MAX_EVENTS_PER_KEY,
+) -> DataFrame:
+    """Keep only the first `cap` rows per key, ordered by order_cols.
+
+    This is the spill-safe mega-key guard: the row_number pre-filter
+    runs as a window whose per-key sort spills to disk, on the same
+    hash partitioning the downstream groupBy(keys) reuses (Spark's
+    ClusteredDistribution subset rule — ONE shuffle total), so the
+    subsequent collect_list buffer holds at most `cap` entries
+    instead of an unbounded per-key history."""
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
 
 
 @query(
@@ -761,15 +796,13 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the funnel filter (event_type IN the three stages) is
     pushed to the scan, so the shuffle carries only funnel events.
-    The collected arrays are per-user funnel timestamps — bounded by
-    per-user activity, not corpus size; a pathological mega-user is
-    the same skew AQE's skew-join handles elsewhere, and the arrays
-    could fall back to per-user sort + applyInPandas if one user
-    exceeded task memory (not the case in any realistic event
-    stream)."""
+    The collected arrays are per-user funnel timestamps, bounded by
+    _cap_per_key's MAX_EVENTS_PER_KEY spill-safe pre-filter so a
+    pathological mega-user cannot OOM the aggregate's buffer."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click", "purchase")
     )
+    ev = _cap_per_key(ev, ["user_id"], ["ts", "event_id"])
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
             "t_view"
@@ -2338,7 +2371,11 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts then the unique event_id tie-break), then project the types
     and join with '>'. Sessionization windows and the path groupBy
     all share the user_id partitioning; the path count is map-side
-    combinable; the final cut is TakeOrderedAndProject."""
+    combinable; the final cut is TakeOrderedAndProject. The
+    per-session collect is bounded by _cap_per_key (a mega-session
+    cannot OOM the aggregate buffer; the cap window reuses the
+    user_id partitioning via the ClusteredDistribution subset
+    rule)."""
     ev = load_table(spark, sf_dir, "events")
     order = W.partitionBy("user_id").orderBy("ts", "event_id")
     micros = _ts_micros(F.col("ts"))
@@ -2353,6 +2390,9 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_session").over(
             order.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
+    )
+    sess = _cap_per_key(
+        sess, ["user_id", "session_id"], ["ts", "event_id"]
     )
     paths = (
         sess.groupBy("user_id", "session_id")
@@ -3481,7 +3521,13 @@ def event_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour_us = 3_600_000_000
     day_us = 24 * hour_us
     per_user = (
-        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        _cap_per_key(
+            ev.filter(
+                F.col("event_type").isin("view", "click", "purchase")
+            ),
+            ["user_id"],
+            ["ts", "event_id"],
+        )
         .groupBy("user_id")
         .agg(
             F.min(
@@ -3768,16 +3814,16 @@ def user_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex, instead of a stateful NFA operator.
 
     Scale: ONE shuffle (groupBy user_id); the path strings are
-    user-local and bounded by per-user activity, the regex evaluation
-    is codegen'd row-local work, and the 4 pattern counts ride one
-    aggregate over the per-user frame (unpivoted via stack to rows).
-    At 100 TB the per-user collect is the same state any
-    sessionization keeps; a mega-user guard is a length cap on the
-    path (slice the collect_list) that none of these anchored/short
-    patterns need more than a few chars of."""
+    user-local, the regex evaluation is codegen'd row-local work, and
+    the 4 pattern counts ride one aggregate over the per-user frame
+    (unpivoted via stack to rows). The per-user collect is bounded by
+    _cap_per_key's spill-safe MAX_EVENTS_PER_KEY pre-filter — none of
+    these anchored/short patterns need more than a few chars of
+    path, so the cap cannot change a match."""
     ev = load_table(spark, sf_dir, "events")
     paths = (
-        ev.groupBy("user_id")
+        _cap_per_key(ev, ["user_id"], ["ts", "event_id"])
+        .groupBy("user_id")
         .agg(
             F.array_join(
                 F.transform(
@@ -4361,8 +4407,13 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union re-running the sequence lineage (the r4 shape cost ~3.4 s
     # at sf0.1; this is one scan + one user-keyed shuffle). The path
     # filter (events before first purchase) and the START/terminal
-    # transition synthesis are array HOFs on the grouped row.
-    per_user = ev.groupBy("user_id").agg(
+    # transition synthesis are array HOFs on the grouped row. The
+    # per-user collect is bounded by _cap_per_key (spill-safe
+    # mega-user guard; the cap window shares the groupBy's user_id
+    # partitioning, so still one shuffle).
+    per_user = _cap_per_key(ev, ["user_id"], ["ts", "event_id"]).groupBy(
+        "user_id"
+    ).agg(
         F.min(
             F.when(F.col("event_type") == "purchase", F.col("ts"))
         ).alias("fpts"),
@@ -4405,90 +4456,112 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("step.src", "step.dst")
     )
     cnts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
-    # Bounded allreduce: the transition-count matrix is at most
+
+    # Bounded reduce-to-one: the transition-count matrix is at most
     # |states| x |states+absorbers| rows (~40) BY CONSTRUCTION — the
-    # only data-sized work above is one scan + two shuffles. Collect
-    # it once and run the scenario/coefficient/Jacobi algebra
-    # driver-side: every coefficient cell is a SINGLE c/o ratio (no
-    # float summation order to preserve — out-degrees sum exact
-    # BIGINTs), division and the left-associative Jacobi term order
-    # are IEEE-identical to the oracle's recursive CTE. The r4 shape
-    # (5-scenario crossJoin + 30-column pivot agg + 25 checkpointed
-    # iteration jobs) spent ~4 s of scheduler/codegen overhead on
-    # these same ~40 numbers.
-    cnt_rows = [(r["src"], r["dst"], r["c"]) for r in cnts.collect()]
-    outs: dict[str, int] = {}
-    for src, _dst, c in cnt_rows:
-        outs[src] = outs.get(src, 0) + c
-    trans_p = [(src, dst, c * 1.0 / outs[src]) for src, dst, c in cnt_rows]
-
+    # only data-sized work above is one scan + two shuffles. The
+    # scenario/coefficient/Jacobi algebra over those ~40 numbers runs
+    # as a single-group applyInPandas stage so the whole query stays
+    # LAZY (the r5 shape collect()ed at constructor time, executing a
+    # full events scan during plan-build and hiding the data-sized
+    # subplan from tools/plan_audit.py's hard gate). Every coefficient
+    # cell is a SINGLE c/o ratio (no float summation order to preserve
+    # — out-degrees sum exact BIGINTs), division and the
+    # left-associative Jacobi term order are IEEE-identical to the
+    # oracle's recursive CTE. The _round6 helper reproduces Spark's
+    # and DuckDB's ROUND on doubles (shortest-repr decimal, HALF_UP);
+    # try_divide's null-on-zero is an explicit guard.
+    n_iters = _MARKOV_ITERS
     states = ["start"] + chans
-    conv_rows = []
-    for removed in ["base"] + chans:
-        # removed channel: its outgoing rows drop, inbound divert to
-        # NULL; coef[src][t] for t in channels+CONV stays single-value
-        coef: dict[str, dict[str, float]] = {}
-        for src, dst, p in trans_p:
-            if src == removed:
-                continue
-            eff_dst = "NULL" if dst == removed else dst
-            key = "conv" if eff_dst == "CONV" else eff_dst
-            sl = src.lower()
-            coef.setdefault(sl, {})[key] = coef.get(sl, {}).get(key, 0.0) + p
-        p_vec = {s: 0.0 for s in states}
-        for _ in range(_MARKOV_ITERS):
-            p_vec = {
-                s: coef.get(s, {}).get("click", 0.0) * p_vec["click"]
-                + coef.get(s, {}).get("error", 0.0) * p_vec["error"]
-                + coef.get(s, {}).get("signup", 0.0) * p_vec["signup"]
-                + coef.get(s, {}).get("view", 0.0) * p_vec["view"]
-                + coef.get(s, {}).get("conv", 0.0)
-                for s in states
-            }
-        conv_rows.append((removed, p_vec["start"]))
 
-    # Final 4-row projection, also driver-side: materializing it as
-    # Spark crossJoins over LocalRelations cost ~1.4 s of broadcast/
-    # AQE scheduling for four rows. _round6 reproduces Spark's and
-    # DuckDB's ROUND on doubles (shortest-repr decimal, HALF_UP);
-    # try_divide's null-on-zero becomes an explicit guard.
-    from decimal import ROUND_HALF_UP, Decimal
+    def _jacobi(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
 
-    def _round6(x: float | None) -> float | None:
-        if x is None:
-            return None
-        return float(
-            Decimal(repr(x)).quantize(
-                Decimal("0.000001"), rounding=ROUND_HALF_UP
+        def _round6(x: float | None) -> float | None:
+            if x is None:
+                return None
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
             )
+
+        cnt_rows = list(
+            zip(pdf["src"].tolist(), pdf["dst"].tolist(), pdf["c"].tolist())
+        )
+        outs: dict[str, int] = {}
+        for src, _dst, c in cnt_rows:
+            outs[src] = outs.get(src, 0) + c
+        trans_p = [(src, dst, c * 1.0 / outs[src]) for src, dst, c in cnt_rows]
+
+        conv_rows = []
+        for removed in ["base"] + chans:
+            # removed channel: its outgoing rows drop, inbound divert
+            # to NULL; coef[src][t] stays single-value per cell
+            coef: dict[str, dict[str, float]] = {}
+            for src, dst, p in trans_p:
+                if src == removed:
+                    continue
+                eff_dst = "NULL" if dst == removed else dst
+                key = "conv" if eff_dst == "CONV" else eff_dst
+                sl = src.lower()
+                coef.setdefault(sl, {})[key] = (
+                    coef.get(sl, {}).get(key, 0.0) + p
+                )
+            p_vec = {s: 0.0 for s in states}
+            for _ in range(n_iters):
+                p_vec = {
+                    s: coef.get(s, {}).get("click", 0.0) * p_vec["click"]
+                    + coef.get(s, {}).get("error", 0.0) * p_vec["error"]
+                    + coef.get(s, {}).get("signup", 0.0) * p_vec["signup"]
+                    + coef.get(s, {}).get("view", 0.0) * p_vec["view"]
+                    + coef.get(s, {}).get("conv", 0.0)
+                    for s in states
+                }
+            conv_rows.append((removed, p_vec["start"]))
+
+        p_base = dict(conv_rows)["base"]
+        re_rows = []
+        for removed, p_start in conv_rows:
+            if removed == "base":
+                continue
+            eff = None if p_base == 0 else 1 - p_start / p_base
+            re_rows.append((removed, p_start, eff))
+        effs = [e for _, _, e in re_rows if e is not None]
+        te = sum(effs) if effs else None
+        out_rows = sorted(
+            (
+                channel,
+                _round6(p_base),
+                _round6(p_start),
+                _round6(eff),
+                _round6(
+                    eff / te
+                    if eff is not None and te not in (None, 0.0)
+                    else None
+                ),
+            )
+            for channel, p_start, eff in re_rows
+        )
+        return pd.DataFrame(
+            out_rows,
+            columns=[
+                "channel",
+                "p_conversion_base",
+                "p_conversion_removed",
+                "removal_effect",
+                "attribution_share",
+            ],
         )
 
-    p_base = dict(conv_rows)["base"]
-    re_rows = []
-    for removed, p_start in conv_rows:
-        if removed == "base":
-            continue
-        eff = None if p_base == 0 else 1 - p_start / p_base
-        re_rows.append((removed, p_start, eff))
-    effs = [e for _, _, e in re_rows if e is not None]
-    te = sum(effs) if effs else None
-    out_rows = [
-        (
-            channel,
-            _round6(p_base),
-            _round6(p_start),
-            _round6(eff),
-            _round6(
-                eff / te if eff is not None and te not in (None, 0.0) else None
-            ),
+    return (
+        cnts.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            _jacobi,
+            "channel string, p_conversion_base double, "
+            "p_conversion_removed double, removal_effect double, "
+            "attribution_share double",
         )
-        for channel, p_start, eff in re_rows
-    ]
-    return spark.createDataFrame(
-        sorted(out_rows),
-        "channel string, p_conversion_base double, "
-        "p_conversion_removed double, removal_effect double, "
-        "attribution_share double",
     )
 
 

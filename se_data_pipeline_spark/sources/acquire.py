@@ -151,6 +151,15 @@ def yt_download_argv(
         "-ar 48000 -ac 1",
     ]
     if ss is not None and to is not None:
+        # Reference-parity quirk (yt_download.py:112-114): the inner
+        # quotes are embedded verbatim in the argv element. Since argv
+        # bypasses the shell, yt-dlp shlex-splits the value into one
+        # malformed ffmpeg token and the clip window is silently
+        # ignored — the reference downloads full videos and trims
+        # afterwards (K6), which is why this never surfaced. Kept
+        # byte-identical for argv-parity; do NOT treat as a working
+        # clip window. The correct form would be
+        # f"ffmpeg:-ss {ss} -to {to}".
         command.extend(
             ["--external-downloader-args", f'ffmpeg:"-ss {ss} -to {to}"']
         )
@@ -165,7 +174,15 @@ def parse_playlist_ids(stdout: str) -> list[str]:
 
 def formats_have_48k_audio(stdout: str) -> bool:
     """True iff the -F table lists an audio-only format at 48 kHz
-    (yt_download.py:43-49)."""
+    (yt_download.py:43-49).
+
+    Fidelity note (reference parity, kept bug-compatible): the bare
+    '48k' substring also matches a 48 kbps *bitrate* token (yt-dlp
+    prints e.g. 'audio only ... 48k ... 44100Hz'), so a 44.1 kHz
+    stream at 48 kbps false-positively reports 48 kHz. The reference
+    makes the same check; anchoring on the sample-rate column
+    (r'\\b48000Hz\\b|\\b48kHz\\b') would fix it at the cost of parity.
+    """
     return any(
         "audio only" in line and ("48000Hz" in line or "48k" in line)
         for line in stdout.splitlines()
@@ -318,8 +335,22 @@ def probe_videos(videos: DataFrame, backend: ProbeBackend) -> DataFrame:
         for vid in video_ids:
             url = f"https://www.youtube.com/watch?v={vid}"
             err = backend.error_class(url)
+            dur = None
+            if err is None:
+                # A per-video probe failure must dead-letter the ROW,
+                # not crash the task (T4): the real YtDlpBackend raises
+                # AcquireError on non-zero exit, and int(float(...))
+                # raises ValueError when yt-dlp prints 'NA' for a
+                # missing duration (e.g. live streams whose -F probe
+                # succeeds).
+                try:
+                    dur = backend.video_duration_sec(url)
+                except AcquireError as exc:
+                    err = exc.error_class
+                except ValueError:
+                    err = ERR_DOWNLOAD
             errs.append(err)
-            durs.append(None if err else backend.video_duration_sec(url))
+            durs.append(dur)
         return pd.DataFrame({"duration_sec": durs, "error_class": errs})
 
     probe_udf = _probe.asNondeterministic()

@@ -14,10 +14,15 @@ given sf_dir and reports the scale-relevant physical signals:
   patterns); anything else is a red flag
 - uw: unpartitioned Window nodes (whole input funnels through ONE
   task — the round-2 doc_rank_fusion scale-killer class). Hard fail.
+- eager: Spark jobs executed DURING plan construction (a collect()
+  in the query constructor). Hard fail: an eager query breaks the
+  lazy-build contract and hides its data-sized subplan from every
+  other column of this audit (the round-5 attribution_markov_removal
+  blind spot).
 
 Usage: python tools/plan_audit.py [sf_dir]
-Exit code 1 if any plan contains a CartesianProduct or an
-unpartitioned Window (both are never intended).
+Exit code 1 if any plan contains a CartesianProduct, an unpartitioned
+Window, or runs jobs at construction time (all are never intended).
 """
 
 from __future__ import annotations
@@ -67,9 +72,11 @@ def count_unpartitioned_windows(plan: str) -> int:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan_audit")
+    tracker = spark.sparkContext.statusTracker()
     bad = []
-    print(f"{'query':<36} exch bcast py scans pushed topk nlj uw")
+    print(f"{'query':<36} exch bcast py scans pushed topk nlj uw eager")
     for name, fn in sorted(entrymod.queries().items()):
+        jobs_before = len(tracker.getJobIdsForGroup(None))
         try:
             plan = (
                 fn(spark, sf_dir)
@@ -81,6 +88,7 @@ def main() -> int:
             print(f"{name:<36} ERROR {type(exc).__name__}")
             bad.append(name)
             continue
+        eager = len(tracker.getJobIdsForGroup(None)) - jobs_before
         exch = plan.count("Exchange ")
         bcast = plan.count("BroadcastHashJoin")
         py = (
@@ -97,18 +105,20 @@ def main() -> int:
         nlj = plan.count("BroadcastNestedLoopJoin")
         cart = "CartesianProduct" in plan
         uw = count_unpartitioned_windows(plan)
-        if cart or uw:
+        if cart or uw or eager:
             bad.append(name)
         print(
             f"{name:<36} {exch:>4} {bcast:>5} {py:>2} {scans:>5} "
-            f"{pushed:>6} {topk:>4} {nlj:>3} {uw:>2}"
+            f"{pushed:>6} {topk:>4} {nlj:>3} {uw:>2} {eager:>5}"
             f"{'  CARTESIAN!' if cart else ''}"
             f"{'  UNPARTITIONED-WINDOW!' if uw else ''}"
+            f"{'  EAGER-JOBS!' if eager else ''}"
         )
     if bad:
         print(f"FAILED: {bad}")
         return 1
-    print("no cartesian products, no unpartitioned windows; audit complete")
+    print("no cartesian products, no unpartitioned windows, "
+          "no eager plan-build jobs; audit complete")
     return 0
 
 
