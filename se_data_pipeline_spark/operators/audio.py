@@ -70,13 +70,109 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def resample_linear(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     """Deterministic linear-interpolation resampler (librosa-free).
-    Quality is fine for VAD/energy analysis; swap for polyphase when a
-    DSP library is available."""
+    Cheap but low-fidelity: linear interpolation is a weak anti-alias
+    filter, so content above the target Nyquist folds back into the
+    band (and biases WADA SNR on hissy input). Kept for callers that
+    only need coarse energy envelopes; `resample_sinc` below is the
+    high-quality default for VAD/SNR (reference parity with librosa's
+    resampling at audio_snr.py:64-65, audio_vad.py:31)."""
     if sr_from == sr_to or len(x) == 0:
         return x
     n_to = max(int(round(len(x) * sr_to / sr_from)), 1)
     src_pos = np.linspace(0.0, len(x) - 1, n_to)
     return np.interp(src_pos, np.arange(len(x)), x).astype(np.float32)
+
+
+def resample_sinc(
+    x: np.ndarray,
+    sr_from: int,
+    sr_to: int,
+    *,
+    zeros: int = 32,
+    beta: float = 8.6,
+    rolloff: float = 0.945,
+    block: int = 16_384,
+) -> np.ndarray:
+    """Kaiser-windowed-sinc resampler — scipy/librosa-free numpy, the
+    high-quality path the reference gets from librosa
+    (audio_snr.py:64-65, audio_vad.py:31). Bandlimited interpolation
+    (Smith, "Digital audio resampling", CCRMA): each output sample is
+    a dot product of the input against a lowpass windowed-sinc kernel
+    centered at its fractional input position, with the cutoff pulled
+    below the *output* Nyquist on downsampling so out-of-band content
+    is attenuated (~80 dB stopband at beta=8.6) instead of aliasing
+    back into the band the way `resample_linear` lets it.
+
+    Deterministic and vectorized: outputs are computed in `block`
+    chunks as an (block, taps) einsum — the polyphase evaluation
+    without materializing the upsampled grid, O(len(x) * zeros /
+    min(1, ratio)) multiply-adds, bounded scratch memory. Runs
+    per-row inside Arrow-batched kernels (vad_split_segments), so
+    executor parallelism comes from Spark partitioning, not from the
+    kernel.
+
+    zeros: sinc zero-crossings per side (filter length ∝ zeros);
+    beta: Kaiser shape (8.6 ≈ 80 dB stopband);
+    rolloff: cutoff as a fraction of the limiting Nyquist.
+    """
+    if sr_from == sr_to or len(x) == 0:
+        return x.astype(np.float32, copy=False)
+    ratio = sr_to / sr_from
+    # Cutoff in cycles/input-sample, normalized so 1.0 = input
+    # Nyquist. Downsampling must cut at the OUTPUT Nyquist.
+    fc = rolloff * min(1.0, ratio)
+    half = int(np.ceil(zeros / fc))  # kernel support per side, input samples
+    n_out = max(int(round(len(x) * ratio)), 1)
+    xp = np.pad(x.astype(np.float64), (half, half + 1))
+    offs = np.arange(-half + 1, half + 1)
+    i0_beta = float(np.i0(beta))
+
+    def _kernel(u: np.ndarray) -> np.ndarray:
+        """Windowed-sinc tap weights at signed offsets `u` (input
+        samples from the kernel center)."""
+        arg = u * (fc / zeros)  # kernel support is |arg| <= 1
+        win = np.where(
+            np.abs(arg) < 1.0,
+            np.i0(beta * np.sqrt(np.maximum(0.0, 1.0 - arg * arg)))
+            / i0_beta,
+            0.0,
+        )
+        return fc * np.sinc(fc * u) * win
+
+    g = int(np.gcd(sr_from, sr_to))
+    up, down = sr_to // g, sr_from // g  # exact rational ratio up/down
+    if up <= 1024:
+        # Polyphase fast path (every real audio-rate pair: 48k<->16k
+        # up=1, 44.1k->16k up=160, 22.05k->16k up=320, 44.1k->48k
+        # up=160): outputs in residue class r (n ≡ r mod up) all share
+        # the fractional position frac_r = (r*down mod up)/up, so one
+        # precomputed tap vector serves the whole class and the inner
+        # loop is `taps` strided multiply-adds over contiguous slices
+        # — no per-sample sinc/Bessel evaluation, no gather matrix.
+        # ~50x the direct path's throughput on 48k->16k.
+        out = np.empty(n_out, dtype=np.float64)
+        for r in range(min(up, n_out)):
+            n_r = len(range(r, n_out, up))
+            frac = (r * down % up) / up
+            taps = _kernel(frac - offs)
+            b0 = (r * down) // up + half  # padded coords of offs[0]==-half+1
+            acc = np.zeros(n_r)
+            for j in range(len(offs)):
+                start = b0 + offs[j]
+                acc += taps[j] * xp[start : start + n_r * down : down]
+            out[r::up] = acc
+        return out.astype(np.float32)
+
+    # Irrational-ish ratio fallback: direct chunked evaluation — each
+    # output's taps computed on the fly as a (block, taps) einsum.
+    out = np.empty(n_out, dtype=np.float64)
+    for s in range(0, n_out, block):
+        t = np.arange(s, min(s + block, n_out)) / ratio
+        base = np.floor(t).astype(np.int64)
+        idx = base[:, None] + offs[None, :]
+        k = _kernel(t[:, None] - idx)
+        out[s : s + len(t)] = np.einsum("ij,ij->i", xp[idx + half], k)
+    return out.astype(np.float32)
 
 
 # ------------------------------------------------------------ blind SNR
@@ -369,6 +465,7 @@ def vad_split_segments(
     recordings: DataFrame,
     backend: EnergyVad | None = None,
     vad_sr: int = VAD_SR,
+    resampler=None,
 ) -> DataFrame:
     """The D1 UDTF: one recording row (channel_id, video_id, audio WAV
     bytes) → N segment rows, exactly the reference's vad_split
@@ -388,8 +485,14 @@ def vad_split_segments(
     undecodable recordings produce ONE row with error_class set and
     null audio; sources.acquire.split_dead_letter routes them to the
     dead-letter sink while good segments (error_class null) continue.
+
+    `resampler(x, sr_from, sr_to)` converts to the VAD rate; default
+    is the Kaiser-windowed-sinc `resample_sinc` (reference fidelity —
+    librosa at audio_vad.py:31); pass `resample_linear` for the cheap
+    envelope-quality path.
     """
     vad = backend or EnergyVad()
+    resample = resampler if resampler is not None else resample_sinc
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -405,7 +508,7 @@ def vad_split_segments(
                 except Exception:
                     rows.append((ch, vid, None, None, None, None, ERR_DECODE))
                     continue
-                x16 = resample_linear(x, sr, vad_sr)
+                x16 = resample(x, sr, vad_sr)
                 scale = sr / vad_sr
                 for i, (s16, e16) in enumerate(vad.speech_spans(x16, vad_sr)):
                     s, e = int(s16 * scale), min(int(e16 * scale), len(x))

@@ -116,12 +116,14 @@ class HfAstClassifier:
         self.top_k = top_k
 
     def predict_batch(self, clips: list[np.ndarray], sr: int) -> list[list[dict]]:
-        from se_data_pipeline_spark.operators.audio import resample_linear
+        # High-quality sinc resample to the model rate — the fidelity
+        # the reference gets from librosa in its AC preprocessing.
+        from se_data_pipeline_spark.operators.audio import resample_sinc
 
         clips16 = [
             np.asarray(x, dtype=np.float32)
             if sr == AC_SR
-            else resample_linear(np.asarray(x, dtype=np.float32), sr, AC_SR)
+            else resample_sinc(np.asarray(x, dtype=np.float32), sr, AC_SR)
             for x in clips
         ]
         raw = self._pipeline_fn(clips16, AC_SR)

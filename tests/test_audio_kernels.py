@@ -19,6 +19,7 @@ from se_data_pipeline_spark.operators.audio import (
     estimate_snr,
     estimate_snr_energy,
     resample_linear,
+    resample_sinc,
     snr_from_wav,
     trim_bounds,
     trim_wav,
@@ -70,6 +71,92 @@ def test_resample_length_and_content():
     assert abs(len(y) - 16_000) <= 1
     # energy roughly preserved for a band-limited tone
     assert np.sqrt(np.mean(y**2)) == pytest.approx(np.sqrt(np.mean(x**2)), rel=0.05)
+
+
+def test_resample_sinc_passband_fidelity():
+    """A 1 kHz tone (well inside both Nyquists) survives 48k->16k
+    sinc resampling near-exactly — the windowed-sinc path's passband
+    is flat where linear interpolation already shows ~-20 dB error."""
+    sr_from, sr_to = 48_000, 16_000
+    x = tone(1000, 2.0, sr=sr_from, amp=1.0)
+    y = resample_sinc(x, sr_from, sr_to)
+    assert abs(len(y) - 2 * sr_to) <= 1
+    t2 = np.arange(len(y)) / sr_to
+    ideal = np.sin(2 * np.pi * 1000 * t2)
+    core = slice(200, len(y) - 200)  # ignore filter edge transients
+    rms_err = np.sqrt(np.mean((y[core] - ideal[core]) ** 2))
+    assert rms_err < 1e-4  # linear path measures ~0.1 here
+
+
+def test_resample_sinc_alias_rejection_on_chirp():
+    """Alias-rejection acceptance test (VERDICT r5 item 2): a chirp
+    sweeping 1->20 kHz at 48 kHz is downsampled to 16 kHz. Content
+    above the 8 kHz output Nyquist must be REJECTED by the
+    anti-alias filter; linear interpolation folds it back in-band.
+    The tail third of the output (instantaneous frequency >14 kHz at
+    the input, far above Nyquist) should be near-silent for sinc and
+    loud for linear."""
+    sr_from, sr_to = 48_000, 16_000
+    dur = 2.0
+    t = np.arange(int(sr_from * dur)) / sr_from
+    f0, f1 = 1000.0, 20000.0
+    chirp = np.sin(
+        2 * np.pi * (f0 * t + (f1 - f0) * t**2 / (2 * dur))
+    ).astype(np.float32)
+    y_sinc = resample_sinc(chirp, sr_from, sr_to)
+    y_lin = resample_linear(chirp, sr_from, sr_to)
+    tail = slice(int(len(y_sinc) * 0.75), len(y_sinc) - 200)
+    e_sinc = np.sqrt(np.mean(y_sinc[tail] ** 2))
+    e_lin = np.sqrt(np.mean(y_lin[tail] ** 2))
+    # >=40 dB better alias rejection than the linear path
+    assert e_sinc < e_lin / 100
+    assert e_sinc < 1e-3
+
+
+def test_resample_sinc_polyphase_matches_direct_eval():
+    """The rational polyphase fast path must be numerically identical
+    to the direct per-sample evaluation (same kernel, same taps) —
+    checked by calling the public function (polyphase for 48k->16k)
+    against a brute-force windowed-sinc reference."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(scale=0.3, size=9600).astype(np.float32)
+    sr_from, sr_to = 48_000, 16_000
+    got = resample_sinc(x, sr_from, sr_to)
+    ratio = sr_to / sr_from
+    fc = 0.945 * min(1.0, ratio)
+    zeros, beta = 32, 8.6
+    half = int(np.ceil(zeros / fc))
+    n_out = max(int(round(len(x) * ratio)), 1)
+    xp = np.pad(x.astype(np.float64), (half, half + 1))
+    offs = np.arange(-half + 1, half + 1)
+    tt = np.arange(n_out) / ratio
+    base = np.floor(tt).astype(np.int64)
+    idx = base[:, None] + offs[None, :]
+    u = tt[:, None] - idx
+    arg = u * (fc / zeros)
+    win = np.where(
+        np.abs(arg) < 1.0,
+        np.i0(beta * np.sqrt(np.maximum(0.0, 1 - arg * arg))) / np.i0(beta),
+        0.0,
+    )
+    k = fc * np.sinc(fc * u) * win
+    ref = np.einsum("ij,ij->i", xp[idx + half], k).astype(np.float32)
+    assert len(got) == n_out
+    assert np.abs(got - ref).max() < 1e-7
+
+
+def test_resample_sinc_identity_and_upsample():
+    x = tone(440, 0.5, sr=16_000)
+    assert resample_sinc(x, 16_000, 16_000) is x or np.array_equal(
+        resample_sinc(x, 16_000, 16_000), x
+    )
+    up = resample_sinc(x, 16_000, 48_000)
+    assert abs(len(up) - 3 * len(x)) <= 1
+    # tone survives the round trip 16k -> 48k -> 16k
+    back = resample_sinc(up, 48_000, 16_000)
+    n = min(len(back), len(x))
+    core = slice(300, n - 300)
+    assert np.sqrt(np.mean((back[core] - x[core]) ** 2)) < 1e-3
 
 
 # ------------------------------------------------------------ blind SNR
