@@ -34,6 +34,12 @@ def get_spark(
     unset). On a real cluster, pass ``master=None`` and submit with
     spark-submit — every config here is cluster-safe.
     """
+    # Must run before the JVM launches: workers inherit PYTHONPATH,
+    # and transformWithStateInPandas imports google.protobuf in-worker.
+    from se_data_pipeline_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     if master is None:
         master = f"local[{cpus}]"

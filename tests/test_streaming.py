@@ -191,11 +191,11 @@ def test_tws_running_totals_match_batch(spark, sf_dir):
     produce the same final per-user totals as both the legacy
     applyInPandasWithState job and the exact batch aggregate.
     Requires the RocksDB state store provider and protobuf (the TWS
-    driver worker imports StateMessage_pb2)."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState needs protobuf, absent here",
-    )
+    driver worker imports StateMessage_pb2) — served by the vendored
+    protoshim runtime when the real distribution is absent."""
+    from se_data_pipeline_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
     from pyspark.sql import functions as F
 
     from se_data_pipeline_spark.streaming.jobs import running_totals_tws
@@ -413,10 +413,9 @@ def test_tws_near_dup_matches_legacy_api(spark, sf_dir):
     """The transformWithState near-dup filter must emit exactly the
     same (doc, bucket, first_doc) rows as the applyInPandasWithState
     form — the API-migration parity pin for the dedup operator."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState needs protobuf, absent here",
-    )
+    from se_data_pipeline_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
     from se_data_pipeline_spark.streaming.jobs import (
         near_dup_bucket_stream,
         near_dup_bucket_tws,
