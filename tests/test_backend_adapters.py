@@ -355,3 +355,94 @@ def test_ytdlp_backend_drives_fetch_and_probe_stages(spark):
     assert rows["v001"]["duration_sec"] == 90
     assert rows["v001"]["error_class"] is None
     assert rows["v002"]["error_class"] == ERR_PREMIERE
+
+
+def test_probe_videos_dead_letters_per_video_probe_failures(spark):
+    """A per-video failure inside the duration probe (AcquireError on
+    non-zero exit, or ValueError when yt-dlp prints 'NA' for a live
+    stream whose -F probe succeeds) must dead-letter THAT row — error
+    class set, duration null — not crash the whole Spark task (T4)."""
+    from pyspark.sql import Row
+    from types import SimpleNamespace
+
+    def _runner(argv):
+        url = argv[-1]
+        if argv[1] == "-F":  # fetchability probe: everything looks fine
+            return SimpleNamespace(
+                returncode=0,
+                stdout="251 webm audio only 2 [en] opus 48000Hz\n",
+                stderr="",
+            )
+        # duration probe
+        if "vOK" in url:
+            return SimpleNamespace(returncode=0, stdout="90.0\n", stderr="")
+        if "vNA" in url:  # live stream: duration prints 'NA'
+            return SimpleNamespace(returncode=0, stdout="NA\n", stderr="")
+        return SimpleNamespace(
+            returncode=1, stdout="", stderr="ERROR: boom: Offline"
+        )
+
+    be = YtDlpBackend(runner=_runner)
+    vids = spark.createDataFrame(
+        [
+            Row(channel_id="c", video_id="vOK", position=0),
+            Row(channel_id="c", video_id="vNA", position=1),
+            Row(channel_id="c", video_id="vERR", position=2),
+        ]
+    )
+    rows = {r["video_id"]: r for r in probe_videos(vids, be).collect()}
+    assert rows["vOK"]["duration_sec"] == 90
+    assert rows["vOK"]["error_class"] is None
+    assert rows["vNA"]["duration_sec"] is None
+    assert rows["vNA"]["error_class"] == ERR_DOWNLOAD
+    assert rows["vERR"]["duration_sec"] is None
+    assert rows["vERR"]["error_class"] == ERR_OFFLINE
+
+
+def test_gpu_classify_profile_contents_and_wiring(spark, monkeypatch):
+    """T6 done-criterion (VERDICT r4/r5): the stage-level
+    ResourceProfile carries the requested task/executor GPU amounts,
+    and classify_segments(..., profile=p) threads exactly that
+    profile into its mapInPandas stage."""
+    from pyspark.sql import Row
+
+    from se_data_pipeline_spark.operators.audio import encode_wav
+    from se_data_pipeline_spark.operators.classify import (
+        FakeAcClassifier,
+        classify_segments,
+        gpu_classify_profile,
+    )
+
+    p = gpu_classify_profile(
+        gpus_per_task=0.5,
+        cpus_per_task=2,
+        executor_gpus=2,
+        executor_cores=8,
+        discovery_script="/opt/getGpus.sh",
+    )
+    tr = p.taskResources
+    assert tr["gpu"].amount == 0.5
+    assert tr["cpus"].amount == 2.0
+    er = p.executorResources
+    assert er["gpu"].amount == 2
+    assert er["gpu"].discoveryScript == "/opt/getGpus.sh"
+    assert er["cores"].amount == 8
+
+    # Wiring: capture the profile kwarg at the mapInPandas seam (local
+    # mode accepts profile construction but refuses execution, so the
+    # spy substitutes a profile-less stage after asserting the wiring).
+    seg = spark.createDataFrame(
+        [Row(seg_idx="s0", audio=encode_wav(np.zeros(160, "f4"), 16_000))]
+    )
+    seen = {}
+    cls = type(seg)  # the concrete (classic/connect) DataFrame class
+    orig = cls.mapInPandas
+
+    def spy(self, func, schema, barrier=False, profile=None):
+        seen["profile"] = profile
+        return orig(self, func, schema, barrier=barrier)
+
+    monkeypatch.setattr(cls, "mapInPandas", spy)
+    out = classify_segments(seg, FakeAcClassifier, profile=p)
+    assert seen["profile"] is p
+    assert out.collect()[0]["preds"]  # stage still runs sans profile
