@@ -2339,7 +2339,7 @@ def _registered_oracle(name: str) -> str:
     oracle=None,  # composed below, after all method oracles exist
 )
 def dedup_method_recall_report(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, broadcast_truth: bool = True
 ) -> DataFrame:
     """Recall of each near-dup candidate paradigm vs the exact
     inverted-index ground truth (pairs at Jaccard >= 0.8):
@@ -2358,7 +2358,16 @@ def dedup_method_recall_report(
     broadcast truth set joined once, per-method counts aggregated
     together (the per-method form would re-evaluate the truth
     subtree per method — same single-plan rationale as
-    ann_recall_report)."""
+    ann_recall_report).
+
+    SIZE BOUND (VERDICT r5): the truth PAIR set is broadcast, and
+    pairs scale with the square of the largest near-dup cluster — on
+    a pathological all-dup corpus it is data-sized, not
+    dimension-sized. This is a monitoring query meant to run on a
+    SAMPLE (the operational pattern: recall measured on ~10^4-10^5
+    docs generalizes to the corpus); on a full pathological corpus
+    pass broadcast_truth=False so the truth join falls back to a
+    shuffled hash join AQE can size."""
     sets = _hashed_shingle_sets(spark, sf_dir)
     truth = ngram_jaccard_pairs(spark, sf_dir, sets=sets).select(
         "doc_a", "doc_b"
@@ -2381,11 +2390,10 @@ def dedup_method_recall_report(
     for m, df in sorted(methods.items()):
         t = df.select(F.lit(m).alias("method"), "doc_a", "doc_b")
         tagged = t if tagged is None else tagged.unionByName(t)
-    hits = tagged.join(
-        F.broadcast(truth.withColumn("hit", F.lit(1))),
-        ["doc_a", "doc_b"],
-        "left",
-    )
+    truth_tagged = truth.withColumn("hit", F.lit(1))
+    if broadcast_truth:
+        truth_tagged = F.broadcast(truth_tagged)
+    hits = tagged.join(truth_tagged, ["doc_a", "doc_b"], "left")
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     return (
         hits.groupBy("method")

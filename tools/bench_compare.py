@@ -8,6 +8,7 @@ Usage: python tools/bench_compare.py OLD.json NEW.json [top_n]
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -16,8 +17,32 @@ def load(path: str) -> dict:
         d = json.load(f)
     if "queries" not in d and "parsed" in d:
         d = d["parsed"]
-    if "queries" not in d:
+    if not isinstance(d, dict) or "queries" not in d:
         raise SystemExit(f"{path}: no queries found (failed bench run?)")
+    # bench.py's stdout line trims `queries` to the slowest 35 (tail
+    # safety); the FULL per-query map lives in the file the
+    # `queries_file` pointer names. Follow it when resolvable so
+    # comparisons never silently lose the fast tail.
+    qf = d.get("queries_file")
+    if qf:
+        followed = False
+        for cand in (os.path.join(os.path.dirname(path), qf), qf):
+            if os.path.exists(cand):
+                with open(cand) as f:
+                    full = json.load(f).get("queries", {})
+                # BENCH_LOCAL.json is overwritten per run — only trust
+                # it for THIS run if every trimmed entry matches it
+                # exactly (a stale pointer from an older round won't).
+                if all(full.get(k) == v for k, v in d["queries"].items()):
+                    d = {**d, "queries": full}
+                    followed = True
+                break
+        if not followed:
+            print(
+                f"warning: {path}: full-timings file {qf} absent or "
+                f"stale — comparing the trimmed stdout map only",
+                file=sys.stderr,
+            )
     return d
 
 

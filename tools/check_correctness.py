@@ -12,6 +12,14 @@ it also catches:
   Spark bigint -> int64), which hash-mismatches despite equal values.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py [sf_dir] --sample N [--seed S]
+
+--sample N draws N queries uniformly without replacement from the
+registry (seeded by --seed, default 0) — rotate the seed per round to
+sweep the blind spot a fixed driver sample leaves (the driver gate
+sampled the identical 50-query set in r4 and r5, so 168 of 254
+registry queries were never driver-checked; see README "Correctness
+gate" for the rotation recipe).
 
 Set SPARK_GRAFT_PLAIN=1 to run with a PLAIN default SparkSession
 (driver simulation: ANSI on, 200 shuffle partitions, no tuned confs)
@@ -77,8 +85,18 @@ def canon(pdf: pd.DataFrame):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    sample_n, seed = None, 0
+    if "--sample" in args:
+        i = args.index("--sample")
+        sample_n = int(args[i + 1])
+        del args[i : i + 2]
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     if os.environ.get("SPARK_GRAFT_PLAIN"):
         from pyspark.sql import SparkSession
@@ -98,6 +116,14 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if sample_n is not None:
+        import random
+
+        names = sorted(qs)
+        picked = random.Random(seed).sample(names, min(sample_n, len(names)))
+        qs = {n: qs[n] for n in picked}
+        print(f"sampled {len(qs)} queries (seed={seed}): "
+              f"{', '.join(sorted(qs))}\n")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
