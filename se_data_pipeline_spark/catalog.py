@@ -95,25 +95,75 @@ def validate_table(df: DataFrame, name: str) -> None:
         )
 
 
+# events.ts physical-form probe cache, keyed by resolved file path —
+# see load_table.
+_EVENTS_TS_FORM: dict[str, str] = {}
+
+
+def _events_ts_form(path: str) -> str:
+    """'nanos' | 'us': which physical form this events.parquet ships
+    ts in. Probed ONCE per path with a pyarrow footer read — pure
+    driver-side metadata, no Spark job (keeping plan construction
+    job-free for the eager-audit gate)."""
+    form = _EVENTS_TS_FORM.get(path)
+    if form is None:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            # Spark-written tables are DIRECTORIES of part files (the
+            # hostile-corpus fixtures, scale replicas); the driver
+            # testdata ships single files. Probe the first part file.
+            parts = sorted(
+                glob.glob(os.path.join(path, "part-*"))
+                + glob.glob(os.path.join(path, "*.parquet"))
+            )
+            target = parts[0] if parts else None
+        if target is None:
+            form = "us"  # no part files: nothing to read either way
+        else:
+            t = pq.read_schema(target).field("ts").type
+            form = "nanos" if getattr(t, "unit", None) == "ns" else "us"
+        _EVENTS_TS_FORM[path] = form
+    return form
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver parquet table. Parquet scans get predicate
-    pushdown + column pruning from Catalyst automatically.
+    """Load one driver parquet table WITH its declared schema.
+    Passing the explicit schema (RELATIONAL_SCHEMAS) instead of
+    inferring does two things that matter:
+
+    - scale: no footer-sampling at plan time — on a multi-million-
+      file 100 TB table, schema inference is a real driver cost;
+    - auditability: plan construction runs ZERO Spark jobs, so
+      tools/plan_audit.py's eager-collect hard gate (any job at plan
+      build fails) stays strict — the inference job used to fire once
+      per scan and would have drowned real eager-collect signals.
+
+    Parquet scans still get predicate pushdown + column pruning from
+    Catalyst automatically.
 
     `events.ts` has shipped in two physical forms across testdata
     generations: parquet TIMESTAMP(NANOS) (rejected by Spark unless
     read as long via the legacy conf, then rebuilt at microsecond
     precision — exactly DuckDB's truncation) and plain timestamp[us]
-    with no zone (read natively as TIMESTAMP_NTZ). Handle both."""
+    with no zone (read natively as TIMESTAMP_NTZ). A cached pyarrow
+    footer probe (driver-side, jobless) picks the right read schema.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # nanos parquet surfaces as long under the legacy conf;
-        # us-precision parquet and engine-written events tables
-        # already hold a real timestamp — rebuild only in the former.
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if _events_ts_form(path) == "nanos":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            nanos_ddl = RELATIONAL_SCHEMAS["events"].replace(
+                "ts timestamp_ntz", "ts bigint"
+            )
+            return spark.read.schema(nanos_ddl).parquet(path).withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        return spark.read.schema(RELATIONAL_SCHEMAS["events"]).parquet(path)
+    return spark.read.schema(RELATIONAL_SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
