@@ -10,7 +10,7 @@ driver can hash-compare results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
@@ -507,6 +507,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _JACCARD_THRESHOLD = 0.8
 
+# Stop-shingle / hot-bucket guard (same rationale as events.py's
+# MAX_EVENTS_PER_KEY): the inverted-index bucket builders below hold
+# one collect_list buffer per shingle/fingerprint, and ObjectHash
+# aggregation buffers do not spill — a boilerplate shingle shared by
+# millions of documents at 100 TB would OOM its task (and its
+# C(m,2) pair fan-out is noise for Jaccard anyway). Posting lists
+# are therefore bounded BEFORE the aggregate: the row_number
+# pre-filter rides the same hash partitioning the groupBy reuses
+# (ONE shuffle total), its per-key sort spills, and only the first
+# MAX_DOCS_PER_BUCKET doc_ids per bucket generate pairs. Fixture
+# buckets sit 3+ orders of magnitude below the cap, so all oracles
+# stay exact; above it the documented semantics are "a shingle
+# shared by more than the cap is treated as a stop-shingle past its
+# first N docs" — hot-bucket truncation is the standard LSH/inverted
+# -index mitigation (docs truncated from one bucket still meet in
+# every other shared, colder bucket).
+MAX_DOCS_PER_BUCKET = 10_000
+
+
+def _cap_bucket(e: DataFrame, key: str, cap: int = MAX_DOCS_PER_BUCKET) -> DataFrame:
+    """Keep only the first `cap` docs per inverted-index key (by
+    doc_id, deterministic) — the spill-safe mega-bucket guard."""
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
 
 
 def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,8 +640,11 @@ def ngram_jaccard_pairs(
     yields m·(m-1)/2 pairs — that blowup is inherent to inverted-index
     Jaccard, identical in the join form; at 100 TB run
     minhash_lsh_candidates first and exact-verify only its candidates
-    (this query is the verifier), and treat buckets above a df cap as
-    stop-shingles. Sorting each bucket by doc_id keeps doc_a < doc_b
+    (this query is the verifier). Buckets are hard-bounded at
+    MAX_DOCS_PER_BUCKET via _cap_bucket (spill-safe row_number
+    pre-filter, no extra shuffle), so a boilerplate stop-shingle can
+    neither OOM its aggregation buffer nor emit a quadratic pair
+    storm. Sorting each bucket by doc_id keeps doc_a < doc_b
     without per-pair comparisons.
     """
     if sets is None:
@@ -625,7 +656,8 @@ def ngram_jaccard_pairs(
             F.explode("hset").alias("sh"),
         )
     buckets = (
-        e.groupBy("sh")
+        _cap_bucket(e, "sh")
+        .groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -3503,10 +3535,13 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingling pass, groupBy(shingle-hash) bucket pair-generation
     (row-local HOF), one pair-count aggregate; shuffles carry 8-byte
     hashes. Containment needs no new joins: both set sizes already
-    ride the inverted index rows."""
+    ride the inverted index rows. Buckets are bounded at
+    MAX_DOCS_PER_BUCKET (_cap_bucket) like every posting-list
+    builder here."""
     e = _shingle_index(spark, sf_dir)
     buckets = (
-        e.groupBy("sh")
+        _cap_bucket(e, "sh")
+        .groupBy("sh")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -3749,7 +3784,9 @@ def winnowing_fingerprint_pairs(
     floor. The k-gram hash is md5-prefix-48-bit (portable: both
     engines hash identical strings to identical BIGINTs, so the
     min-sampling SELECTS the same fingerprints — xxhash64 would pick
-    different minima per engine)."""
+    different minima per engine). Fingerprint buckets are bounded at
+    MAX_DOCS_PER_BUCKET (_cap_bucket) like every posting-list
+    builder here."""
     from se_data_pipeline_spark.functions.text import (
         winnow_fingerprints_udf,
     )
@@ -3779,7 +3816,8 @@ def winnowing_fingerprint_pairs(
         .select("doc_id", F.size("fp").alias("m"), "f")
     )
     buckets = (
-        e.groupBy("f")
+        _cap_bucket(e, "f")
+        .groupBy("f")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "m"))).alias("ds"))
         .filter(F.size("ds") > 1)
     )

@@ -840,3 +840,23 @@ def test_rolling_corr_year_boundary_matches_global_window(spark):
     # the January days whose frames straddle the seam are non-null
     jan2 = dt.datetime(2024, 1, 2)
     assert got[jan2] is not None
+
+
+def test_cap_bucket_truncates_hot_buckets_deterministically(spark):
+    """_cap_bucket keeps the first `cap` doc_ids per key (ordered by
+    doc_id) and leaves cold buckets intact — the spill-safe guard the
+    posting-list builders in queries/text.py rely on at scale."""
+    from se_data_pipeline_spark.queries.text import _cap_bucket
+
+    rows = [("hot", f"d{i:03d}") for i in range(20)] + [
+        ("cold", "d900"),
+        ("cold", "d901"),
+    ]
+    e = spark.createDataFrame(rows, "sh: string, doc_id: string")
+    out = _cap_bucket(e, "sh", cap=5).collect()
+    hot = sorted(r["doc_id"] for r in out if r["sh"] == "hot")
+    cold = sorted(r["doc_id"] for r in out if r["sh"] == "cold")
+    assert hot == [f"d{i:03d}" for i in range(5)]
+    assert cold == ["d900", "d901"]
+    # default cap is far above any fixture bucket: identity on this data
+    assert _cap_bucket(e, "sh").count() == len(rows)
