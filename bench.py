@@ -213,6 +213,9 @@ HEADLINE = [
     "weekend_effect_welch_ttest",
     "order_size_dispersion_check",
     "returns_by_fulfillment_delay",
+    "doc_bm25_search",
+    "bpe_merge_candidates",
+    "embedding_binary_quant_rerank",
 ]
 
 

@@ -72,3 +72,38 @@ def sign_bucket(a: Column, dims: list[int]) -> Column:
             F.lit(0)
         )
     return bucket
+
+
+def pack_sign_bits(a: Column, dims: int = 64) -> Column:
+    """Binary-quantization code: packs the sign bit of each of the
+    first `dims` (≤ 64) coordinates into ONE BIGINT — bit k set iff
+    a[k] > 0. Pure Catalyst fold (aggregate over sequence), so code
+    construction stays JVM-side and whole-stage-codegen'd. At scale,
+    materialize this column once next to the vectors: Hamming
+    distance between two codes is then `bit_count(c1 ^ c2)` over
+    8-byte values — the cheapest possible first-stage ANN filter
+    (see queries/vectors.py embedding_binary_quant_rerank)."""
+    if not 1 <= dims <= 64:
+        raise ValueError(f"dims must be in [1, 64], got {dims}")
+    # bit 63 of a signed long is the sign bit: 1<<63 doesn't fit a
+    # long literal, but -(1<<63) has exactly that bit pattern.
+    powers = F.array(
+        *[
+            F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long")
+            for k in range(dims)
+        ]
+    )
+    bits = F.zip_with(
+        F.slice(a, 1, dims),
+        powers,
+        lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
+
+
+def hamming_codes(c1: Column, c2: Column) -> Column:
+    """Hamming distance between two packed sign-bit codes:
+    bit_count(xor) — one CPU instruction per 64 dims."""
+    return F.bit_count(c1.bitwiseXOR(c2))

@@ -4113,4 +4113,153 @@ def doc_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Okapi BM25 ranking — the saturated-tf upgrade of doc_tfidf_search
+# (the de-facto lexical retrieval scorer; reference's notebooks rank by
+# raw counts, analysis.ipynb cells 2-4 — BM25 is the standard form of
+# the same "score documents by term statistics" op).
+# --------------------------------------------------------------------------
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "doc_bm25_search",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, len(string_split(text, ' ')) AS dl
+      FROM documents),
+    toks AS (
+      SELECT doc_id, dl, unnest(string_split(text, ' ')) AS tok
+      FROM d),
+    tf AS (
+      SELECT doc_id, dl, tok, COUNT(*) AS c
+      FROM toks WHERE tok IN {_SEARCH_TERMS!r}
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS nn, AVG(len(string_split(text, ' '))) AS avgdl
+      FROM documents)
+    SELECT t.doc_id,
+           ROUND(SUM(
+             ln(1 + (nn - df + 0.5) / (df + 0.5))
+             * (c * ({_BM25_K1} + 1))
+             / (c + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf t JOIN dfreq USING (tok) CROSS JOIN stats
+    GROUP BY t.doc_id
+    ORDER BY bm25 DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 (k1=1.2, b=0.75): document length is computed
+    ROW-LOCALLY (`size(split(text))`) so it rides the token explode and
+    the (doc, term) tf groupBy — the only fact-sized shuffle in the
+    plan; no separate per-doc length aggregate. Document frequency and
+    the corpus (N, avgdl) stats are tiny aggregates joined back
+    broadcast. Term filter lands immediately after the explode, so
+    non-query tokens never shuffle. Top-k via TakeOrderedAndProject.
+    At 100 TB the tf table IS the posting list — materialize it
+    partitioned by term and this query becomes a posting-list lookup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok").isin(*_SEARCH_TERMS))
+    tf = toks.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    idf = F.log(
+        1
+        + (F.col("nn") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("c") * (_BM25_K1 + 1)) / (
+        F.col("c")
+        + _BM25_K1
+        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate counting — the inner loop of byte-pair-encoding
+# tokenizer training, distributed the way production trainers do it:
+# count over the UNIQUE-WORD vocabulary weighted by word frequency,
+# never over raw token occurrences.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (
+      SELECT w, COUNT(*) AS wc FROM words WHERE len(w) >= 2 GROUP BY 1),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+      FROM vocab, UNNEST(range(1, len(w))) AS t(i))
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS merge_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY merge_count DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-symbol merge candidates for BPE tokenizer
+    training. The scale trick is VOCABULARY COMPRESSION: pair counts
+    are computed over unique words weighted by word frequency — the
+    corpus-sized token stream collapses to a vocab-sized frame in one
+    map-side-combined groupBy BEFORE any pair generation, exactly how
+    production BPE trainers (HF tokenizers, SentencePiece) structure
+    the count step. Pair generation is then a row-local higher-order
+    function over the (tiny) vocab: `transform(sequence(...))` —
+    no UDF, no second corpus scan. The `length >= 2` filter also
+    guarantees `sequence(1, length-1)` is ascending (Spark's sequence
+    REVERSES when start > stop — a single-char word would silently
+    yield [1, 0]). One merge step of a full training loop = this
+    query + re-segmentation; the count stage shown here is the only
+    corpus-sized work either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
 _compose_recall_oracle()

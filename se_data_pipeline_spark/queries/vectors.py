@@ -855,6 +855,17 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Binary-quantization constants (used by ann_recall_report's oracle
+# below and by embedding_binary_quant_rerank at the end of the file).
+_BQ_CANDIDATES = 100
+_BQ_K = 20
+
+_SQL_HAMMING = """
+  list_sum([CASE WHEN (e.embedding[i+1] > 0) <> (q.q[i+1] > 0)
+                 THEN 1 ELSE 0 END for i in range(64)])
+"""
+
+
 @query(
     "ann_recall_report",
     oracle=f"""
@@ -899,7 +910,20 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     mlsh AS (
       SELECT e.vec_id FROM b e JOIN probes USING (bucket) CROSS JOIN qb q
       ORDER BY {_SQL_COS} DESC, e.vec_id LIMIT 10),
+    hq AS (
+      SELECT e.vec_id,
+             {_SQL_HAMMING} AS hamming,
+             {_SQL_COS} AS cos
+      FROM embeddings e CROSS JOIN q),
+    bqcand AS (
+      SELECT * FROM hq ORDER BY hamming, vec_id LIMIT {_BQ_CANDIDATES}),
+    bq AS (SELECT vec_id FROM bqcand ORDER BY cos DESC, vec_id LIMIT 10),
     r AS (
+      SELECT 'bq' AS method,
+             (SELECT COUNT(*) FROM bq) AS n_retrieved,
+             (SELECT COUNT(*) FROM bq JOIN brute USING (vec_id))
+               AS n_overlap
+      UNION ALL
       SELECT 'ivf' AS method,
              (SELECT COUNT(*) FROM ivf) AS n_retrieved,
              (SELECT COUNT(*) FROM ivf JOIN brute USING (vec_id))
@@ -924,8 +948,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute-force baseline — the accuracy-contract report every
     ANN deployment publishes alongside its latency numbers. For the
     standard query vector: how many of brute-force's true top-10
-    does each index variant (LSH sign-buckets, IVF cell probe)
-    actually return?
+    does each index variant (LSH sign-buckets, IVF cell probe,
+    binary-quantization + exact rerank) actually return? BQ reranks
+    its Hamming top-100 with exact cosine, so expect it to dominate
+    the bucket-only variants at 100/N candidate cost.
 
     Everything is a composition of the already-oracle-checked kNN
     queries: brute/LSH/IVF top-10 id sets, semi-join overlap counts
@@ -948,6 +974,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir
         ).select("vec_id"),
         "ivf": embedding_knn_ivf(spark, sf_dir).select("vec_id"),
+        "bq": embedding_binary_quant_rerank(spark, sf_dir)
+        .limit(10)
+        .select("vec_id"),
     }
     # ONE plan, not one per variant: tag each variant's ids, union,
     # left-join the broadcast ground truth once, aggregate by tag.
@@ -1655,4 +1684,88 @@ def embedding_intrinsic_dimension(
         F.round(F.percentile("m_hat", F.lit(0.5)), 4).alias(
             "median_intrinsic_dim"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Binary quantization + exact rerank — the 1-bit-per-dim compression
+# path modern vector stores use for first-stage retrieval: sign-bit
+# codes (64 dims -> 64 bits), Hamming-distance candidate cut, exact
+# double-precision cosine rerank of the survivors.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_binary_quant_rerank",
+    oracle=f"""
+    WITH q AS ({_SQL_QVEC}),
+    h AS (
+      SELECT e.vec_id,
+             {_SQL_HAMMING} AS hamming,
+             {_SQL_COS} AS cos
+      FROM embeddings e CROSS JOIN q),
+    cand AS (
+      SELECT * FROM h ORDER BY hamming, vec_id LIMIT {_BQ_CANDIDATES})
+    SELECT vec_id, CAST(hamming AS INT) AS hamming,
+           ROUND(cos, 6) AS cos_sim
+    FROM cand ORDER BY cos DESC, vec_id LIMIT {_BQ_K}
+    """,
+)
+def embedding_binary_quant_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage ANN via sign-bit binary quantization: stage 1 packs
+    each vector's 64 sign bits into ONE BIGINT (`pack_sign_bits`,
+    pure Catalyst) and scores it against the query's code with
+    `bit_count(code ^ q_code)` — Hamming distance in a single
+    instruction over 8 bytes, no float math — keeping the best 100
+    via TakeOrderedAndProject (per-partition heap, no global sort);
+    stage 2 exact-cosine-reranks only those 100 candidates. The
+    full-precision vectors of non-candidates are never touched past
+    the code compare — at 100 TB, materialize the packed code column
+    once next to the vectors and stage 1 reads 8 bytes/row instead
+    of 256. Output ordered by exact cosine — the BQ stage only
+    decides WHICH vectors get reranked. Oracle computes the same
+    Hamming distance in unpacked form (bit-packing is engine-side
+    layout, not semantics)."""
+    from se_data_pipeline_spark.functions.vectors import (
+        hamming_codes,
+        pack_sign_bits,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qvec = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("embedding").alias("q"),
+            pack_sign_bits(F.col("embedding")).alias("qcode"),
+        )
+    )
+    cand = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            pack_sign_bits(F.col("embedding")).alias("code"),
+        )
+        .crossJoin(F.broadcast(qvec))
+        .withColumn(
+            "hamming", hamming_codes(F.col("code"), F.col("qcode"))
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(_BQ_CANDIDATES)
+    )
+    rescored = _score_against_query(
+        cand.select("vec_id", "hamming", "v", "q"), "hamming"
+    )
+    return (
+        rescored.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+        .limit(_BQ_K)
+        .select(
+            "vec_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.round("raw_sim", 6).alias("cos_sim"),
+        )
     )

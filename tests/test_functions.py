@@ -860,3 +860,45 @@ def test_cap_bucket_truncates_hot_buckets_deterministically(spark):
     assert cold == ["d900", "d901"]
     # default cap is far above any fixture bucket: identity on this data
     assert _cap_bucket(e, "sh").count() == len(rows)
+
+
+def test_pack_sign_bits_and_hamming_codes(spark):
+    """Packed sign-bit codes: bit k set iff v[k] > 0 (bit 63 = the
+    long sign bit), and bit_count(xor) equals the unpacked
+    sign-disagreement count — the BQ stage-1 kernel."""
+    import random
+
+    from se_data_pipeline_spark.functions.vectors import (
+        hamming_codes,
+        pack_sign_bits,
+    )
+
+    df = spark.createDataFrame(
+        [([0.5, -1.0, 2.0, 0.0],), ([-0.1, 3.0, -2.0, 1.0],)],
+        "v: array<double>",
+    )
+    codes = [
+        r["c"] for r in df.select(pack_sign_bits(F.col("v"), 4).alias("c")).collect()
+    ]
+    assert codes == [0b0101, 0b1010]  # x > 0 strictly: the 0.0 dim is unset
+
+    rng = random.Random(7)
+    v1 = [rng.uniform(-1, 1) for _ in range(64)]
+    v2 = [rng.uniform(-1, 1) for _ in range(64)]
+    v1[63], v2[63] = 1.0, -1.0  # force a bit-63 (sign-bit) disagreement
+    truth = sum((x > 0) != (y > 0) for x, y in zip(v1, v2))
+    got = (
+        spark.createDataFrame(
+            [(v1, v2)], "a: array<double>, b: array<double>"
+        )
+        .select(
+            hamming_codes(
+                pack_sign_bits(F.col("a")), pack_sign_bits(F.col("b"))
+            ).alias("h")
+        )
+        .collect()[0]["h"]
+    )
+    assert got == truth
+
+    with pytest.raises(ValueError):
+        pack_sign_bits(F.col("a"), 65)
