@@ -380,6 +380,38 @@ def token_hash_dims_udf(n_dims: int):
     return _dims
 
 
+def winnow_fingerprints_py(text, k: int = 4, w: int = 5) -> list[int]:
+    """Pure scalar winnowing kernel (module-level so tests can check
+    the winnowing guarantee directly): SEQUENTIAL k-token k-grams
+    hashed to the first 48 bits of md5, minimum per sliding w-window,
+    deduplicated in first-occurrence order. Guarantee: every w-window
+    of the k-gram hash sequence contributes its minimum, so any
+    shared substring of >= w + k - 1 tokens yields a shared
+    fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003)."""
+    import hashlib
+
+    if not text:
+        return []
+    toks = [t for t in text.split(" ") if t != ""]
+    if len(toks) < k:
+        return []
+    hs = [
+        int(
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[
+                :12
+            ],
+            16,
+        )
+        for i in range(len(toks) - k + 1)
+    ]
+    if len(hs) < w:
+        return [min(hs)]
+    seen: dict[int, None] = {}
+    for j in range(len(hs) - w + 1):
+        seen.setdefault(min(hs[j : j + w]), None)
+    return list(seen)
+
+
 def winnow_fingerprints_udf(k: int = 4, w: int = 5):
     """Winnowing fingerprints in one Arrow pass: SEQUENTIAL k-token
     k-grams (order and duplicates preserved — word_shingles_udf's
@@ -388,36 +420,13 @@ def winnow_fingerprints_udf(k: int = 4, w: int = 5):
     engine hashing the same string gets the same integer), then the
     minimum per sliding w-window, deduplicated. Doing hash+windows in
     the same kernel also keeps Catalyst from inlining the hash
-    transform into every window slice (no CSE inside HOF lambdas)."""
-    import hashlib
-
+    transform into every window slice (no CSE inside HOF lambdas).
+    Scalar kernel: winnow_fingerprints_py (property-tested)."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    def one(text) -> list[int]:
-        if not text:
-            return []
-        toks = [t for t in text.split(" ") if t != ""]
-        if len(toks) < k:
-            return []
-        hs = [
-            int(
-                hashlib.md5(
-                    " ".join(toks[i : i + k]).encode()
-                ).hexdigest()[:12],
-                16,
-            )
-            for i in range(len(toks) - k + 1)
-        ]
-        if len(hs) < w:
-            return [min(hs)]
-        seen: dict[int, None] = {}
-        for j in range(len(hs) - w + 1):
-            seen.setdefault(min(hs[j : j + w]), None)
-        return list(seen)
-
     @pandas_udf(ArrayType(LongType()))
     def _fp(texts: pd.Series) -> pd.Series:
-        return pd.Series([one(t) for t in texts])
+        return pd.Series([winnow_fingerprints_py(t, k, w) for t in texts])
 
     return _fp

@@ -729,6 +729,18 @@ def _mh_signature(text: str):
         arr = np.asarray(hs, dtype=np.int64)
     if not len(arr):
         return None
+    return _mh_sig_from_hashes(arr)
+
+
+def _mh_sig_from_hashes(arr):
+    """k universal hash permutations over a (multi)set of shingle
+    hashes → per-permutation min. Exact algebra (property-tested):
+    sig(A ∪ B) = elementwise min(sig(A), sig(B)); invariant under
+    element order and duplication — the mergeability that lets
+    signatures combine across partitions/shards without rescanning
+    text."""
+    import numpy as np
+
     ks = np.arange(_MINHASH_K, dtype=np.int64)
     ph = ((2 * ks + 1) * arr[:, None] + 31 * ks + 7) % _MH_P
     return ph.min(axis=0)

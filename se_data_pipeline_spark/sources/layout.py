@@ -162,3 +162,55 @@ def compact_table(
         .parquet(out_dir)
     )
     return n_in
+
+
+def write_bq_index(
+    df: DataFrame,
+    out_path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize a binary-quantization ANN index: the input frame
+    plus a packed 64-bit sign-code column (`code`,
+    functions.vectors.pack_sign_bits). Pay the code computation ONCE
+    at write time; every later stage-1 candidate scan then reads
+    (id, code) only — 8 bytes of index per vector instead of the
+    full float payload, and parquet column pruning keeps the vector
+    bytes on disk entirely (the layout test asserts the pruned
+    ReadSchema on the executed plan)."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
+
+    df.withColumn("code", pack_sign_bits(F.col(vec_col))).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+
+
+def bq_candidates(
+    spark: SparkSession,
+    index_path: str,
+    q_code: int,
+    n: int = 100,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Stage-1 ANN candidate cut over a materialized BQ index:
+    Hamming distance = bit_count(code ^ q_code) over the 8-byte code
+    column, top-n via TakeOrderedAndProject (per-partition heap).
+    Selects ONLY (id, code) so the scan never touches the vector
+    column; rerank the returned ids against full vectors afterwards
+    (see queries/vectors.py embedding_binary_quant_rerank for the
+    inline twin of the full two-stage shape)."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.functions.vectors import hamming_codes
+
+    idx = spark.read.parquet(index_path)
+    return (
+        idx.select(id_col, "code")
+        .withColumn(
+            "hamming",
+            hamming_codes(F.col("code"), F.lit(q_code).cast("long")),
+        )
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(n)
+    )

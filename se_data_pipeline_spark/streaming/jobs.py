@@ -747,3 +747,125 @@ def enrich_stream_with_dimension(
     matched = enriched.filter(F.col(dim_cols[0]).isNotNull())
     dead_letter = stream.join(F.broadcast(dim), on, "left_anti")
     return matched, dead_letter
+
+
+
+
+def maintain_term_stats(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+):
+    """Incremental lexical-index statistics maintenance: each
+    micro-batch of (append-only, unique doc_id) documents writes its
+    per-term document-frequency / collection-frequency DELTAS plus a
+    one-row corpus-totals delta (n_docs, n_tokens) — together exactly
+    the statistics BM25 / TF-IDF scoring needs (queries/text.py
+    doc_bm25_search), kept fresh without ever rescanning the corpus.
+
+    Exactly-once by LAYOUT, not by read-modify-write: deltas land in
+    a `batch_id=N` partition via dynamic partition overwrite, so a
+    replayed micro-batch overwrites ITS OWN partition and nothing
+    else — idempotent under Structured Streaming's batch-replay
+    contract with zero read-side work per batch. Readers
+    (read_term_stats) fold the delta partitions with one additive
+    groupBy; a periodic compact_table pass over old batch partitions
+    bounds their count. Each delta is VOCABULARY-sized (the corpus-
+    sized token stream collapses in the batch-local groupBy), and
+    `bucket` = pmod(xxhash64(term), n_buckets) sub-partitions terms
+    so the reader's fold and any bucket-targeted lookup prune files."""
+    import os
+
+    terms_dir = os.path.join(out_dir, "term_stats")
+    totals_dir = os.path.join(out_dir, "corpus_totals")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()  # decouple from the stream
+        if batch.isEmpty():
+            return
+        toks = batch.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        ).filter(F.col("tok") != "")
+        delta = (
+            toks.groupBy("tok")
+            .agg(
+                F.countDistinct("doc_id").alias("doc_freq"),
+                F.count(F.lit(1)).alias("coll_freq"),
+            )
+            .select(
+                "tok",
+                "doc_freq",
+                "coll_freq",
+                F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias(
+                    "bucket"
+                ),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        # n_docs counts every batch document (a token-less doc still
+        # raises BM25's N), so it comes from batch, not toks
+        totals = (
+            batch.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .crossJoin(
+                toks.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_tokens")
+                )
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                delta.write.mode("overwrite")
+                .partitionBy("batch_id", "bucket")
+                .parquet(terms_dir)
+            )
+            (
+                totals.coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(totals_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_term_stats(spark: SparkSession, out_dir: str):
+    """Fold the maintain_term_stats delta partitions into current
+    statistics: returns (term_stats_df with one row per term, totals
+    row with n_docs/n_tokens). The fold is one additive groupBy over
+    vocabulary-sized deltas — never touches the corpus."""
+    import os
+
+    terms = (
+        spark.read.parquet(os.path.join(out_dir, "term_stats"))
+        .groupBy("tok")
+        .agg(
+            F.sum("doc_freq").alias("doc_freq"),
+            F.sum("coll_freq").alias("coll_freq"),
+        )
+    )
+    totals = spark.read.parquet(
+        os.path.join(out_dir, "corpus_totals")
+    ).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return terms, totals

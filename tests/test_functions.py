@@ -902,3 +902,88 @@ def test_pack_sign_bits_and_hamming_codes(spark):
 
     with pytest.raises(ValueError):
         pack_sign_bits(F.col("a"), 65)
+
+
+def test_winnowing_guarantee_property():
+    """Hypothesis check of the two winnowing invariants (Schleimer/
+    Wilkerson/Aiken): (1) every fingerprint is the hash of some
+    k-gram of the input; (2) every sliding w-window of the k-gram
+    hash sequence is covered by a selected fingerprint — the
+    guarantee that any shared run of >= w+k-1 tokens produces a
+    shared fingerprint between two documents."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from se_data_pipeline_spark.functions.text import (
+        winnow_fingerprints_py,
+    )
+
+    K, W = 4, 5
+    token = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=6,
+    ).filter(lambda t: " " not in t)
+
+    def kgram_hashes(toks):
+        return [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + K]).encode()
+                ).hexdigest()[:12],
+                16,
+            )
+            for i in range(len(toks) - K + 1)
+        ]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=40))
+    def check(toks):
+        fps = winnow_fingerprints_py(" ".join(toks), K, W)
+        if len(toks) < K:
+            assert fps == []
+            return
+        hs = kgram_hashes(toks)
+        fpset = set(fps)
+        assert fpset <= set(hs)  # (1) no fabricated fingerprints
+        assert len(fps) == len(fpset)  # dedup holds
+        if len(hs) < W:
+            assert fps == [min(hs)]
+            return
+        for j in range(len(hs) - W + 1):  # (2) window coverage
+            assert any(h in fpset for h in hs[j : j + W])
+
+    check()
+
+
+def test_minhash_signature_algebra_property():
+    """Exact MinHash algebra on the shingle-hash multiset level:
+    sig(A union B) == elementwise min(sig(A), sig(B)), and signatures
+    are invariant under element order and duplication. This is the
+    mergeability contract the LSH banding and any sharded/streaming
+    signature combine rely on."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from se_data_pipeline_spark.queries.text import _mh_sig_from_hashes
+
+    elem = st.integers(min_value=0, max_value=2**40)
+    arrays = st.lists(elem, min_size=1, max_size=50)
+
+    @settings(max_examples=200, deadline=None)
+    @given(arrays, arrays)
+    def check(a, b):
+        sa = _mh_sig_from_hashes(np.asarray(a, dtype=np.int64))
+        sb = _mh_sig_from_hashes(np.asarray(b, dtype=np.int64))
+        su = _mh_sig_from_hashes(np.asarray(a + b, dtype=np.int64))
+        assert np.array_equal(su, np.minimum(sa, sb))
+        # order- and duplication-invariance
+        rng = np.random.default_rng(0)
+        shuffled = np.asarray(a + a, dtype=np.int64)
+        rng.shuffle(shuffled)
+        assert np.array_equal(_mh_sig_from_hashes(shuffled), sa)
+
+    check()

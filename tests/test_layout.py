@@ -143,3 +143,51 @@ def test_compact_table_reduces_files(spark, tmp_path):
     out_files = glob.glob(f"{dst}/*.parquet")
     assert 1 <= len(out_files) <= 3
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_bq_index_scan_prunes_vector_column(spark, sf_dir, tmp_path):
+    """The materialized BQ index must let stage 1 run WITHOUT reading
+    the vector column: the executed scan's ReadSchema carries only
+    (vec_id, code), and the Hamming top-n equals a from-scratch
+    recomputation over the raw vectors."""
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
+    from se_data_pipeline_spark.sources.layout import (
+        bq_candidates,
+        write_bq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out = str(tmp_path / "bq_index")
+    write_bq_index(emb, out)
+
+    q_code = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(pack_sign_bits(F.col("embedding")).alias("c"))
+        .collect()[0]["c"]
+    )
+    cand = bq_candidates(spark, out, q_code, n=10)
+    got = [(r["vec_id"], r["hamming"]) for r in cand.collect()]
+
+    # column pruning: the index scan reads only vec_id + code
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ][0]
+    assert "code" in read_schema and "vec_id" in read_schema
+    assert "embedding" not in read_schema
+
+    # ground truth from the raw vectors, no packing involved
+    rows = emb.select("vec_id", "embedding").collect()
+    qvec = min(rows, key=lambda r: r["vec_id"])["embedding"]
+    truth = sorted(
+        (
+            sum((x > 0) != (y > 0) for x, y in zip(r["embedding"], qvec)),
+            r["vec_id"],
+        )
+        for r in rows
+    )[:10]
+    assert got == [(vid, h) for h, vid in truth]

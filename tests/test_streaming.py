@@ -742,3 +742,84 @@ def test_stream_stream_left_outer_join_null_semantics(spark, sf_dir):
     assert got_inner == exp_inner
     assert len(got_null) == len(set(got_null))  # once per purchase
     assert set(got_null) <= exp_unmatched
+
+
+def test_maintain_term_stats_matches_batch(spark, sf_dir, tmp_path):
+    """The incremental BM25-statistics store must equal a from-scratch
+    batch computation after the stream drains (multi-batch: one file
+    per trigger), and stay equal after a replay over the same
+    checkpoint — the delta-partition layout makes replays overwrite
+    their own batch_id partition, never double-count."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_term_stats,
+        read_term_stats,
+    )
+
+    # split the documents table into 2 files so availableNow +
+    # maxFilesPerTrigger=1 yields two micro-batches
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "docs_src")
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    out = str(tmp_path / "term_store")
+    ckpt = str(tmp_path / "ckpt")
+    q = maintain_term_stats(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    # at least two delta partitions landed
+    batch_dirs = [
+        d
+        for d in os.listdir(os.path.join(out, "term_stats"))
+        if d.startswith("batch_id=")
+    ]
+    assert len(batch_dirs) >= 2
+
+    terms, totals = read_term_stats(spark, out)
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    expected = {
+        r["tok"]: (r["df"], r["cf"])
+        for r in toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+        )
+        .collect()
+    }
+    got = {
+        r["tok"]: (r["doc_freq"], r["coll_freq"]) for r in terms.collect()
+    }
+    assert got == expected
+
+    trow = totals.collect()[0]
+    assert trow["n_docs"] == docs.count()
+    assert trow["n_tokens"] == toks.count()
+
+    # replay on the same checkpoint: no new data -> store unchanged
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = maintain_term_stats(stream2, out, ckpt)
+    q2.awaitTermination(120)
+    terms2, totals2 = read_term_stats(spark, out)
+    got2 = {
+        r["tok"]: (r["doc_freq"], r["coll_freq"]) for r in terms2.collect()
+    }
+    assert got2 == expected
+    assert totals2.collect()[0]["n_docs"] == trow["n_docs"]
+
+    shutil.rmtree(src, ignore_errors=True)
