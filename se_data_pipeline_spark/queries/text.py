@@ -4275,3 +4275,57 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _compose_recall_oracle()
+
+
+def bm25_from_term_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    terms: tuple = _SEARCH_TERMS,
+) -> DataFrame:
+    """Okapi BM25 served from the INCREMENTAL statistics store
+    (streaming/jobs.maintain_term_stats) instead of recomputing
+    df/N/avgdl from the corpus: the store's folded term rows supply
+    document frequency, its corpus totals supply N and avgdl
+    (n_tokens / n_docs), and the only corpus-sized work left is the
+    per-document tf pass over the query terms — i.e. the serving-time
+    cost after the heavy statistics were maintained stream-side.
+    Parity-tested against doc_bm25_search (identical scores when the
+    store was built from the same corpus)."""
+    from se_data_pipeline_spark.streaming.jobs import read_term_stats
+
+    term_stats, totals = read_term_stats(spark, store_dir)
+    dfreq = term_stats.filter(F.col("tok").isin(*terms)).select(
+        "tok", F.col("doc_freq").alias("df")
+    )
+    stats = totals.select(
+        F.col("n_docs").alias("nn"),
+        (F.col("n_tokens") / F.col("n_docs")).alias("avgdl"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok").isin(*terms))
+    tf = toks.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    idf = F.log(
+        1
+        + (F.col("nn") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("c") * (_BM25_K1 + 1)) / (
+        F.col("c")
+        + _BM25_K1
+        * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -823,3 +823,38 @@ def test_maintain_term_stats_matches_batch(spark, sf_dir, tmp_path):
     assert totals2.collect()[0]["n_docs"] == trow["n_docs"]
 
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_bm25_from_store_matches_inline_query(spark, sf_dir, tmp_path):
+    """BM25 served from the incrementally-maintained statistics store
+    must produce the exact ranking and scores of the from-scratch
+    doc_bm25_search — the store IS those statistics."""
+    import os
+
+    from se_data_pipeline_spark.queries.text import (
+        bm25_from_term_stats,
+        doc_bm25_search,
+    )
+    from se_data_pipeline_spark.streaming.jobs import maintain_term_stats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "docs_src")
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "term_store")
+    q = maintain_term_stats(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    served = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_term_stats(spark, sf_dir, out).collect()
+    ]
+    inline = [
+        (r["doc_id"], r["bm25"])
+        for r in doc_bm25_search(spark, sf_dir).collect()
+    ]
+    assert served == inline
