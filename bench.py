@@ -216,6 +216,7 @@ HEADLINE = [
     "doc_bm25_search",
     "bpe_merge_candidates",
     "embedding_binary_quant_rerank",
+    "part_pagerank",
 ]
 
 

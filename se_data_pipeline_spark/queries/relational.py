@@ -1847,6 +1847,154 @@ def part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PageRank over the co-purchase graph: the canonical iterative graph
+# algorithm, unrolled to a fixed 3 damped iterations so both engines
+# compute the identical closed form (no convergence loop to diverge
+# on).
+# --------------------------------------------------------------------------
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+_PR_EDGES_SQL = """
+    items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM pairs)),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nn FROM deg),
+    r0 AS (SELECT node, deg, 1.0 / nn AS rank FROM deg CROSS JOIN n)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    p = i - 1
+    return f"""
+    m{i} AS (
+      SELECT e.dst AS node, SUM(r.rank / r.deg) AS m
+      FROM edges e JOIN r{p} r ON r.node = e.src GROUP BY 1),
+    r{i} AS (
+      SELECT d.node, d.deg,
+             {1 - _PR_DAMPING} / nn
+               + {_PR_DAMPING} * COALESCE(m{i}.m, 0) AS rank
+      FROM r{p} d CROSS JOIN n LEFT JOIN m{i} ON m{i}.node = d.node)
+"""
+
+
+@query(
+    "part_pagerank",
+    oracle=(
+        "WITH "
+        + _PR_EDGES_SQL
+        + ","
+        + ",".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))
+        + f"""
+    SELECT node AS part, ROUND(rank, 6) AS pagerank
+    FROM r{_PR_ITERS}
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """
+    ),
+)
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 3 unrolled iterations) over the
+    undirected co-purchase graph: nodes are parts, edges connect
+    parts co-ordered in at least one order. Sibling of
+    supplier_part_pagerank (bipartite supply graph, join-derived
+    edges); this one exercises the basket-derived quadratic-per-order
+    edge generator plus a checkpointed edge list re-joined across
+    iterations. Edge generation reuses
+    the basket HOF (C(m,2) per order, quadratic per BASKET not per
+    table); both orientations come from ONE explode pass, so the
+    basket subtree is never evaluated twice. The edge/degree frame
+    is localCheckpoint'ed once and re-joined by all three iterations
+    — each iteration is one (src-keyed join → dst-keyed rollup),
+    i.e. the Pregel message step as two exchanges, the exact shape a
+    1000-executor PageRank runs at any graph size. The graph-order
+    scalar N rides a 1-row broadcast. Fixed unrolling keeps the
+    computation a closed form the DuckDB oracle replays CTE-for-CTE;
+    rank ties are impossible to hash-mismatch because ordering uses
+    the unrounded rank with a node tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        """transform(parts, (x, i) ->
+                             transform(slice(parts, i + 2, size(parts)),
+                                       y -> struct(x AS pa, y AS pb)))"""
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.pa", "pair.pb")
+    )
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pa").alias("src"), F.col("pb").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("pb").alias("src"), F.col("pa").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # 3-iteration reuse (EAGER_OK)
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "node", "deg", "nn", (F.lit(1.0) / F.col("nn")).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        msgs = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("contrib"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("m"))
+        )
+        ranks = ranks.join(msgs, "node", "left").select(
+            "node",
+            "deg",
+            "nn",
+            (
+                F.lit(1 - _PR_DAMPING) / F.col("nn")
+                + F.lit(_PR_DAMPING) * F.coalesce("m", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select(
+            F.col("node").alias("part"),
+            F.round("rank", 6).alias("pagerank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # RFM segmentation via broadcast quantile boundaries (no global
 # window — the scale-correct form of ntile(4)).
 # --------------------------------------------------------------------------

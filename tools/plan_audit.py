@@ -77,6 +77,8 @@ EAGER_OK = {
     "forecasters)",
     "events_value_tail_index": _CKPT + " (top-k order statistics)",
     "jaccard_prefix_filter_pairs": _SHINGLE,
+    "part_pagerank": _CKPT + " (edge list re-joined by 3 unrolled "
+    "PageRank iterations)",
     "leakage_safe_splits": "iterative cluster-label loop: "
     "localCheckpoint per round",
     "orders_interrupted_time_series": _CKPT + " (pre/post day frames)",
