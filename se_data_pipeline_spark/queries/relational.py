@@ -1786,6 +1786,36 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Market-basket co-occurrence: part pairs co-ordered in one order.
 # --------------------------------------------------------------------------
+
+# Mega-basket guard (same rationale as events.MAX_EVENTS_PER_KEY and
+# text.MAX_DOCS_PER_BUCKET): every basket builder below holds one
+# collect_set buffer per order and fans out C(m,2) pairs per basket —
+# a pathological 100k-line order at 100 TB would OOM its aggregation
+# buffer and emit ~5e9 pairs from one key. Rows are bounded BEFORE
+# the aggregate: the row_number pre-filter rides the same l_orderkey
+# hash partitioning the groupBy reuses (ONE shuffle total), its
+# per-key sort spills, and ordering by l_partkey makes the surviving
+# DISTINCT part set deterministic regardless of duplicate-row tie
+# order. Fixture baskets are ~7 lines, 3 orders of magnitude below
+# the cap, so all oracles stay exact; above it the documented
+# semantics are "a basket keeps its first N parts by partkey".
+_MAX_LINES_PER_ORDER = 10_000
+
+
+def _cap_order_lines(
+    li: DataFrame, cap: int = _MAX_LINES_PER_ORDER
+) -> DataFrame:
+    """Keep only the first `cap` lineitem rows per order (by
+    l_partkey, deterministic) — the spill-safe mega-basket guard."""
+    w = W.partitionBy("l_orderkey").orderBy("l_partkey")
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+
 @query(
     "part_cooccurrence_pairs",
     oracle="""
@@ -1818,10 +1848,12 @@ def part_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by basket size (~7 here), so pairs ≈ rows × (m-1)/2.
     The pair count is map-side-combinable and the final cut is
     TakeOrderedAndProject. The HAVING >= 2 support floor is the
-    standard a-priori pruning step."""
+    standard a-priori pruning step. Baskets are hard-bounded at
+    _MAX_LINES_PER_ORDER (_cap_order_lines) — the mega-basket OOM
+    guard shared by every basket builder here."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
-        li.groupBy("l_orderkey")
+        _cap_order_lines(li).groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .select(
             F.explode(
@@ -1921,10 +1953,11 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar N rides a 1-row broadcast. Fixed unrolling keeps the
     computation a closed form the DuckDB oracle replays CTE-for-CTE;
     rank ties are impossible to hash-mismatch because ordering uses
-    the unrounded rank with a node tie-break."""
+    the unrounded rank with a node tie-break. Baskets are bounded at
+    _MAX_LINES_PER_ORDER (_cap_order_lines)."""
     li = load_table(spark, sf_dir, "lineitem")
     pairs = (
-        li.groupBy("l_orderkey")
+        _cap_order_lines(li).groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .select(
             F.explode(
@@ -2575,10 +2608,11 @@ def part_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     MapReduce triangle-counting bound) — and counts each triangle
     exactly once at its minimum vertex, no post-dedup. Three keyed
     shuffles: degree count, wedge self-join on the pivot, closure
-    probe against the edge set."""
+    probe against the edge set. Baskets are bounded at
+    _MAX_LINES_PER_ORDER (_cap_order_lines)."""
     li = load_table(spark, sf_dir, "lineitem")
     edges = (
-        li.groupBy("l_orderkey")
+        _cap_order_lines(li).groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .select(
             F.explode(
@@ -4464,9 +4498,10 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals attach via two part-keyed joins (vocab-sized), the
     1-row order total broadcasts, and top-20 is
     TakeOrderedAndProject on the ROUNDED lift (integer-count ratios
-    are engine-identical; ties break on the keys)."""
+    are engine-identical; ties break on the keys). Baskets are
+    bounded at _MAX_LINES_PER_ORDER (_cap_order_lines)."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
+    baskets = _cap_order_lines(li).groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))

@@ -987,3 +987,25 @@ def test_minhash_signature_algebra_property():
         assert np.array_equal(_mh_sig_from_hashes(shuffled), sa)
 
     check()
+
+
+def test_cap_order_lines_truncates_mega_baskets(spark):
+    """_cap_order_lines keeps the first `cap` lineitem rows per order
+    by l_partkey and leaves small baskets intact — the mega-basket
+    guard the C(m,2) pair generators in queries/relational.py rely
+    on at scale."""
+    from se_data_pipeline_spark.queries.relational import (
+        _cap_order_lines,
+    )
+
+    rows = [(1, p) for p in range(30, 0, -1)] + [(2, 7), (2, 9)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey: long, l_partkey: long"
+    )
+    out = _cap_order_lines(li, cap=5).collect()
+    big = sorted(r["l_partkey"] for r in out if r["l_orderkey"] == 1)
+    small = sorted(r["l_partkey"] for r in out if r["l_orderkey"] == 2)
+    assert big == [1, 2, 3, 4, 5]  # lowest partkeys survive
+    assert small == [7, 9]
+    # default cap is far above any fixture basket: identity
+    assert _cap_order_lines(li).count() == len(rows)
