@@ -111,6 +111,14 @@ def channel_metadata_document(segments: DataFrame) -> DataFrame:
     sort_array makes the document canonical (exactly-once
     re-publishing needs byte-stable output). Duration sums use
     (end-start) — the reference's negative-hours bug §7.4(1) fixed.
+
+    Buffer bound: unlike the per-user event collectors (capped via
+    _cap_per_key), these collect_lists are bounded by the DOMAIN —
+    segments per video by VAD on a finite recording, videos per
+    channel by the playlist — and the published document must be
+    complete, so no truncation cap applies. A pathological input
+    would be one multi-year recording, which the acquire stage's
+    duration filter rejects upstream (plan_downloads).
     """
     per_video = (
         segments.groupBy("channel_id", "video_id")

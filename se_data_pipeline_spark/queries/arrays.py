@@ -18,6 +18,16 @@ from se_data_pipeline_spark.functions.arrays import (
     array_mean,
 )
 from se_data_pipeline_spark.queries import query
+from se_data_pipeline_spark.queries.events import _cap_per_key
+
+# Every collect_list below is bounded BEFORE the aggregate with
+# events._cap_per_key (the shared spill-safe mega-key guard):
+# aggregation buffers don't spill, so an unbounded per-key history
+# (a 100k-line order, a mega-customer, a bot user) would OOM its
+# task at the 100 TB target. The row_number pre-filter rides the
+# same hash partitioning the groupBy reuses (one shuffle total);
+# fixture keys sit orders of magnitude below the cap, so all
+# oracles stay exact.
 
 
 # --------------------------------------------------------------------------
@@ -44,7 +54,11 @@ def order_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is plain SQL aggregation — same result, which is the
     point: the HOF path must agree with relational semantics.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _cap_per_key(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey"],
+        ["l_linenumber"],
+    )
     arr = li.groupBy("l_orderkey").agg(F.collect_list("l_quantity").alias("qtys"))
     return arr.select(
         "l_orderkey",
@@ -89,7 +103,11 @@ def supplier_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, which would funnel all rows through one task. This also
     fixes reference bug §7.4(5): the max is global, not per-shard.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _cap_per_key(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_suppkey"],
+        ["l_orderkey", "l_linenumber"],
+    )
     supp = load_table(spark, sf_dir, "supplier")
     stats = (
         li.groupBy("l_suppkey")
@@ -149,7 +167,11 @@ def user_weighted_event_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Summation runs in array order inside one group; rounding makes it
     oracle-stable.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = _cap_per_key(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"],
+        ["ts", "event_id"],
+    )
     preds = ev.groupBy("user_id").agg(
         F.collect_list(
             F.struct(F.col("event_type").alias("label"), F.col("value").alias("score"))
@@ -192,7 +214,11 @@ def customer_order_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     (data_pipeline.py:661-676, A9). sort_array on the leading struct
     field makes the document canonical regardless of row arrival
     order — required for exactly-once re-publishing at scale."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = _cap_per_key(
+        load_table(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        ["o_orderkey"],
+    )
     return (
         orders.groupBy("o_custkey")
         .agg(
@@ -238,7 +264,11 @@ def zip_explode_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip(segments, meta, snr) + enumerate (data_pipeline.py:658).
     Arrays are collected in an explicit (l_linenumber) sort so the
     zip position is deterministic; then re-exploded with position."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _cap_per_key(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_orderkey"],
+        ["l_linenumber"],
+    )
     arr = (
         li.groupBy("l_orderkey")
         .agg(
