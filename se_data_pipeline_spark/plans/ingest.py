@@ -123,6 +123,8 @@ def channel_metadata_document(segments: DataFrame) -> DataFrame:
     per_video = (
         segments.groupBy("channel_id", "video_id")
         .agg(
+            # BOUNDED: segments per video are bounded by VAD over a
+            # finite recording (upstream duration filter)
             F.sort_array(
                 F.collect_list(
                     F.struct(
@@ -144,6 +146,7 @@ def channel_metadata_document(segments: DataFrame) -> DataFrame:
     return (
         per_video.groupBy("channel_id")
         .agg(
+            # BOUNDED: videos per channel are bounded by the playlist
             F.map_from_entries(
                 F.sort_array(
                     F.collect_list(F.struct(F.col("video_id"), F.col("segs")))

@@ -49,6 +49,8 @@ def quality_records(scored_segments: DataFrame) -> DataFrame:
     collected = scored_segments.groupBy(
         F.col("channel_url").alias("url")
     ).agg(
+        # BOUNDED: probe runs on a fixed per-channel video sample
+        # (reference probes 3 videos/channel), segments VAD-bounded
         F.sort_array(
             F.collect_list(
                 F.struct(

@@ -1139,6 +1139,8 @@ def nation_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
+            # BOUNDED: o_orderpriority has a 5-value domain, so the
+            # per-nation set buffer holds at most 5 entries
             F.array_join(
                 F.sort_array(F.collect_set("o_orderpriority")), ","
             ).alias("priorities")

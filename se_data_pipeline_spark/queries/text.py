@@ -1289,6 +1289,8 @@ def _rank_bounded(df: DataFrame, sort_key, out_col: str) -> DataFrame:
     (struct comparison is lexicographic by field order, so pass a
     negated key for descending) and posexplode. Single-task O(K log K)
     regardless of upstream corpus size — only use after a LIMIT."""
+    # BOUNDED: callers pass a post-LIMIT frame (<= K rows), so the
+    # single collect buffer holds at most K entries
     agg = df.agg(
         F.sort_array(
             F.collect_list(F.struct(sort_key.alias("k"), F.col("doc_id")))

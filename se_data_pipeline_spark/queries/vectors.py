@@ -195,6 +195,7 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.transform(
+                # BOUNDED: one (pos, value) entry per dimension - 64 per label
                 F.sort_array(F.collect_list(F.struct("pos", "ctr"))),
                 lambda s: s["ctr"],
             ).alias("centroid")
@@ -1133,6 +1134,7 @@ def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     carr = cent.groupBy("label").agg(
         F.transform(
+            # BOUNDED: one (pos, value) entry per dimension - 64 per label
             F.array_sort(F.collect_list(F.struct("pos", "c"))),
             lambda x: x["c"],
         ).alias("cvec")
@@ -1230,6 +1232,7 @@ def embedding_margin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     carr = cent.groupBy(F.col("label").alias("clabel")).agg(
         F.transform(
+            # BOUNDED: one (pos, value) entry per dimension - 64 per label
             F.array_sort(F.collect_list(F.struct("pos", "c"))),
             lambda x: x["c"],
         ).alias("cvec")
@@ -1474,6 +1477,7 @@ def embedding_matryoshka_fidelity(
         cent.groupBy(F.col("label").alias("clabel"))
         .agg(
             F.transform(
+                # BOUNDED: one (pos, value) entry per dimension - 64 per label
                 F.array_sort(F.collect_list(F.struct("pos", "c"))),
                 lambda x: x["c"],
             ).alias("cvec")
