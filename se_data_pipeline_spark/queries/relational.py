@@ -1989,6 +1989,13 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.src", "e.dst")
         .distinct()
+        # pre-partition the big side by the iteration-join key BEFORE
+        # checkpointing: the materialized partitioning is reused by
+        # all three src-keyed joins, so only the (small) rank frame
+        # shuffles per iteration
+        .repartition(
+            max(spark.sparkContext.defaultParallelism, 8), "src"
+        )
         .localCheckpoint(eager=True)  # 3-iteration reuse (EAGER_OK)
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
