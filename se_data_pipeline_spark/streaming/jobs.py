@@ -771,7 +771,11 @@ def maintain_term_stats(
     contract with zero read-side work per batch. Readers
     (read_term_stats) fold the delta partitions with one additive
     groupBy; a periodic compact_table pass over old batch partitions
-    bounds their count. Each delta is VOCABULARY-sized (the corpus-
+    bounds their count. The idempotence assumes the SAME checkpoint
+    directory across restarts (batch ids are checkpoint-scoped);
+    re-pointing an existing store at a fresh checkpoint restarts ids
+    at 0 and overwrites old deltas — use a new out_dir with a new
+    checkpoint. Each delta is VOCABULARY-sized (the corpus-
     sized token stream collapses in the batch-local groupBy), and
     `bucket` = pmod(xxhash64(term), n_buckets) sub-partitions terms
     so the reader's fold and any bucket-targeted lookup prune files."""
