@@ -217,6 +217,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "embedding_binary_quant_rerank",
     "part_pagerank",
+    "corpus_stoplist_mining",
 ]
 
 

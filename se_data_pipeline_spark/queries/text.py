@@ -4331,3 +4331,46 @@ def bm25_from_term_stats(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "corpus_stoplist_mining",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM toks
+              WHERE tok <> '' GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nn FROM documents)
+    SELECT tok, df, ROUND(df * 1.0 / nn, 6) AS doc_ratio
+    FROM dfreq CROSS JOIN n
+    WHERE df * 1.0 / nn >= 0.5
+    ORDER BY df DESC, tok
+    """,
+)
+def corpus_stoplist_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-list mining: terms present in >= 50% of documents — the
+    corpus statistic that feeds both retrieval stop-lists and the
+    posting-list stop-shingle policy (_cap_bucket's semantics above
+    the cap). One explode -> per-(doc, term) distinct -> term
+    groupBy; corpus size rides a 1-row broadcast crossJoin. The
+    distinct is term+doc keyed (vocabulary x doc incidence, the
+    inverted-index row count), so the shuffle carries each incidence
+    once regardless of in-document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("nn"))
+    ratio = F.col("df") * 1.0 / F.col("nn")
+    return (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(ratio >= 0.5)
+        .select("tok", "df", F.round(ratio, 6).alias("doc_ratio"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+    )
