@@ -218,6 +218,7 @@ HEADLINE = [
     "embedding_binary_quant_rerank",
     "part_pagerank",
     "corpus_stoplist_mining",
+    "bq_code_balance",
 ]
 
 

@@ -1773,3 +1773,63 @@ def embedding_binary_quant_rerank(
             F.round("raw_sim", 6).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "bq_code_balance",
+    oracle="""
+    WITH codes AS (
+      SELECT (CASE WHEN embedding[1] > 0 THEN 1   ELSE 0 END
+            + CASE WHEN embedding[2] > 0 THEN 2   ELSE 0 END
+            + CASE WHEN embedding[3] > 0 THEN 4   ELSE 0 END
+            + CASE WHEN embedding[4] > 0 THEN 8   ELSE 0 END
+            + CASE WHEN embedding[5] > 0 THEN 16  ELSE 0 END
+            + CASE WHEN embedding[6] > 0 THEN 32  ELSE 0 END
+            + CASE WHEN embedding[7] > 0 THEN 64  ELSE 0 END
+            + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+              AS prefix
+      FROM embeddings WHERE embedding IS NOT NULL),
+    n AS (SELECT COUNT(*) AS nn FROM codes)
+    SELECT CAST(prefix AS INT) AS prefix,
+           COUNT(*) AS n_vectors,
+           ROUND(COUNT(*) * 1.0 / nn, 6) AS share
+    FROM codes CROSS JOIN n
+    GROUP BY prefix, nn
+    ORDER BY n_vectors DESC, prefix
+    LIMIT 30
+    """,
+)
+def bq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization index balance monitor: the population of
+    each low-byte code prefix (sign bits of dims 1-8). Run alongside
+    ann_recall_report the way LSH deployments watch bucket skew — a
+    prefix holding a large share means Hamming stage-1 candidates
+    concentrate there and the candidate cut degrades toward
+    brute-force on those queries. Row-local code computation
+    (pack_sign_bits low byte), one 256-key rollup, 1-row broadcast
+    total; on near-uniform synthetic embeddings expect shares near
+    1/256, on real clustered embeddings this is the query that tells
+    you to rotate (random orthogonal transform) before quantizing."""
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    codes = emb.select(
+        pack_sign_bits(F.col("embedding"), 8).cast("int").alias("prefix")
+    )
+    n = codes.agg(F.count(F.lit(1)).alias("nn"))
+    return (
+        codes.groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "prefix",
+            "n_vectors",
+            F.round(F.col("n_vectors") * 1.0 / F.col("nn"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_vectors"), F.asc("prefix"))
+        .limit(30)
+    )
