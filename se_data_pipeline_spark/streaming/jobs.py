@@ -873,3 +873,47 @@ def read_term_stats(spark: SparkSession, out_dir: str):
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
     return terms, totals
+
+
+def compact_term_stats(
+    spark: SparkSession, out_dir: str, n_buckets: int = 64
+) -> None:
+    """Fold all maintain_term_stats delta partitions into a single
+    `batch_id=-1` base partition (totals likewise), bounding the
+    partition count that accrues one-per-micro-batch. Run ONLY while
+    the stream is stopped: committed batches never replay (their ids
+    live in the stream's checkpoint), so folding them into the base
+    cannot double-count, and a restarted stream keeps appending fresh
+    `batch_id>=0` deltas next to the base — the reader's additive
+    fold is oblivious to the split. This is the delta-layout analog
+    of compact_table's small-file pass, but fold-aware: it shrinks
+    ROWS to one per (term, bucket), not just files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    terms, totals = read_term_stats(spark, out_dir)
+    base = (
+        terms.select(
+            "tok",
+            "doc_freq",
+            "coll_freq",
+            F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias("bucket"),
+            F.lit(-1).alias("batch_id"),
+        )
+        .localCheckpoint()  # materialize before overwriting the source
+    )
+    base_tot = totals.withColumn(
+        "batch_id", F.lit(-1)
+    ).localCheckpoint()
+    (
+        base.write.mode("overwrite")
+        .partitionBy("batch_id", "bucket")
+        .parquet(os.path.join(out_dir, "term_stats"))
+    )
+    (
+        base_tot.coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "corpus_totals"))
+    )

@@ -858,3 +858,84 @@ def test_bm25_from_store_matches_inline_query(spark, sf_dir, tmp_path):
         for r in doc_bm25_search(spark, sf_dir).collect()
     ]
     assert served == inline
+
+
+def test_compact_term_stats_preserves_fold_and_resumes(
+    spark, sf_dir, tmp_path
+):
+    """Compaction folds the delta partitions into one base partition
+    without changing what readers see, and a RESUMED stream (same
+    checkpoint, new input file) keeps appending deltas next to the
+    base — the fold still equals a from-scratch recomputation over
+    everything."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import (
+        compact_term_stats,
+        maintain_term_stats,
+        read_term_stats,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "docs_src")
+    half_a.coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "term_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_term_stats(stream, out, ckpt).awaitTermination(120)
+
+    run_stream()
+
+    def fold():
+        terms, totals = read_term_stats(spark, out)
+        return (
+            {
+                r["tok"]: (r["doc_freq"], r["coll_freq"])
+                for r in terms.collect()
+            },
+            tuple(totals.collect()[0]),
+        )
+
+    before = fold()
+    compact_term_stats(spark, out)
+    assert fold() == before  # fold invariant under compaction
+
+    # only the base partition remains
+    parts = [
+        d
+        for d in os.listdir(os.path.join(out, "term_stats"))
+        if d.startswith("batch_id=")
+    ]
+    assert parts == ["batch_id=-1"]
+
+    # resume: second half arrives as a new file on the SAME checkpoint
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    expected = {
+        r["tok"]: (r["df"], r["cf"])
+        for r in toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+        )
+        .collect()
+    }
+    got, (n_docs, n_tokens) = fold()
+    assert got == expected
+    assert n_docs == docs.count()
+    assert n_tokens == toks.count()
