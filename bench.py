@@ -219,6 +219,7 @@ HEADLINE = [
     "part_pagerank",
     "corpus_stoplist_mining",
     "bq_code_balance",
+    "pq_distortion_report",
 ]
 
 

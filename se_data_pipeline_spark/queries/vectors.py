@@ -1833,3 +1833,101 @@ def bq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_vectors"), F.asc("prefix"))
         .limit(30)
     )
+
+
+@query(
+    "pq_distortion_report",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS k,
+             [CAST(x AS DOUBLE) for x in embedding] AS e
+      FROM embeddings WHERE vec_id < {_PQ_K}),
+    v AS (
+      SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+      FROM embeddings),
+    ms AS (SELECT unnest(range({_PQ_M})) AS m),
+    d AS (
+      SELECT v.vec_id, ms.m, cb.k,
+             list_sum([(v.e[i] - cb.e[i]) * (v.e[i] - cb.e[i])
+                       for i in range(ms.m * {_PQ_SUB} + 1,
+                                      ms.m * {_PQ_SUB} + {_PQ_SUB} + 1)])
+               AS dist
+      FROM v CROSS JOIN ms CROSS JOIN cb),
+    best AS (
+      SELECT vec_id, m, dist,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY dist, k) AS rn
+      FROM d)
+    SELECT CAST(m AS INT) AS subspace,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(dist), 6) AS mean_sq_dist,
+           ROUND(MAX(dist), 6) AS max_sq_dist
+    FROM best WHERE rn = 1
+    GROUP BY m
+    ORDER BY subspace
+    """,
+)
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization-error monitor: per subspace, the mean and max
+    squared distance from each vector's subvector to its assigned
+    (nearest) codeword — the distortion metric that tells you which
+    subspace needs more codewords (or another Lloyd step,
+    embedding_pq_train_step) before the ADC estimates degrade.
+    Completes the PQ operational triple: codes (build), adc_topk
+    (serve), this (monitor). Same broadcast 16-vector codebook and
+    fused numpy assignment as the other PQ queries; the report is a
+    {_PQ_M}-row rollup."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if len(cb_rows) < _PQ_K:  # not enough sample vectors for a codebook
+        return spark.createDataFrame(
+            [],
+            "subspace int, n_vectors long, mean_sq_dist double,"
+            " max_sq_dist double",
+        )
+    cb = np.asarray(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in sorted(cb_rows, key=lambda r: r["vec_id"])
+        ]
+    ).reshape(_PQ_K, _PQ_M, _PQ_SUB)
+    bc = spark.sparkContext.broadcast(cb)
+
+    def kern(batches):
+        cbs = bc.value
+        ms = np.arange(_PQ_M, dtype=np.int32)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(
+                pdf["embedding"].tolist(), dtype=np.float64
+            ).reshape(len(pdf), _PQ_M, _PQ_SUB)
+            diff = vecs[:, :, None, :] - cbs.transpose(1, 0, 2)[None]
+            dists = (diff * diff).sum(axis=-1)  # (n, M, K)
+            mind = dists.min(axis=2)  # (n, M)
+            yield pd.DataFrame(
+                {
+                    "m": np.tile(ms, len(pdf)),
+                    "dist": mind.ravel(),
+                }
+            )
+
+    scored = emb.select("embedding").mapInPandas(kern, "m int, dist double")
+    return (
+        scored.groupBy(F.col("m").alias("subspace"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist"), 6).alias("mean_sq_dist"),
+            F.round(F.max("dist"), 6).alias("max_sq_dist"),
+        )
+        .orderBy("subspace")
+    )

@@ -72,6 +72,7 @@ EAGER_OK = {
     "embedding_pq_adc_topk": "bounded collect: 16-vector PQ codebook",
     "embedding_pq_codes": "bounded collect: 16-vector PQ codebook",
     "embedding_pq_train_step": "bounded collect: 16-vector PQ codebook",
+    "pq_distortion_report": "bounded collect: 16-vector PQ codebook",
     "events_adstock_regression": _CKPT + " (day-grain banded frame)",
     "events_forecast_backtest": _CKPT + " (daily series reused by 3 "
     "forecasters)",
