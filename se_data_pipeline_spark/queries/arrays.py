@@ -20,14 +20,19 @@ from se_data_pipeline_spark.functions.arrays import (
 from se_data_pipeline_spark.queries import query
 from se_data_pipeline_spark.queries.events import _cap_per_key
 
-# Every collect_list below is bounded BEFORE the aggregate with
-# events._cap_per_key (the shared spill-safe mega-key guard):
-# aggregation buffers don't spill, so an unbounded per-key history
-# (a 100k-line order, a mega-customer, a bot user) would OOM its
-# task at the 100 TB target. The row_number pre-filter rides the
-# same hash partitioning the groupBy reuses (one shuffle total);
-# fixture keys sit orders of magnitude below the cap, so all
-# oracles stay exact.
+# Buffer policy (r7, ADVICE adjudication): queries whose ANSWER is a
+# plain aggregate over all rows (counts, sums, means) use plain
+# count/sum(when)/avg aggregates — no collect buffer exists, so no
+# cap is needed and the result is exact at ANY key size. Queries that
+# genuinely need a per-key buffer (a zipped array, a concatenated
+# document, an order-sensitive HOF reduce) bound it BEFORE the
+# aggregate with events._cap_per_key: truncating mode where first-N
+# semantics are exact or declared, STRICT mode (fail loudly at
+# runtime) where truncation would silently change an oracle-checked
+# answer. Both guards ride the same hash partitioning the groupBy
+# reuses (one shuffle total); aggregation buffers don't spill, so an
+# unbounded per-key history (a 100k-line order, a bot user) would
+# OOM its task at the 100 TB target.
 
 
 # --------------------------------------------------------------------------
@@ -47,24 +52,68 @@ from se_data_pipeline_spark.queries.events import _cap_per_key
     """,
 )
 def order_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """size(arr), size(filter(arr, x -> x > t)), aggregate-mean — the
-    reference's `n_total = len(snrss)` / `(snrss > 20).sum()` /
-    `np.mean(snrss)` (quality_merge cell 4) as pure Catalyst HOFs.
+    """The reference's `n_total = len(snrss)` / `(snrss > 20).sum()` /
+    `np.mean(snrss)` (quality_merge cell 4). These are plain
+    order-insensitive reductions, so they are computed as plain
+    count / count(when) / avg aggregates — map-side partial
+    aggregation, no per-key buffer, no cap, exact at any key size
+    (r7: previously a capped collect_list+HOF plan whose answer would
+    have silently truncated above 10k lines/order; the HOF surface is
+    now exercised by order_leading_lines_hof, whose bound is part of
+    the declared semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count(F.when(F.col("l_quantity") > 30, 1)).alias("n_big"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
 
-    The oracle is plain SQL aggregation — same result, which is the
-    point: the HOF path must agree with relational semantics.
-    """
+
+@query(
+    "order_leading_lines_hof",
+    oracle="""
+    WITH first_lines AS (
+      SELECT l_orderkey, l_quantity
+      FROM (
+        SELECT l_orderkey, l_quantity,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+        FROM lineitem)
+      WHERE rn <= 5)
+    SELECT l_orderkey,
+           COUNT(*) AS n_lead,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 30) AS BIGINT)
+             AS n_lead_big,
+           ROUND(AVG(l_quantity), 6) AS lead_avg_qty
+    FROM first_lines
+    GROUP BY l_orderkey
+    """,
+)
+def order_leading_lines_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 HOF surface — size(arr), size(filter(arr, x -> x > t)),
+    aggregate-mean over a per-order quantity array — where the array
+    is the first 5 line items per order BY SPEC (mirrored in the
+    oracle's ROW_NUMBER() <= 5), so the collect buffer is bounded by
+    construction (≤5 elements per key, never a silent truncation) and
+    the plan stays one shuffle: the cap window's hash partitioning is
+    reused by the groupBy."""
     li = _cap_per_key(
         load_table(spark, sf_dir, "lineitem"),
         ["l_orderkey"],
-        ["l_linenumber"],
+        # l_linenumber alone is not a total order in the fixture —
+        # the tiebreakers make "first 5" deterministic on both sides
+        ["l_linenumber", "l_partkey", "l_quantity"],
+        cap=5,
     )
-    arr = li.groupBy("l_orderkey").agg(F.collect_list("l_quantity").alias("qtys"))
+    arr = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_quantity").alias("qtys")
+    )
     return arr.select(
         "l_orderkey",
-        F.size("qtys").cast("long").alias("n_items"),
-        array_count_above(F.col("qtys"), 30.0).cast("long").alias("n_big"),
-        F.round(array_mean(F.col("qtys")), 6).alias("avg_qty"),
+        F.size("qtys").cast("long").alias("n_lead"),
+        array_count_above(F.col("qtys"), 30.0).cast("long").alias("n_lead_big"),
+        F.round(array_mean(F.col("qtys")), 6).alias("lead_avg_qty"),
     )
 
 
@@ -102,21 +151,18 @@ def supplier_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joined (broadcast — 1 row), NOT with an unpartitioned
     window, which would funnel all rows through one task. This also
     fixes reference bug §7.4(5): the max is global, not per-shard.
-    """
-    li = _cap_per_key(
-        load_table(spark, sf_dir, "lineitem"),
-        ["l_suppkey"],
-        ["l_orderkey", "l_linenumber"],
-    )
+
+    r7: the per-supplier stats are plain count / count(when)
+    aggregates — map-side partial aggregation, no collect buffer, no
+    cap window, exact at any key size. (The previous capped
+    collect_list plan cost an extra per-key sort — the r6 bench's one
+    >1.3× regression — and would have silently truncated counts above
+    10k lines/supplier.)"""
+    li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    stats = (
-        li.groupBy("l_suppkey")
-        .agg(F.collect_list("l_quantity").alias("qtys"))
-        .select(
-            "l_suppkey",
-            F.size("qtys").cast("long").alias("n_total"),
-            array_count_above(F.col("qtys"), 30.0).cast("long").alias("n_ok"),
-        )
+    stats = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("l_quantity") > 30, 1)).alias("n_ok"),
     )
     mx = stats.agg(
         F.max("n_ok").alias("max_ok"), F.max("n_total").alias("max_total")
@@ -166,11 +212,20 @@ def user_weighted_event_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Summation runs in array order inside one group; rounding makes it
     oracle-stable.
+
+    The per-user buffer is STRICT-capped (r7): this query's wscore /
+    n_events are totals over ALL of a user's events, so truncation
+    would silently change the answer — instead a bot user above the
+    cap fails the job loudly. The guard is folded into `value`
+    (consumed by the collected struct, so never pruned) and adds no
+    per-key sort.
     """
     ev = _cap_per_key(
         load_table(spark, sf_dir, "events"),
         ["user_id"],
         ["ts", "event_id"],
+        strict=True,
+        guard_col="value",
     )
     preds = ev.groupBy("user_id").agg(
         F.collect_list(
@@ -213,11 +268,18 @@ def customer_order_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-channel nested metadata document build
     (data_pipeline.py:661-676, A9). sort_array on the leading struct
     field makes the document canonical regardless of row arrival
-    order — required for exactly-once re-publishing at scale."""
+    order — required for exactly-once re-publishing at scale.
+
+    The per-customer buffer is STRICT-capped (r7): the document
+    concatenates ALL of a customer's orders, so truncation would
+    silently change it — a mega-customer above the cap fails loudly
+    instead. Guard folded into o_orderkey (consumed by the struct)."""
     orders = _cap_per_key(
         load_table(spark, sf_dir, "orders"),
         ["o_custkey"],
         ["o_orderkey"],
+        strict=True,
+        guard_col="o_orderkey",
     )
     return (
         orders.groupBy("o_custkey")
@@ -263,7 +325,11 @@ def zip_explode_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode(arrays_zip(a, b)) — the reference's
     zip(segments, meta, snr) + enumerate (data_pipeline.py:658).
     Arrays are collected in an explicit (l_linenumber) sort so the
-    zip position is deterministic; then re-exploded with position."""
+    zip position is deterministic; then re-exploded with position.
+
+    The truncating cap is EXACT here at any scale: the query keeps
+    only pos < 2, and the cap keeps the first 10k lines by
+    l_linenumber — a superset of the first 2 for every order."""
     li = _cap_per_key(
         load_table(spark, sf_dir, "lineitem"),
         ["l_orderkey"],

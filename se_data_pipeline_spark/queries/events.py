@@ -46,6 +46,8 @@ def _cap_per_key(
     keys: list[str],
     order_cols: list[str],
     cap: int = MAX_EVENTS_PER_KEY,
+    strict: bool = False,
+    guard_col: str | None = None,
 ) -> DataFrame:
     """Keep only the first `cap` rows per key, ordered by order_cols.
 
@@ -54,7 +56,40 @@ def _cap_per_key(
     hash partitioning the downstream groupBy(keys) reuses (Spark's
     ClusteredDistribution subset rule — ONE shuffle total), so the
     subsequent collect_list buffer holds at most `cap` entries
-    instead of an unbounded per-key history."""
+    instead of an unbounded per-key history.
+
+    strict=True is for oracle-parity queries whose ANSWER would
+    silently change if a key were truncated (a summed score, a
+    concatenated document): instead of dropping rows it FAILS LOUDLY
+    — any key with more than `cap` rows raises at execution time.
+    The guard is a count-over-partition window (no orderBy, so no
+    per-key sort, and the grouping columns stay untouched so the
+    downstream groupBy still reuses the window's hash partitioning —
+    one shuffle total). The raising expression is folded into
+    `guard_col`, which MUST be a non-key column the downstream
+    aggregate actually consumes, so Catalyst cannot prune it away."""
+    if strict:
+        if guard_col is None or guard_col in keys:
+            raise ValueError(
+                "strict _cap_per_key needs guard_col: a non-key "
+                "column consumed by the downstream aggregate"
+            )
+        cnt = F.count(F.lit(1)).over(W.partitionBy(*keys))
+        guarded = F.when(cnt <= cap, F.col(guard_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"_cap_per_key(strict): key group in "
+                        f"{keys} exceeds cap={cap}; rewrite this "
+                        f"query without a per-key buffer or raise "
+                        f"the cap deliberately (key="
+                    ),
+                    F.col(keys[0]).cast("string"),
+                    F.lit(")"),
+                )
+            )
+        )
+        return df.withColumn(guard_col, guarded.alias(guard_col))
     w = W.partitionBy(*keys).orderBy(*order_cols)
     return (
         df.withColumn("_rn", F.row_number().over(w))

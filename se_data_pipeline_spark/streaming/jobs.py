@@ -887,7 +887,17 @@ def compact_term_stats(
     `batch_id>=0` deltas next to the base — the reader's additive
     fold is oblivious to the split. This is the delta-layout analog
     of compact_table's small-file pass, but fold-aware: it shrinks
-    ROWS to one per (term, bucket), not just files."""
+    ROWS to one per (term, bucket), not just files.
+
+    The overwrites MUST run in static partition-overwrite mode: they
+    rely on mode("overwrite") deleting EVERY old `batch_id>=0` delta
+    partition, whereas dynamic mode would replace only the
+    `batch_id=-1` partitions present in the new frame and leave the
+    folded deltas alive — double-counting every term on the next
+    read. The session conf is therefore pinned to `static` here
+    (save/set/restore, mirroring maintain_term_stats.upsert's pin to
+    `dynamic`) so compaction is correct even in sessions that set
+    dynamic mode globally."""
     import os
 
     from pyspark.sql import functions as F
@@ -906,14 +916,23 @@ def compact_term_stats(
     base_tot = totals.withColumn(
         "batch_id", F.lit(-1)
     ).localCheckpoint()
-    (
-        base.write.mode("overwrite")
-        .partitionBy("batch_id", "bucket")
-        .parquet(os.path.join(out_dir, "term_stats"))
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
     )
-    (
-        base_tot.coalesce(1)
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(os.path.join(out_dir, "corpus_totals"))
-    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        (
+            base.write.mode("overwrite")
+            .partitionBy("batch_id", "bucket")
+            .parquet(os.path.join(out_dir, "term_stats"))
+        )
+        (
+            base_tot.coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "corpus_totals"))
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )

@@ -66,3 +66,42 @@ def test_every_collect_buffer_is_capped_or_annotated():
         "_cap_per_key/_cap_bucket/_cap_order_lines or annotate the "
         f"domain bound): {offenders}"
     )
+
+
+def test_strict_cap_passes_under_cap_and_raises_above(spark):
+    """strict=True _cap_per_key never truncates: under the cap every
+    row passes through untouched; above it the job FAILS LOUDLY at
+    execution time (the r7 policy for oracle-parity queries whose
+    answers are totals — silent truncation would change them)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.queries.events import _cap_per_key
+
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("k"),
+        F.col("id").alias("ord"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    ok = _cap_per_key(df, ["k"], ["ord"], cap=5, strict=True, guard_col="v")
+    got = sorted(r["v"] for r in ok.collect())
+    assert got == sorted(i * 1.5 for i in range(10))  # nothing dropped
+
+    tight = _cap_per_key(df, ["k"], ["ord"], cap=4, strict=True, guard_col="v")
+    with pytest.raises(Exception, match="_cap_per_key\\(strict\\)"):
+        tight.collect()
+
+
+def test_strict_cap_requires_nonkey_guard_col(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.queries.events import _cap_per_key
+
+    df = spark.range(4).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError, match="guard_col"):
+        _cap_per_key(df, ["k"], ["v"], strict=True)
+    with pytest.raises(ValueError, match="guard_col"):
+        _cap_per_key(df, ["k"], ["v"], strict=True, guard_col="k")

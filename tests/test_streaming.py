@@ -939,3 +939,74 @@ def test_compact_term_stats_preserves_fold_and_resumes(
     assert got == expected
     assert n_docs == docs.count()
     assert n_tokens == toks.count()
+
+
+def test_compact_term_stats_under_dynamic_overwrite_session(
+    spark, sf_dir, tmp_path
+):
+    """Compaction must be correct even when the SESSION has
+    partitionOverwriteMode=dynamic set globally (the mode the
+    upsert itself uses, and a common user-level default): under
+    dynamic mode a naive overwrite would replace only the new
+    batch_id=-1 partition and leave every old delta partition alive,
+    double-counting all compacted terms on the next read. The
+    compactor pins static mode internally, so the fold must be
+    unchanged and only the base partition may remain."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import (
+        compact_term_stats,
+        maintain_term_stats,
+        read_term_stats,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)  # >=2 micro-batches
+    out = str(tmp_path / "term_store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_term_stats(stream, out, str(tmp_path / "ckpt")).awaitTermination(
+        120
+    )
+
+    def fold():
+        terms, totals = read_term_stats(spark, out)
+        return (
+            {
+                r["tok"]: (r["doc_freq"], r["coll_freq"])
+                for r in terms.collect()
+            },
+            tuple(totals.collect()[0]),
+        )
+
+    before = fold()
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        compact_term_stats(spark, out)
+        # the compactor restored the caller's session conf
+        assert (
+            spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode"
+            ).lower()
+            == "dynamic"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    assert fold() == before  # no double-counted deltas
+    for sub in ("term_stats", "corpus_totals"):
+        parts = [
+            d
+            for d in os.listdir(os.path.join(out, sub))
+            if d.startswith("batch_id=")
+        ]
+        assert parts == ["batch_id=-1"], (sub, parts)
