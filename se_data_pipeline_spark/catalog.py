@@ -95,38 +95,55 @@ def validate_table(df: DataFrame, name: str) -> None:
         )
 
 
-# events.ts physical-form probe cache, keyed by resolved file path —
-# see load_table.
-_EVENTS_TS_FORM: dict[str, str] = {}
+# events.ts physical-form probe cache: path -> (file fingerprint,
+# form). Keyed on the probed file's (path, mtime, size) — NOT path
+# alone — so a table rewritten in place with the other precision
+# (compaction/replica flows writing real timestamps over a nanos
+# original) invalidates the entry instead of applying a stale read
+# schema (ADVICE r6). See load_table.
+_EVENTS_TS_FORM: dict[str, tuple[tuple, str]] = {}
+
+
+def _events_probe_target(path: str) -> str | None:
+    """The concrete parquet file whose footer decides the ts form."""
+    import glob
+
+    if not os.path.isdir(path):
+        return path
+    # Spark-written tables are DIRECTORIES of part files (the
+    # hostile-corpus fixtures, scale replicas); the driver testdata
+    # ships single files. Probe the first part file.
+    parts = sorted(
+        glob.glob(os.path.join(path, "part-*"))
+        + glob.glob(os.path.join(path, "*.parquet"))
+    )
+    return parts[0] if parts else None
 
 
 def _events_ts_form(path: str) -> str:
     """'nanos' | 'us': which physical form this events.parquet ships
-    ts in. Probed ONCE per path with a pyarrow footer read — pure
-    driver-side metadata, no Spark job (keeping plan construction
-    job-free for the eager-audit gate)."""
-    form = _EVENTS_TS_FORM.get(path)
-    if form is None:
-        import glob
+    ts in. Probed with a pyarrow footer read — pure driver-side
+    metadata, no Spark job (keeping plan construction job-free for
+    the eager-audit gate). The footer read is cached per file
+    fingerprint; the stat/glob re-runs per call, which is the cost
+    of staying correct under in-place rewrites and is negligible
+    next to plan construction."""
+    import pyarrow.parquet as pq
 
-        import pyarrow.parquet as pq
-
-        target = path
-        if os.path.isdir(path):
-            # Spark-written tables are DIRECTORIES of part files (the
-            # hostile-corpus fixtures, scale replicas); the driver
-            # testdata ships single files. Probe the first part file.
-            parts = sorted(
-                glob.glob(os.path.join(path, "part-*"))
-                + glob.glob(os.path.join(path, "*.parquet"))
-            )
-            target = parts[0] if parts else None
-        if target is None:
-            form = "us"  # no part files: nothing to read either way
-        else:
-            t = pq.read_schema(target).field("ts").type
-            form = "nanos" if getattr(t, "unit", None) == "ns" else "us"
-        _EVENTS_TS_FORM[path] = form
+    target = _events_probe_target(path)
+    if target is None:
+        return "us"  # no part files: nothing to read either way
+    try:
+        st = os.stat(target)
+        fingerprint = (target, st.st_mtime_ns, st.st_size)
+    except OSError:
+        fingerprint = (target, None, None)
+    cached = _EVENTS_TS_FORM.get(path)
+    if cached is not None and cached[0] == fingerprint:
+        return cached[1]
+    t = pq.read_schema(target).field("ts").type
+    form = "nanos" if getattr(t, "unit", None) == "ns" else "us"
+    _EVENTS_TS_FORM[path] = (fingerprint, form)
     return form
 
 

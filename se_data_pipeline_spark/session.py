@@ -22,17 +22,47 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# The at-scale streaming profile the stateful jobs' docstrings
+# require (streaming/jobs.py): RocksDB off-heap state store (heap
+# HDFSBackedStateStore holds every key of every partition in executor
+# memory — a non-starter for 100 TB keyspaces) with changelog
+# checkpointing (per-batch uploads are the delta, not a full RocksDB
+# snapshot — checkpoint cost proportional to updated keys, not state
+# size) plus unload-on-commit hygiene for long-running executors.
+STREAMING_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing."
+    "enabled": "true",
+    # bound native memory: one RocksDB instance per state partition
+    # lives on each executor; cap write buffers so N partitions can't
+    # grow unbounded off-heap
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "2048",
+}
+
+
 def get_spark(
     app_name: str = "se_data_pipeline_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    streaming: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if
     unset). On a real cluster, pass ``master=None`` and submit with
     spark-submit — every config here is cluster-safe.
+
+    ``streaming=True`` applies STREAMING_STATE_CONF — the RocksDB
+    state-store + changelog-checkpointing profile that the stateful
+    streaming jobs document as the 100 TB requirement. These are
+    session confs (state-store provider is read per-query at start),
+    so the profile also composes onto an existing session via
+    ``extra_conf=STREAMING_STATE_CONF``.
     """
     # Must run before the JVM launches: workers inherit PYTHONPATH,
     # and transformWithStateInPandas imports google.protobuf in-worker.
@@ -67,6 +97,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     )
+    if streaming:
+        for k, v in STREAMING_STATE_CONF.items():
+            builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import subprocess
 from typing import Callable, Protocol
 
@@ -131,11 +132,17 @@ def yt_download_argv(
     output_dir: str = "./",
     ss: float | None = None,
     to: float | None = None,
+    strict_clip: bool = False,
 ) -> list[str]:
     """Audio-download command, argument-for-argument the reference's
     (yt_download.py:96-117): bestaudio -> wav, resampled to 48 kHz
     mono by the ffmpeg postprocessor, optional ffmpeg [ss, to) clip
-    window, id-templated output path."""
+    window, id-templated output path.
+
+    strict_clip=True emits a WORKING clip window
+    (``ffmpeg:-ss {ss} -to {to}``, no embedded quotes) instead of the
+    reference's bug-compatible quoted form — opt in when you want the
+    clip to actually apply rather than argv parity."""
     video_id = video_url.split("v=")[-1]
     output_template = os.path.join(output_dir, f"{video_id}.%(ext)s")
     command = [
@@ -151,18 +158,20 @@ def yt_download_argv(
         "-ar 48000 -ac 1",
     ]
     if ss is not None and to is not None:
-        # Reference-parity quirk (yt_download.py:112-114): the inner
-        # quotes are embedded verbatim in the argv element. Since argv
-        # bypasses the shell, yt-dlp shlex-splits the value into one
-        # malformed ffmpeg token and the clip window is silently
-        # ignored — the reference downloads full videos and trims
-        # afterwards (K6), which is why this never surfaced. Kept
-        # byte-identical for argv-parity; do NOT treat as a working
-        # clip window. The correct form would be
-        # f"ffmpeg:-ss {ss} -to {to}".
-        command.extend(
-            ["--external-downloader-args", f'ffmpeg:"-ss {ss} -to {to}"']
-        )
+        if strict_clip:
+            clip = f"ffmpeg:-ss {ss} -to {to}"
+        else:
+            # Reference-parity quirk (yt_download.py:112-114): the
+            # inner quotes are embedded verbatim in the argv element.
+            # Since argv bypasses the shell, yt-dlp shlex-splits the
+            # value into one malformed ffmpeg token and the clip
+            # window is silently ignored — the reference downloads
+            # full videos and trims afterwards (K6), which is why
+            # this never surfaced. Kept byte-identical for
+            # argv-parity; pass strict_clip=True for a working
+            # window.
+            clip = f'ffmpeg:"-ss {ss} -to {to}"'
+        command.extend(["--external-downloader-args", clip])
     command.extend(["-o", output_template, video_url])
     return command
 
@@ -172,17 +181,23 @@ def parse_playlist_ids(stdout: str) -> list[str]:
     return [vid for vid in stdout.strip().split("\n") if vid]
 
 
-def formats_have_48k_audio(stdout: str) -> bool:
+def formats_have_48k_audio(stdout: str, strict: bool = False) -> bool:
     """True iff the -F table lists an audio-only format at 48 kHz
     (yt_download.py:43-49).
 
-    Fidelity note (reference parity, kept bug-compatible): the bare
-    '48k' substring also matches a 48 kbps *bitrate* token (yt-dlp
-    prints e.g. 'audio only ... 48k ... 44100Hz'), so a 44.1 kHz
-    stream at 48 kbps false-positively reports 48 kHz. The reference
-    makes the same check; anchoring on the sample-rate column
-    (r'\\b48000Hz\\b|\\b48kHz\\b') would fix it at the cost of parity.
-    """
+    Fidelity note (reference parity, default bug-compatible): the
+    bare '48k' substring also matches a 48 kbps *bitrate* token
+    (yt-dlp prints e.g. 'audio only ... 48k ... 44100Hz'), so a
+    44.1 kHz stream at 48 kbps false-positively reports 48 kHz. The
+    reference makes the same check. strict=True anchors on the
+    sample-rate column instead (``48000Hz`` / ``48kHz`` tokens) —
+    opt in for a correct probe at the cost of parity."""
+    if strict:
+        sr = re.compile(r"\b(?:48000Hz|48kHz)\b")
+        return any(
+            "audio only" in line and sr.search(line)
+            for line in stdout.splitlines()
+        )
     return any(
         "audio only" in line and ("48000Hz" in line or "48k" in line)
         for line in stdout.splitlines()

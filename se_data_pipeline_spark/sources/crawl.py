@@ -36,6 +36,16 @@ DEFAULT_PAGES = 50
 # (#page-content a.link.color-pink.text-break).
 _ANCHOR_CLASSES = frozenset({"link", "color-pink", "text-break"})
 
+# HTML void elements (per the WHATWG spec) have NO end tag even when
+# written unclosed (<img src=...>, <br>): handle_starttag fires but
+# handle_endtag never will, so they must not affect depth/scope
+# accounting or the #page-content scope would never close and
+# footer/nav anchors with the same styling classes would leak in.
+_VOID_ELEMENTS = frozenset({
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "source", "track", "wbr",
+})
+
 
 def ranking_page_url(page: int) -> str:
     """Pagination URL for 1-based page N — the ?page=N cursor behind
@@ -61,6 +71,14 @@ class _AnchorTextParser(HTMLParser):
         self.texts: list[str] = []
 
     def handle_starttag(self, tag, attrs):
+        if tag in _VOID_ELEMENTS:
+            # void element in its normal unclosed form: no end tag
+            # will ever come — keep depth flat, like handle_startendtag
+            if tag == "br" and self._in_anchor:
+                # Selenium's a.text renders <br> as a line break; the
+                # whitespace-normalizing join turns it into one space
+                self._buf.append(" ")
+            return
         self._depth += 1
         a = dict(attrs)
         if self._content_depth is None and a.get("id") == "page-content":
@@ -75,6 +93,10 @@ class _AnchorTextParser(HTMLParser):
             self._buf = []
 
     def handle_endtag(self, tag):
+        if tag in _VOID_ELEMENTS:
+            # a stray </br>-style bogus end tag must not pop scope:
+            # its start tag never pushed depth
+            return
         if tag == "a" and self._in_anchor:
             self._in_anchor = False
             text = " ".join("".join(self._buf).split())
@@ -89,7 +111,8 @@ class _AnchorTextParser(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         # self-closing (<br/>, <img/>) opens no scope: keep depth flat
-        pass
+        if tag == "br" and self._in_anchor:
+            self._buf.append(" ")
 
     def handle_data(self, data):
         if self._in_anchor:

@@ -10,8 +10,11 @@ the driver parquet and compare against the batch results.
 
 Scale: state stores hold only open windows/keys (watermark evicts the
 rest); dropDuplicates state is bounded by the watermark horizon. On a
-cluster, set spark.sql.streaming.stateStore.providerClass to RocksDB
-for large keyspaces.
+cluster, run these jobs under ``get_spark(streaming=True)``
+(session.STREAMING_STATE_CONF): the RocksDB state-store provider plus
+changelog checkpointing, bounded native memory — the profile is
+tested end-to-end (a stateful twin executes under RocksDB and matches
+its batch answer) in tests/test_streaming.py.
 """
 
 from __future__ import annotations

@@ -240,6 +240,20 @@ def test_yt_download_argv_clip_window():
     assert argv[-1] == "u?v=x"
 
 
+def test_yt_download_argv_strict_clip_is_working_form():
+    """strict_clip=True drops the reference's embedded quotes so
+    yt-dlp shlex-splits a VALID ffmpeg -ss/-to pair; the default
+    stays byte-identical to the reference (argv parity)."""
+    argv = yt_download_argv("u?v=x", "/tmp/out", ss=0, to=600, strict_clip=True)
+    i = argv.index("--external-downloader-args")
+    assert argv[i + 1] == "ffmpeg:-ss 0 -to 600"
+    # default unchanged — parity pinned by test_yt_download_argv_clip_window
+    default = yt_download_argv("u?v=x", "/tmp/out", ss=0, to=600)
+    assert default[default.index("--external-downloader-args") + 1] == (
+        'ffmpeg:"-ss 0 -to 600"'
+    )
+
+
 def test_parse_playlist_ids_drops_blanks():
     assert parse_playlist_ids("a1\n\nb2\nc3\n") == ["a1", "b2", "c3"]
 
@@ -256,6 +270,20 @@ def test_formats_table_48k_detection():
     assert formats_have_48k_audio(table_48k) is True
     assert formats_have_48k_audio(table_44k) is False
     assert formats_have_48k_audio(video_only) is False
+
+
+def test_formats_table_48k_strict_rejects_bitrate_token():
+    """The documented parity bug: a 44.1 kHz stream at 48 kbps
+    matches the bare '48k' substring. Default keeps reference
+    behavior (false positive); strict=True anchors on the
+    sample-rate token and rejects it."""
+    bitrate_4448 = "250 webm audio only 2ch 48k opus 44100Hz\n"
+    assert formats_have_48k_audio(bitrate_4448) is True  # parity bug
+    assert formats_have_48k_audio(bitrate_4448, strict=True) is False
+    real_48k = "249 webm audio only 2ch 50k opus 48000Hz\n"
+    assert formats_have_48k_audio(real_48k, strict=True) is True
+    khz_form = "249 webm audio only 2ch 50k opus 48kHz\n"
+    assert formats_have_48k_audio(khz_form, strict=True) is True
 
 
 def test_stderr_taxonomy_recorded_fixtures():

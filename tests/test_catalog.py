@@ -27,6 +27,46 @@ def test_validate_rejects_drift(spark, sf_dir):
         validate_table(df, "region")
 
 
+def test_events_ts_form_cache_invalidates_on_rewrite(tmp_path):
+    """The footer-probe cache must key on the FILE, not the path: a
+    table rewritten in place with the other ts precision (a
+    compaction/replica flow writing real timestamps over a nanos
+    original) must be re-probed, or the stale cached form applies the
+    wrong read schema (ADVICE r6 low)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from se_data_pipeline_spark.catalog import _events_ts_form
+
+    path = str(tmp_path / "events.parquet")
+
+    def write(unit: str) -> None:
+        tbl = pa.table(
+            {"ts": pa.array([1_700_000_000_000_000], pa.timestamp(unit))}
+        )
+        pq.write_table(tbl, path)
+
+    write("ns")
+    assert _events_ts_form(path) == "nanos"
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    write("us")
+    assert _events_ts_form(path) == "us"
+    # directory form: probe follows the part file, same invalidation
+    d = str(tmp_path / "events_dir.parquet")
+    os.makedirs(d)
+    part = os.path.join(d, "part-00000.parquet")
+    tbl = pa.table({"ts": pa.array([1], pa.timestamp("ns"))})
+    pq.write_table(tbl, part)
+    assert _events_ts_form(d) == "nanos"
+    time.sleep(0.01)
+    tbl = pa.table({"ts": pa.array([1], pa.timestamp("us"))})
+    pq.write_table(tbl, part)
+    assert _events_ts_form(d) == "us"
+
+
 def test_observe_quality_counts_in_single_pass(spark, sf_dir):
     """observe() metrics must match the standalone counts, and they
     ride the consuming action's pass (no extra scan)."""

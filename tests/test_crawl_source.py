@@ -54,6 +54,49 @@ def test_parse_anchors_scoped_and_ordered():
     assert got == ["Kênh Một", "Channel Two", "Ba"]
 
 
+def test_parse_anchors_unclosed_void_elements_do_not_leak_scope():
+    """Realistic HTML writes void elements UNCLOSED (<img src=...>,
+    <br>, <input>): they fire handle_starttag but never an end tag,
+    so counting them toward depth would keep the #page-content scope
+    open forever and leak footer/nav anchors with the same styling
+    classes into the seed list (ADVICE r6 medium). Void elements in
+    both forms must leave scope accounting untouched, including a
+    stray bogus </br> end tag."""
+    html = """
+    <html><body>
+      <div id="page-content">
+        <img src="/banner.png"><br><input type="text">
+        <table><tbody><tr><td>
+          <img src="/avatar1.png">
+          <a class="link color-pink text-break" href="/c1">In One</a><br>
+          <a class="link color-pink text-break" href="/c2">In<br>Two</a>
+          </br>
+        </td></tr></tbody></table>
+        <hr><meta charset="utf-8">
+      </div>
+      <footer>
+        <a class="link color-pink text-break" href="/promo">OUTSIDE</a>
+      </footer>
+    </body></html>
+    """
+    assert parse_ranking_anchors(html) == ["In One", "In Two"]
+
+
+def test_parse_anchors_self_closed_voids_still_fine():
+    """XHTML-style self-closed voids go through handle_startendtag —
+    already scope-neutral; mixing both forms must not desync depth."""
+    html = """
+    <html><body>
+      <div id="page-content">
+        <img src="/a.png"/><br/>
+        <a class="link color-pink text-break" href="/c">Name</a>
+      </div>
+      <a class="link color-pink text-break" href="/x">OUT</a>
+    </body></html>
+    """
+    assert parse_ranking_anchors(html) == ["Name"]
+
+
 def test_parse_anchors_empty_page():
     assert parse_ranking_anchors("<html><body></body></html>") == []
     assert parse_ranking_anchors(_page_html([], with_noise=True)) == []

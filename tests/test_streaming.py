@@ -90,6 +90,53 @@ def test_streaming_sessions_sane(spark, sf_dir):
         assert r["session_end"] > r["session_start"]
 
 
+def test_rocksdb_streaming_profile_sets_conf_and_executes(spark, sf_dir):
+    """get_spark(streaming=True)'s RocksDB profile (session.py
+    STREAMING_STATE_CONF) is the documented 100 TB requirement of the
+    stateful jobs (jobs.py docstrings): heap state stores hold every
+    key in executor memory, RocksDB + changelog checkpointing bounds
+    both memory and per-batch checkpoint cost. This proves the
+    profile is (a) exactly the confs the docs promise and (b)
+    actually runnable: a stateful twin executes under the RocksDB
+    provider and still matches its batch answer."""
+    from se_data_pipeline_spark.session import STREAMING_STATE_CONF
+
+    assert (
+        STREAMING_STATE_CONF[
+            "spark.sql.streaming.stateStore.providerClass"
+        ].endswith("RocksDBStateStoreProvider")
+    )
+    assert (
+        STREAMING_STATE_CONF[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ]
+        == "true"
+    )
+
+    saved = {
+        k: spark.conf.get(k, None) for k in STREAMING_STATE_CONF
+    }
+    for k, v in STREAMING_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        _run_to_memory(
+            spark, dedup_events(stream), "t_dedup_rocksdb", "append"
+        )
+        n_stream = spark.sql(
+            "SELECT COUNT(*) AS n FROM t_dedup_rocksdb"
+        ).collect()[0]["n"]
+        ev = load_table(spark, sf_dir, "events")
+        assert n_stream == ev.select("event_id").distinct().count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_stateful_running_totals_match_batch(spark, sf_dir):
     """applyInPandasWithState folds per-user state across micro-
     batches; the final emitted state per user must equal the batch
