@@ -1409,7 +1409,12 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each iteration is one join (ranks ⋈ edges on src) + one
     aggregate (sum by dst) — shuffle keys are node ids, and the
     static 2-iteration unroll keeps the whole thing a single Catalyst
-    plan. Open-ended iteration to convergence uses the
+    plan. The edge list is pre-partitioned by the iteration-join key
+    and localCheckpoint'ed ONCE (r7, the part_pagerank pattern):
+    without it the scan→distinct→union→distinct subtree re-executes
+    for every consumer (deg, node count, and each iteration's join —
+    6 evaluations); with it only the small rank frame shuffles per
+    iteration. Open-ended iteration to convergence uses the
     localCheckpoint-per-round loop that dedup_connected_components
     demonstrates; ranks are invariant to partitioning, so results are
     engine-reproducible (summed in any order, rounded)."""
@@ -1418,9 +1423,16 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
     ).distinct()
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(
+            max(spark.sparkContext.defaultParallelism, 8), "src"
+        )
+        .localCheckpoint(eager=True)  # multi-consumer reuse (EAGER_OK)
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.count()  # scalar: graph size (driver-side by design —
     # a count, not a collect of rows)

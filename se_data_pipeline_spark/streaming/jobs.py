@@ -210,6 +210,68 @@ def maintain_hourly_rollup(
     )
 
 
+def maintain_bq_index(
+    vec_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming maintenance of the binary-quantization ANN index
+    (r7): the foreachBatch twin of sources/layout.write_bq_index.
+    Each micro-batch of new vectors packs its 64-bit sign codes
+    (functions/vectors.pack_sign_bits — one Catalyst expression, no
+    UDF) and lands them in a `batch_id=N` partition via dynamic
+    partition overwrite — the same exactly-once-by-LAYOUT protocol as
+    maintain_term_stats: a replayed micro-batch overwrites ITS OWN
+    partition, so restarts never duplicate codes and no read-side
+    work happens per batch.
+
+    The index stores (id, code) ONLY — 8 bytes of searchable state
+    per vector; the full float payloads stay in the source table and
+    are touched only by the stage-2 exact rerank
+    (queries/vectors.embedding_binary_quant_rerank). Readers just
+    ``spark.read.parquet(out_dir)`` and serve
+    sources/layout.bq_candidates unchanged — the batch-id partition
+    split is invisible to the Hamming scan."""
+
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        codes = batch_df.select(
+            F.col(id_col),
+            pack_sign_bits(F.col(vec_col)).alias("code"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                codes.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's documents parquet (for
     the streaming curation operators)."""
@@ -466,6 +528,12 @@ def click_purchase_attribution(
     complete, never early — the defining semantics of watermarked
     outer joins (the batch twin has no such cutoff; tests assert
     containment, not equality, for the null rows).
+
+    how="full_outer" (r7) symmetrically also emits each UNMATCHED
+    click once (null purchase columns) under the same
+    watermark-gated eventual-completeness contract on both sides —
+    the audit shape for "every click AND every purchase accounted
+    for" over unbounded streams.
     """
     clicks = (
         stream.filter(F.col("event_type") == "click")

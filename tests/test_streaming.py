@@ -791,6 +791,155 @@ def test_stream_stream_left_outer_join_null_semantics(spark, sf_dir):
     assert set(got_null) <= exp_unmatched
 
 
+def test_stream_stream_full_outer_join_null_semantics(spark, sf_dir):
+    """Full-outer stream-stream join (r7): inner matches equal the
+    batch join exactly; null-click rows (unmatched purchases) and
+    null-purchase rows (unmatched clicks) are each emitted at most
+    once and only for rows the batch full-outer also leaves unmatched
+    — containment on both null sides, the watermark-gated
+    eventual-completeness contract."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import (
+        click_purchase_attribution,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    _run_to_memory(
+        spark,
+        click_purchase_attribution(stream, how="full_outer"),
+        "t_attr_full",
+        "append",
+    )
+    rows = spark.sql("SELECT * FROM t_attr_full").collect()
+    got_inner = {
+        (r["purchase_id"], r["click_id"])
+        for r in rows
+        if r["click_id"] is not None and r["purchase_id"] is not None
+    }
+    got_null_click = [
+        r["purchase_id"] for r in rows if r["click_id"] is None
+    ]
+    got_null_purchase = [
+        r["click_id"] for r in rows if r["purchase_id"] is None
+    ]
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 10 minutes")
+        ),
+        "full_outer",
+    )
+    exp_inner = {
+        (r["purchase_id"], r["click_id"])
+        for r in joined.filter(
+            F.col("click_id").isNotNull()
+            & F.col("purchase_id").isNotNull()
+        ).collect()
+    }
+    exp_unmatched_purch = {
+        r["purchase_id"]
+        for r in joined.filter(F.col("click_id").isNull()).collect()
+    }
+    exp_unmatched_click = {
+        r["click_id"]
+        for r in joined.filter(F.col("purchase_id").isNull()).collect()
+    }
+    assert got_inner == exp_inner
+    assert len(got_null_click) == len(set(got_null_click))
+    assert set(got_null_click) <= exp_unmatched_purch
+    assert len(got_null_purchase) == len(set(got_null_purchase))
+    assert set(got_null_purchase) <= exp_unmatched_click
+    # the full-outer run found at least the inner matches; both null
+    # sides exist in the batch answer so the shape is non-degenerate
+    assert exp_unmatched_purch and exp_unmatched_click
+
+
+def test_maintain_bq_index_matches_batch_and_serves_candidates(
+    spark, sf_dir, tmp_path
+):
+    """The streamed BQ index must hold exactly the codes the batch
+    write_bq_index computes, stay unchanged under a checkpoint
+    replay, and serve bq_candidates identically to a batch-built
+    index."""
+    import os
+
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
+    from se_data_pipeline_spark.sources.layout import (
+        bq_candidates,
+        write_bq_index,
+    )
+    from se_data_pipeline_spark.streaming.jobs import maintain_bq_index
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    src = str(tmp_path / "emb_src")
+    emb.repartition(3).write.parquet(src)  # >= 2 micro-batches
+
+    idx_dir = str(tmp_path / "bq_index_streamed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_bq_index(stream, idx_dir, ckpt).awaitTermination(120)
+
+    run_stream()
+
+    from pyspark.sql import functions as F
+
+    expected = {
+        (r["vec_id"], r["code"])
+        for r in emb.select(
+            "vec_id", pack_sign_bits(F.col("embedding")).alias("code")
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["code"])
+        for r in spark.read.parquet(idx_dir).select("vec_id", "code").collect()
+    }
+    assert got == expected
+
+    # replay on the same checkpoint: no new data -> index unchanged
+    run_stream()
+    got2 = {
+        (r["vec_id"], r["code"])
+        for r in spark.read.parquet(idx_dir).select("vec_id", "code").collect()
+    }
+    assert got2 == expected
+
+    # candidate serving parity vs a batch-built index
+    batch_idx = str(tmp_path / "bq_index_batch")
+    write_bq_index(emb, batch_idx)
+    q_code = spark.read.parquet(batch_idx).select("code").first()["code"]
+    from_stream = [
+        (r["vec_id"], r["hamming"])
+        for r in bq_candidates(spark, idx_dir, q_code, n=25).collect()
+    ]
+    from_batch = [
+        (r["vec_id"], r["hamming"])
+        for r in bq_candidates(spark, batch_idx, q_code, n=25).collect()
+    ]
+    assert from_stream == from_batch
+
+
 def test_maintain_term_stats_matches_batch(spark, sf_dir, tmp_path):
     """The incremental BM25-statistics store must equal a from-scratch
     batch computation after the stream drains (multi-batch: one file

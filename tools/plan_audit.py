@@ -93,8 +93,9 @@ EAGER_OK = {
     "revenue_periodogram": _CKPT + " (day series x frequency grid)",
     "session_type_cooccurrence_lift": _CKPT + " (session-type sets)",
     "sorted_neighborhood_pairs": _SHINGLE,
-    "supplier_part_pagerank": "iterative PageRank loop: localCheckpoint "
-    "per round",
+    "supplier_part_pagerank": _CKPT + " (edge list re-joined by 2 "
+    "unrolled iterations, r7) + node-count scalar for the teleport "
+    "term",
 }
 
 
