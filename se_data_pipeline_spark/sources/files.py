@@ -121,11 +121,27 @@ def write_columnar(
     """Columnar table write (parquet or ORC — both built into Spark,
     both predicate-pushdown + column-pruning capable). The engine's
     canonical at-scale sink: partition_by gives partition-pruned
-    reads, and per-file column stats give row-group skipping."""
-    w = df.write.mode("overwrite").format(fmt)
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.save(path)
+    reads, and per-file column stats give row-group skipping.
+
+    This is REPLACE-THE-TABLE semantics, so the partitioned write
+    pins partitionOverwriteMode=static (save/set/restore): under a
+    dynamic-mode session a partitioned overwrite keeps any old
+    partition absent from the new frame — stale partitions would
+    silently survive a rewrite (the compact_term_stats bug class,
+    r7). Callers that WANT per-partition upsert use the dynamic-mode
+    pattern in streaming/jobs.py instead."""
+    spark = df.sparkSession
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        w = df.write.mode("overwrite").format(fmt)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_columnar(

@@ -107,19 +107,35 @@ def write_training_shards(
     land in exactly one task, so each shard directory holds exactly
     one file (no small-files problem, no cross-shard file). The
     manifest aggregates in the same shuffle shape and is what a
-    training launcher reads instead of listing 100k files."""
+    training launcher reads instead of listing 100k files.
+
+    REPLACE-THE-CORPUS semantics: the partitioned overwrite pins
+    partitionOverwriteMode=static (r7) — under a dynamic-mode
+    session, re-emitting with a smaller n_shards would leave the old
+    high-numbered shard directories alive and the training launcher
+    would read stale documents."""
     from pyspark.sql import functions as F
 
     sharded = docs.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
     )
-    (
-        sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out_dir)
+    spark = docs.sparkSession
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
     )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        (
+            sharded.repartition(n_shards, "shard")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
     return (
         sharded.groupBy("shard")
         .agg(

@@ -129,6 +129,48 @@ def test_write_training_shards_one_file_per_shard(spark, tmp_path):
     assert got == want
 
 
+def test_write_training_shards_replaces_under_dynamic_session(
+    spark, tmp_path
+):
+    """REPLACE semantics must hold even when the session has
+    partitionOverwriteMode=dynamic set globally: re-emitting the
+    corpus with FEWER shards must delete the old high-numbered shard
+    directories (under unpinned dynamic mode they would survive and
+    a training launcher would read stale documents — the
+    compact_term_stats bug class, r7)."""
+    import glob
+    import os
+
+    from se_data_pipeline_spark.catalog import load_table
+    from se_data_pipeline_spark.sources.layout import write_training_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = str(tmp_path / "shards")
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_training_shards(docs, out, n_shards=8).collect()
+        write_training_shards(docs, out, n_shards=4).collect()
+        # the writer restored the caller's session conf
+        assert (
+            spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode"
+            ).lower()
+            == "dynamic"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    shard_dirs = sorted(
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(out, "shard=*"))
+    )
+    assert shard_dirs == [f"shard={i}" for i in range(4)], shard_dirs
+    assert spark.read.parquet(out).count() == docs.count()
+
+
 def test_compact_table_reduces_files(spark, tmp_path):
     """64 tiny input files compact into a bounded handful."""
     import glob

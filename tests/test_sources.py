@@ -166,6 +166,40 @@ def test_columnar_roundtrip_parquet_and_orc(spark, tmp_path):
         assert sorted(r["id"] for r in back.collect()) == [1, 2]
 
 
+def test_columnar_partitioned_overwrite_replaces_under_dynamic(
+    spark, tmp_path
+):
+    """write_columnar is replace-the-table semantics: rewriting with a
+    frame that lacks some old partitions must delete them even when
+    the session conf is partitionOverwriteMode=dynamic (the writer
+    pins static internally; unpinned, partition k=2 would survive and
+    readers would see stale rows)."""
+    import glob
+    import os
+
+    from se_data_pipeline_spark.sources.files import write_columnar
+
+    p = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2)], "id long, k int"
+    )
+    smaller = spark.createDataFrame([(9, 0), (8, 1)], "id long, k int")
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_columnar(full, p, partition_by=["k"])
+        write_columnar(smaller, p, partition_by=["k"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    parts = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(p, "k=*"))
+    )
+    assert parts == ["k=0", "k=1"], parts
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == [8, 9]
+
+
 def test_columnar_schema_evolution_merge(spark, tmp_path):
     """Files written before a column existed read back as null for
     that column under mergeSchema."""
