@@ -220,10 +220,11 @@ HEADLINE = [
     "corpus_stoplist_mining",
     "bq_code_balance",
     "pq_distortion_report",
-    # r7: the registry's two heaviest iterative plan shapes (23
-    # exchanges / 23 adjudicated checkpoint rounds) — previously
-    # unbenched, so a regression in the engine's worst-case plans
-    # was invisible (VERDICT r6 missing #2)
+    # r7: the registry's two heaviest iterative plan shapes
+    # (supplier_part_pagerank, dedup_connected_components) —
+    # previously unbenched, so a regression in the engine's
+    # worst-case plans was invisible (VERDICT r6 missing #2) —
+    # plus the new r7 HOF query
     "supplier_part_pagerank",
     "dedup_connected_components",
     "order_leading_lines_hof",

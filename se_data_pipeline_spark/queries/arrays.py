@@ -223,7 +223,7 @@ def user_weighted_event_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _cap_per_key(
         load_table(spark, sf_dir, "events"),
         ["user_id"],
-        ["ts", "event_id"],
+        [],  # strict mode never truncates — no ordering semantics
         strict=True,
         guard_col="value",
     )
@@ -277,7 +277,7 @@ def customer_order_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _cap_per_key(
         load_table(spark, sf_dir, "orders"),
         ["o_custkey"],
-        ["o_orderkey"],
+        [],  # strict mode never truncates — no ordering semantics
         strict=True,
         guard_col="o_orderkey",
     )
@@ -328,12 +328,16 @@ def zip_explode_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip position is deterministic; then re-exploded with position.
 
     The truncating cap is EXACT here at any scale: the query keeps
-    only pos < 2, and the cap keeps the first 10k lines by
-    l_linenumber — a superset of the first 2 for every order."""
+    only pos < 2, and the cap keeps the first 10k lines under the
+    SAME total order the zip position uses — (l_linenumber,
+    l_partkey, l_quantity); l_linenumber alone is not a total order
+    in the fixture, so capping by it alone could drop a row that the
+    full order places in the first 2 — always a superset of the
+    first 2 for every order."""
     li = _cap_per_key(
         load_table(spark, sf_dir, "lineitem"),
         ["l_orderkey"],
-        ["l_linenumber"],
+        ["l_linenumber", "l_partkey", "l_quantity"],
     )
     arr = (
         li.groupBy("l_orderkey")

@@ -62,13 +62,22 @@ def _cap_per_key(
     silently change if a key were truncated (a summed score, a
     concatenated document): instead of dropping rows it FAILS LOUDLY
     — any key with more than `cap` rows raises at execution time.
-    The guard is a count-over-partition window (no orderBy, so no
-    per-key sort, and the grouping columns stay untouched so the
+    The guard is a count-over-partition window: no orderBy, so rows
+    carry NO ordering semantics (order_cols must be empty — strict
+    mode rejects a non-empty list rather than silently ignoring it)
+    and the window's child sort is on the partition keys only, not
+    the order columns. The grouping columns stay untouched so the
     downstream groupBy still reuses the window's hash partitioning —
-    one shuffle total). The raising expression is folded into
+    one shuffle total. The raising expression is folded into
     `guard_col`, which MUST be a non-key column the downstream
     aggregate actually consumes, so Catalyst cannot prune it away."""
     if strict:
+        if order_cols:
+            raise ValueError(
+                "strict _cap_per_key takes no order_cols: it never "
+                "truncates, so 'first N by ...' semantics do not "
+                "exist — pass []"
+            )
         if guard_col is None or guard_col in keys:
             raise ValueError(
                 "strict _cap_per_key needs guard_col: a non-key "

@@ -124,24 +124,19 @@ def write_columnar(
     reads, and per-file column stats give row-group skipping.
 
     This is REPLACE-THE-TABLE semantics, so the partitioned write
-    pins partitionOverwriteMode=static (save/set/restore): under a
+    sets partitionOverwriteMode=static as a per-WRITER option
+    (overriding the session conf without mutating it): under a
     dynamic-mode session a partitioned overwrite keeps any old
     partition absent from the new frame — stale partitions would
     silently survive a rewrite (the compact_term_stats bug class,
-    r7). Callers that WANT per-partition upsert use the dynamic-mode
-    pattern in streaming/jobs.py instead."""
-    spark = df.sparkSession
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        w = df.write.mode("overwrite").format(fmt)
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.save(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    r7). Callers that WANT per-partition upsert use the per-writer
+    dynamic-mode pattern in streaming/jobs.py instead."""
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.option("partitionOverwriteMode", "static").partitionBy(
+            *partition_by
+        )
+    w.save(path)
 
 
 def read_columnar(

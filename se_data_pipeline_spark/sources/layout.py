@@ -109,33 +109,25 @@ def write_training_shards(
     manifest aggregates in the same shuffle shape and is what a
     training launcher reads instead of listing 100k files.
 
-    REPLACE-THE-CORPUS semantics: the partitioned overwrite pins
-    partitionOverwriteMode=static (r7) — under a dynamic-mode
-    session, re-emitting with a smaller n_shards would leave the old
-    high-numbered shard directories alive and the training launcher
-    would read stale documents."""
+    REPLACE-THE-CORPUS semantics: the partitioned overwrite sets
+    partitionOverwriteMode=static as a per-writer option (r7) —
+    under a dynamic-mode session, re-emitting with a smaller
+    n_shards would otherwise leave the old high-numbered shard
+    directories alive and the training launcher would read stale
+    documents."""
     from pyspark.sql import functions as F
 
     sharded = docs.withColumn(
         "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
     )
-    spark = docs.sparkSession
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("shard")
+        .parquet(out_dir)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        (
-            sharded.repartition(n_shards, "shard")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(out_dir)
-        )
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev
-        )
     return (
         sharded.groupBy("shard")
         .agg(

@@ -188,18 +188,15 @@ def maintain_hourly_rollup(
             merged = keep.unionByName(batch).localCheckpoint()
         except Exception:  # first batch: no store yet
             merged = batch
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-WRITER overwrite mode (r7): the writer option overrides
+        # the session conf without mutating it — no save/set/restore,
+        # no race with concurrent writers pinning the other mode
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(out_dir)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.write.mode("overwrite")
-                .partitionBy("day")
-                .parquet(out_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (
         agg.writeStream.outputMode("update")
@@ -238,7 +235,6 @@ def maintain_bq_index(
     from se_data_pipeline_spark.functions.vectors import pack_sign_bits
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
         codes = batch_df.select(
@@ -246,22 +242,14 @@ def maintain_bq_index(
             pack_sign_bits(F.col(vec_col)).alias("code"),
             F.lit(batch_id).alias("batch_id"),
         )
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-writer dynamic mode: replace only THIS batch's partition
+        # (no session-conf mutation — see maintain_hourly_rollup)
+        (
+            codes.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
         )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            (
-                codes.write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(out_dir)
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
 
     return (
         vec_stream.writeStream.outputMode("append")
@@ -564,8 +552,16 @@ def click_purchase_attribution(
         ),
         how,
     ).select(
-        "purchase_id", "user_id", "purchase_ts", "purchase_value",
-        "click_id", "click_ts",
+        "purchase_id",
+        # full_outer emits unmatched CLICKS with a NULL purchase side;
+        # their user comes from the click side (the join condition
+        # forces equality whenever both sides are present, so the
+        # coalesce is the identity for inner/matched rows)
+        F.coalesce("user_id", "c_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
     )
 
 
@@ -856,7 +852,6 @@ def maintain_term_stats(
     totals_dir = os.path.join(out_dir, "corpus_totals")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint()  # decouple from the stream
         if batch.isEmpty():
             return
@@ -890,28 +885,22 @@ def maintain_term_stats(
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-writer dynamic mode: a replayed batch replaces only ITS
+        # OWN batch_id partition (no session-conf mutation, no race
+        # with concurrent static-pinned writers)
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(terms_dir)
         )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        (
+            totals.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(totals_dir)
         )
-        try:
-            (
-                delta.write.mode("overwrite")
-                .partitionBy("batch_id", "bucket")
-                .parquet(terms_dir)
-            )
-            (
-                totals.coalesce(1)
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(totals_dir)
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
 
     return (
         docs_stream.writeStream.outputMode("append")
@@ -965,10 +954,11 @@ def compact_term_stats(
     partition, whereas dynamic mode would replace only the
     `batch_id=-1` partitions present in the new frame and leave the
     folded deltas alive — double-counting every term on the next
-    read. The session conf is therefore pinned to `static` here
-    (save/set/restore, mirroring maintain_term_stats.upsert's pin to
-    `dynamic`) so compaction is correct even in sessions that set
-    dynamic mode globally."""
+    read. The mode is therefore set as a per-WRITER option (which
+    overrides the session conf), so compaction is correct even in
+    sessions that set dynamic mode globally — and without mutating
+    shared session state (no race with a concurrently-running
+    upsert's dynamic-mode writes)."""
     import os
 
     from pyspark.sql import functions as F
@@ -987,23 +977,16 @@ def compact_term_stats(
     base_tot = totals.withColumn(
         "batch_id", F.lit(-1)
     ).localCheckpoint()
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    (
+        base.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id", "bucket")
+        .parquet(os.path.join(out_dir, "term_stats"))
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        (
-            base.write.mode("overwrite")
-            .partitionBy("batch_id", "bucket")
-            .parquet(os.path.join(out_dir, "term_stats"))
-        )
-        (
-            base_tot.coalesce(1)
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(os.path.join(out_dir, "corpus_totals"))
-        )
-    finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", prev
-        )
+    (
+        base_tot.coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out_dir, "corpus_totals"))
+    )

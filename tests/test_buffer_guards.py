@@ -83,16 +83,19 @@ def test_strict_cap_passes_under_cap_and_raises_above(spark):
         F.col("id").alias("ord"),
         (F.col("id") * 1.5).alias("v"),
     )
-    ok = _cap_per_key(df, ["k"], ["ord"], cap=5, strict=True, guard_col="v")
+    ok = _cap_per_key(df, ["k"], [], cap=5, strict=True, guard_col="v")
     got = sorted(r["v"] for r in ok.collect())
     assert got == sorted(i * 1.5 for i in range(10))  # nothing dropped
 
-    tight = _cap_per_key(df, ["k"], ["ord"], cap=4, strict=True, guard_col="v")
+    tight = _cap_per_key(df, ["k"], [], cap=4, strict=True, guard_col="v")
     with pytest.raises(Exception, match="_cap_per_key\\(strict\\)"):
         tight.collect()
 
 
-def test_strict_cap_requires_nonkey_guard_col(spark):
+def test_strict_cap_rejects_bad_arguments(spark):
+    """strict mode never truncates, so 'first N by ...' semantics do
+    not exist: a non-empty order_cols is rejected rather than
+    silently ignored; guard_col must be a consumed non-key column."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -101,7 +104,9 @@ def test_strict_cap_requires_nonkey_guard_col(spark):
     df = spark.range(4).select(
         (F.col("id") % 2).alias("k"), F.col("id").alias("v")
     )
+    with pytest.raises(ValueError, match="order_cols"):
+        _cap_per_key(df, ["k"], ["v"], strict=True, guard_col="v")
     with pytest.raises(ValueError, match="guard_col"):
-        _cap_per_key(df, ["k"], ["v"], strict=True)
+        _cap_per_key(df, ["k"], [], strict=True)
     with pytest.raises(ValueError, match="guard_col"):
-        _cap_per_key(df, ["k"], ["v"], strict=True, guard_col="k")
+        _cap_per_key(df, ["k"], [], strict=True, guard_col="k")

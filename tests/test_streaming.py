@@ -823,6 +823,14 @@ def test_stream_stream_full_outer_join_null_semantics(spark, sf_dir):
     got_null_purchase = [
         r["click_id"] for r in rows if r["purchase_id"] is None
     ]
+    # every emitted row is attributable: unmatched clicks must carry
+    # their OWN user_id (coalesced from the click side), never NULL
+    assert all(r["user_id"] is not None for r in rows)
+    click_users = {
+        r["click_id"]: r["user_id"]
+        for r in rows
+        if r["purchase_id"] is None
+    }
 
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -868,6 +876,12 @@ def test_stream_stream_full_outer_join_null_semantics(spark, sf_dir):
     # the full-outer run found at least the inner matches; both null
     # sides exist in the batch answer so the shape is non-degenerate
     assert exp_unmatched_purch and exp_unmatched_click
+    # unmatched clicks carry the CLICK's own user
+    true_click_user = {
+        r["click_id"]: r["c_user"] for r in clicks.collect()
+    }
+    for cid, uid in click_users.items():
+        assert uid == true_click_user[cid], (cid, uid)
 
 
 def test_maintain_bq_index_matches_batch_and_serves_candidates(
