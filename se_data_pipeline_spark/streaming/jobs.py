@@ -25,6 +25,26 @@ from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.sources.publish import CheckpointedPublisher
 
+def _read_store_or_none(spark: SparkSession, path: str):
+    """Read an incremental store; None ONLY if the store does not
+    exist yet (the legitimate first-batch case). Any OTHER read
+    failure — corrupt files, filesystem errors, permissions —
+    propagates: the previous bare `except Exception` here treated
+    every failure as "first batch" and the next overwrite silently
+    RESET the store (r7 hardening, same severity class as the
+    compact_term_stats overwrite-mode bug)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        get = getattr(exc, "getErrorClass", None)
+        klass = (get() if callable(get) else None) or ""
+        if "PATH_NOT_FOUND" in klass or "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events parquet.
 
@@ -174,10 +194,11 @@ def maintain_hourly_rollup(
         if batch.isEmpty():
             return
         days = [r["day"] for r in batch.select("day").distinct().collect()]
-        try:
-            existing = spark.read.parquet(out_dir).filter(
-                F.col("day").isin(days)
-            )
+        store = _read_store_or_none(spark, out_dir)
+        if store is None:  # first batch: no store yet
+            merged = batch
+        else:
+            existing = store.filter(F.col("day").isin(days))
             keep = existing.join(
                 batch.select("window_start", "event_type"),
                 ["window_start", "event_type"],
@@ -186,8 +207,6 @@ def maintain_hourly_rollup(
             # materialize BEFORE the overwrite: Spark (rightly)
             # refuses plans that read the path they overwrite
             merged = keep.unionByName(batch).localCheckpoint()
-        except Exception:  # first batch: no store yet
-            merged = batch
         # per-WRITER overwrite mode (r7): the writer option overrides
         # the session conf without mutating it — no save/set/restore,
         # no race with concurrent writers pinning the other mode
@@ -762,8 +781,10 @@ def maintain_distinct_sketches(
         )
         if batch.isEmpty():
             return
-        try:
-            existing = spark.read.parquet(out_dir)
+        existing = _read_store_or_none(spark, out_dir)
+        if existing is None:  # first batch: no store yet
+            merged = batch
+        else:
             merged = (
                 existing.unionByName(batch)
                 .groupBy("day")
@@ -776,8 +797,6 @@ def maintain_distinct_sketches(
                 # materialize BEFORE overwriting the path being read
                 .localCheckpoint()
             )
-        except Exception:  # first batch: no store yet
-            merged = batch
         merged.write.mode("overwrite").parquet(out_dir)
 
     return (

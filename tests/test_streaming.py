@@ -90,6 +90,39 @@ def test_streaming_sessions_sane(spark, sf_dir):
         assert r["session_end"] > r["session_start"]
 
 
+def test_read_store_or_none_distinguishes_missing_from_broken(
+    spark, tmp_path
+):
+    """The incremental-store upserts must treat ONLY a missing store
+    as 'first batch'. A store that exists but cannot be read (corrupt
+    file, fs fault) must raise — the old bare except treated it as
+    first-batch and the next overwrite silently RESET the store."""
+    import pytest
+
+    from se_data_pipeline_spark.streaming.jobs import _read_store_or_none
+
+    missing = str(tmp_path / "nope")
+    assert _read_store_or_none(spark, missing) is None
+
+    ok = str(tmp_path / "ok")
+    spark.range(3).write.parquet(ok)
+    assert _read_store_or_none(spark, ok).count() == 3
+
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_bytes(b"not parquet at all")
+    try:
+        df = _read_store_or_none(spark, str(broken))
+    except Exception:
+        df = "raised"  # read-time failure propagated: correct
+    assert df is not None, "broken store misread as missing (reset bug)"
+    if df != "raised":
+        # footer error may surface only at action time — it must
+        # still propagate (the caller materializes outside any try)
+        with pytest.raises(Exception):
+            df.collect()
+
+
 def test_rocksdb_streaming_profile_sets_conf_and_executes(spark, sf_dir):
     """get_spark(streaming=True)'s RocksDB profile (session.py
     STREAMING_STATE_CONF) is the documented 100 TB requirement of the
