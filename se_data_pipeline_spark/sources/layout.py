@@ -189,9 +189,14 @@ def write_bq_index(
 
     from se_data_pipeline_spark.functions.vectors import pack_sign_bits
 
-    df.withColumn("code", pack_sign_bits(F.col(vec_col))).write.mode(
-        "overwrite"
-    ).parquet(out_path)
+    (
+        df.filter(F.col(vec_col).isNotNull())  # NULL vector -> no code:
+        # unsearchable entries don't belong in the index (and a NULL
+        # code would sort FIRST in the ascending Hamming scan)
+        .withColumn("code", pack_sign_bits(F.col(vec_col)))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
 
 
 def bq_candidates(
@@ -215,6 +220,9 @@ def bq_candidates(
     idx = spark.read.parquet(index_path)
     return (
         idx.select(id_col, "code")
+        # defensive: a foreign index with NULL codes must not rank
+        # unsearchable rows first (Spark sorts NULLS FIRST ascending)
+        .filter(F.col("code").isNotNull())
         .withColumn(
             "hamming",
             hamming_codes(F.col("code"), F.lit(q_code).cast("long")),

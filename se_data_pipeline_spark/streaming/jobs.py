@@ -256,7 +256,9 @@ def maintain_bq_index(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        codes = batch_df.select(
+        codes = batch_df.filter(F.col(vec_col).isNotNull()).select(
+            # NULL vector -> no code: unsearchable entries stay out of
+            # the index (same rule as write_bq_index)
             F.col(id_col),
             pack_sign_bits(F.col(vec_col)).alias("code"),
             F.lit(batch_id).alias("batch_id"),

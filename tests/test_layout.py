@@ -233,3 +233,38 @@ def test_bq_index_scan_prunes_vector_column(spark, sf_dir, tmp_path):
         for r in rows
     )[:10]
     assert got == [(vid, h) for h, vid in truth]
+
+
+def test_bq_index_excludes_null_vectors(spark, sf_dir, tmp_path):
+    """A NULL vector has no code: it must not enter the index, and a
+    foreign index carrying NULL codes must not rank them FIRST in the
+    ascending Hamming scan (Spark sorts NULLS FIRST)."""
+    from se_data_pipeline_spark.sources.layout import (
+        bq_candidates,
+        write_bq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    with_null = emb.unionByName(
+        spark.createDataFrame(
+            [(999_999, None, None)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+    )
+    out = str(tmp_path / "bq_null")
+    write_bq_index(with_null, out)
+    idx = spark.read.parquet(out)
+    assert idx.filter(F.col("code").isNull()).count() == 0
+    assert idx.filter(F.col("vec_id") == 999_999).count() == 0
+
+    # foreign index with a NULL code row: the scan must skip it
+    idx.unionByName(
+        spark.createDataFrame(
+            [(888_888, None, None, None)],
+            "vec_id bigint, embedding array<float>, label int, code long",
+        )
+    ).write.mode("overwrite").parquet(str(tmp_path / "bq_foreign"))
+    cand = bq_candidates(spark, str(tmp_path / "bq_foreign"), 0, n=5)
+    ids = [r["vec_id"] for r in cand.collect()]
+    assert 888_888 not in ids and len(ids) == 5
+    assert all(r["hamming"] is not None for r in cand.collect())
