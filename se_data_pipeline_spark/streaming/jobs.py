@@ -254,8 +254,6 @@ def maintain_bq_index(
     from se_data_pipeline_spark.functions.vectors import pack_sign_bits
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         codes = batch_df.filter(F.col(vec_col).isNotNull()).select(
             # NULL vector -> no code: unsearchable entries stay out of
             # the index (same rule as write_bq_index)
@@ -263,6 +261,12 @@ def maintain_bq_index(
             pack_sign_bits(F.col(vec_col)).alias("code"),
             F.lit(batch_id).alias("batch_id"),
         )
+        # emptiness checked AFTER the filter: an all-NULL first batch
+        # must not write a zero-row partitioned store (only _SUCCESS,
+        # no schema-bearing files) that breaks every reader with
+        # UNABLE_TO_INFER_SCHEMA until real codes land
+        if codes.isEmpty():
+            return
         # per-writer dynamic mode: replace only THIS batch's partition
         # (no session-conf mutation — see maintain_hourly_rollup)
         (

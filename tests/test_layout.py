@@ -264,7 +264,7 @@ def test_bq_index_excludes_null_vectors(spark, sf_dir, tmp_path):
             "vec_id bigint, embedding array<float>, label int, code long",
         )
     ).write.mode("overwrite").parquet(str(tmp_path / "bq_foreign"))
-    cand = bq_candidates(spark, str(tmp_path / "bq_foreign"), 0, n=5)
-    ids = [r["vec_id"] for r in cand.collect()]
+    rows = bq_candidates(spark, str(tmp_path / "bq_foreign"), 0, n=5).collect()
+    ids = [r["vec_id"] for r in rows]
     assert 888_888 not in ids and len(ids) == 5
-    assert all(r["hamming"] is not None for r in cand.collect())
+    assert all(r["hamming"] is not None for r in rows)

@@ -987,6 +987,56 @@ def test_maintain_bq_index_matches_batch_and_serves_candidates(
     assert from_stream == from_batch
 
 
+def test_maintain_bq_index_all_null_first_batch_writes_nothing(
+    spark, tmp_path
+):
+    """A first micro-batch whose vectors are ALL NULL must not create
+    a zero-row partitioned store (a directory with only _SUCCESS and
+    no schema-bearing files breaks every reader with
+    UNABLE_TO_INFER_SCHEMA); the upsert skips it, and a later batch
+    with real vectors initializes the index normally."""
+    import os
+
+    from se_data_pipeline_spark.streaming.jobs import maintain_bq_index
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, None, None), (2, None, None)], schema
+    ).coalesce(1).write.parquet(src)
+
+    idx_dir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_bq_index(stream, idx_dir, ckpt).awaitTermination(120)
+
+    run()
+    # nothing schema-bearing was written: either no dir or no files
+    files = (
+        [f for f in os.listdir(idx_dir) if f.startswith("batch_id=")]
+        if os.path.isdir(idx_dir)
+        else []
+    )
+    assert files == [], files
+
+    # a later batch with real vectors initializes the store
+    spark.createDataFrame(
+        [(3, [1.0, -1.0, 0.5, -0.5], 0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    got = spark.read.parquet(idx_dir).select("vec_id", "code").collect()
+    assert [r["vec_id"] for r in got] == [3]
+    assert got[0]["code"] is not None
+
+
 def test_maintain_term_stats_matches_batch(spark, sf_dir, tmp_path):
     """The incremental BM25-statistics store must equal a from-scratch
     batch computation after the stream drains (multi-batch: one file
