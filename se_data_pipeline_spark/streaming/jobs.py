@@ -936,26 +936,45 @@ def maintain_term_stats(
     )
 
 
+# Explicit store schemas (data columns + the batch_id/bucket
+# partition columns): passing them to the reader avoids the footer-
+# inference job on a many-partition store AND keeps a zero-data-file
+# directory readable as an empty frame — a first micro-batch of
+# token-less documents legitimately writes a zero-row terms delta
+# (its totals row still raises BM25's N), which would otherwise
+# leave a _SUCCESS-only dir that fails UNABLE_TO_INFER_SCHEMA.
+_TERM_STATS_SCHEMA = (
+    "tok string, doc_freq bigint, coll_freq bigint, "
+    "batch_id int, bucket bigint"
+)
+_CORPUS_TOTALS_SCHEMA = "n_docs bigint, n_tokens bigint, batch_id int"
+
+
 def read_term_stats(spark: SparkSession, out_dir: str):
     """Fold the maintain_term_stats delta partitions into current
     statistics: returns (term_stats_df with one row per term, totals
     row with n_docs/n_tokens). The fold is one additive groupBy over
-    vocabulary-sized deltas — never touches the corpus."""
+    vocabulary-sized deltas — never touches the corpus. Reads with
+    the explicit store schemas (no inference job; empty-delta dirs
+    fold as empty)."""
     import os
 
     terms = (
-        spark.read.parquet(os.path.join(out_dir, "term_stats"))
+        spark.read.schema(_TERM_STATS_SCHEMA)
+        .parquet(os.path.join(out_dir, "term_stats"))
         .groupBy("tok")
         .agg(
             F.sum("doc_freq").alias("doc_freq"),
             F.sum("coll_freq").alias("coll_freq"),
         )
     )
-    totals = spark.read.parquet(
-        os.path.join(out_dir, "corpus_totals")
-    ).agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    totals = (
+        spark.read.schema(_CORPUS_TOTALS_SCHEMA)
+        .parquet(os.path.join(out_dir, "corpus_totals"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
     )
     return terms, totals
 

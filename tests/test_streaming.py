@@ -1153,6 +1153,61 @@ def test_bm25_from_store_matches_inline_query(spark, sf_dir, tmp_path):
     assert served == inline
 
 
+def test_term_stats_tokenless_first_batch_store_stays_readable(
+    spark, sf_dir, tmp_path
+):
+    """A first micro-batch of token-less documents writes a ZERO-ROW
+    terms delta (legitimately — its totals row still raises BM25's
+    N). The explicit-schema reader must fold that store as empty
+    terms + correct totals instead of failing UNABLE_TO_INFER_SCHEMA
+    on a _SUCCESS-only partition dir, and a later batch with real
+    text must fold on top normally."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_term_stats,
+        read_term_stats,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    schema = docs.schema
+    src = str(tmp_path / "src")
+    empties = spark.createDataFrame(
+        [(900001, "", "en", "s", 0), (900002, " ", "en", "s", 1)],
+        schema,
+    )
+    empties.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_term_stats(stream, out, ckpt).awaitTermination(120)
+
+    run()
+    terms, totals = read_term_stats(spark, out)
+    assert terms.count() == 0
+    t = totals.collect()[0]
+    assert t["n_docs"] == 2  # token-less docs still raise N
+    assert t["n_tokens"] == 0
+
+    real = docs.limit(5)
+    real.coalesce(1).write.mode("append").parquet(src)
+    run()
+    terms2, totals2 = read_term_stats(spark, out)
+    toks = real.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    assert totals2.collect()[0]["n_docs"] == 7
+    assert terms2.agg(F.sum("coll_freq")).collect()[0][0] == toks.count()
+
+
 def test_compact_term_stats_preserves_fold_and_resumes(
     spark, sf_dir, tmp_path
 ):
