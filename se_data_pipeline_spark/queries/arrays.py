@@ -130,6 +130,7 @@ def order_leading_lines_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_total,
              CAST(COUNT(*) FILTER (WHERE l_quantity > 30) AS BIGINT) AS n_ok
       FROM lineitem
+      WHERE l_suppkey IS NOT NULL
       GROUP BY l_suppkey),
     mx AS (SELECT MAX(n_ok) AS max_ok, MAX(n_total) AS max_total FROM stats)
     SELECT s.s_name, st.n_total, st.n_ok,
@@ -157,8 +158,19 @@ def supplier_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap window, exact at any key size. (The previous capped
     collect_list plan cost an extra per-key sort — the r6 bench's one
     >1.3× regression — and would have silently truncated counts above
-    10k lines/supplier.)"""
-    li = load_table(spark, sf_dir, "lineitem")
+    10k lines/supplier.)
+
+    The explicit isNotNull filter (mirrored in the oracle: a line
+    with no supplier can't score one) exists for EXCHANGE REUSE: the
+    equi-join pushes isnotnull(l_suppkey) into only one of the two
+    stats subtrees, de-canonicalizing otherwise identical scans — so
+    the fact table was scanned and pre-aggregated TWICE (verified on
+    the AQE final plan). With both branches filtered identically,
+    ReusedExchange collapses them to one scan — at 100 TB that halves
+    the dominant cost of this query."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull()
+    )
     supp = load_table(spark, sf_dir, "supplier")
     stats = li.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_total"),
