@@ -21,6 +21,22 @@ def test_registry_nonempty_and_oracles_subset():
     assert set(oracles) <= set(qs)
 
 
+# Genuinely non-SQL-expressible operators may register without an
+# oracle (the driver then records a weaker rows-only check, and the
+# judge sees which). The registry has had ZERO such entries since r6;
+# this pin makes dropping an oracle a deliberate, reviewed act
+# instead of a silent coverage regression.
+ROWS_ONLY_OK: set[str] = set()
+
+
+def test_every_query_has_an_oracle():
+    missing = set(all_queries()) - set(all_oracles()) - ROWS_ONLY_OK
+    assert not missing, (
+        f"queries without a DuckDB oracle (add one, or adjudicate in "
+        f"ROWS_ONLY_OK with a reason): {sorted(missing)}"
+    )
+
+
 def test_entry_module_reexports():
     assert set(entrymod.queries()) == set(all_queries())
     assert entrymod.oracle_sql() == all_oracles()
