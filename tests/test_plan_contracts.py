@@ -141,6 +141,31 @@ def test_row_local_curation_ops_have_zero_exchanges(spark, sf_dir):
         assert "Exchange" not in plan, q.__name__
 
 
+def test_strict_cap_shares_the_aggregates_shuffle(spark, sf_dir):
+    """The strict _cap_per_key guard (count-over-partition window)
+    must ride the downstream groupBy's hash partitioning: the
+    executed plan of a strict-capped aggregate carries exactly ONE
+    Exchange — the guard costs zero extra shuffles (the claim its
+    docstring and SCALE_CHECK rows make, pinned here mechanically)."""
+    from se_data_pipeline_spark.queries.arrays import (
+        user_weighted_event_score,
+    )
+
+    df = user_weighted_event_score(spark, sf_dir)
+    df.collect()  # finalize AQE
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(user_id" in exchanges[0]
+
+
 def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
     """The benchmark shingle set must broadcast: the train side of the
     decontamination join then never shuffles before its per-doc
