@@ -808,19 +808,30 @@ def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "event_funnel",
-    oracle="""
-    WITH s AS (
+    # The ev CTE mirrors _cap_per_key's declared first-N-per-user
+    # semantics (same (ts, event_id) total order, applied AFTER the
+    # stage filter, exactly like the Spark side) so the gate holds
+    # even above the cap (r7 VERDICT #1; tests/test_cap_parity.py
+    # proves agreement on a >cap mega-user).
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) <= {MAX_EVENTS_PER_KEY}),
+    s AS (
       SELECT user_id,
              MIN(ts) FILTER (WHERE event_type = 'view') AS t_view
-      FROM events GROUP BY user_id),
+      FROM ev GROUP BY user_id),
     c AS (
       SELECT e.user_id, MIN(e.ts) AS t_click
-      FROM events e JOIN s ON s.user_id = e.user_id
+      FROM ev e JOIN s ON s.user_id = e.user_id
       WHERE e.event_type = 'click' AND e.ts > s.t_view
       GROUP BY e.user_id),
     p AS (
       SELECT e.user_id, MIN(e.ts) AS t_purchase
-      FROM events e JOIN c ON c.user_id = e.user_id
+      FROM ev e JOIN c ON c.user_id = e.user_id
       WHERE e.event_type = 'purchase' AND e.ts > c.t_click
       GROUP BY e.user_id)
     SELECT (SELECT COUNT(*) FROM s WHERE t_view IS NOT NULL) AS n_view,
@@ -2377,7 +2388,7 @@ def events_sampled_revenue_estimate(
 # --------------------------------------------------------------------------
 @query(
     "top_session_paths",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
@@ -2392,11 +2403,18 @@ def events_sampled_revenue_estimate(
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id
       FROM gaps),
+    capped AS (
+      -- cap parity with _cap_per_key (r7 VERDICT #1): first N events
+      -- per session by the same (ts, event_id) total order
+      SELECT * FROM sess
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, session_id ORDER BY ts, event_id
+      ) <= {MAX_EVENTS_PER_KEY}),
     paths AS (
       SELECT user_id, session_id,
              string_agg(event_type, '>' ORDER BY ts, event_id)
                AS path
-      FROM sess GROUP BY user_id, session_id)
+      FROM capped GROUP BY user_id, session_id)
     SELECT path, COUNT(*) AS n_sessions
     FROM paths
     GROUP BY path
@@ -3522,15 +3540,22 @@ def events_monthly_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "event_funnel_time_bound",
-    oracle="""
-    WITH per_user AS (
+    # ev CTE = _cap_per_key parity (first N per user by (ts,
+    # event_id), post stage-filter) — r7 VERDICT #1.
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) <= {MAX_EVENTS_PER_KEY}),
+    per_user AS (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
              list(CASE WHEN event_type = 'click' THEN ts END) AS clicks,
              list(CASE WHEN event_type = 'purchase' THEN ts END)
                AS purchases
-      FROM events
-      WHERE event_type IN ('view', 'click', 'purchase')
+      FROM ev
       GROUP BY user_id),
     staged AS (
       SELECT t_view, purchases,
@@ -3821,12 +3846,19 @@ _PATH_PATTERNS = [
 
 @query(
     "user_path_patterns",
-    oracle="""
-    WITH paths AS (
+    # ev CTE = _cap_per_key parity (first N events per user by (ts,
+    # event_id)) — r7 VERDICT #1.
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) <= {MAX_EVENTS_PER_KEY}),
+    paths AS (
       SELECT user_id,
              string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
                AS path
-      FROM events GROUP BY user_id)
+      FROM ev GROUP BY user_id)
     SELECT 'any_conversion' AS pattern,
            CAST(SUM(CASE WHEN regexp_matches(path, 'v.*p') THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_users
@@ -4308,14 +4340,23 @@ _MARKOV_CHANNELS = ["click", "error", "signup", "view"]
 
 def _markov_transitions_sql() -> str:
     """Shared transition-extraction SQL (DuckDB dialect): per-user
-    pre-first-purchase paths -> (src, dst, p) transition rows."""
-    return """
+    pre-first-purchase paths -> (src, dst, p) transition rows.
+
+    The ev CTE mirrors the Spark side's _cap_per_key(ev, [user_id],
+    [ts, event_id]) — applied to ALL events BEFORE the first-purchase
+    probe, exactly like the query (r7 VERDICT #1 cap parity)."""
+    return f"""
+    ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+      ) <= {MAX_EVENTS_PER_KEY}),
     fp AS (
-      SELECT user_id, MIN(ts) AS fpts FROM events
+      SELECT user_id, MIN(ts) AS fpts FROM ev
       WHERE event_type = 'purchase' GROUP BY user_id),
     pre AS (
       SELECT e.user_id, e.event_type, e.ts, e.event_id, fp.fpts
-      FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
       WHERE e.event_type <> 'purchase'
         AND (fp.fpts IS NULL OR e.ts < fp.fpts)),
     seq AS (
