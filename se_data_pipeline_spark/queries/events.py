@@ -2519,13 +2519,27 @@ def users_to_date_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     global windows: within-year running sums (partitionBy(year)) +
     year start offsets folded with a strictly-smaller self-join —
     the two-level distributed prefix sum (orders_daily_backlog
-    documents the pattern). Everything upstream is two keyed
-    shuffles: the (day, user) distinct and the per-day / per-user
-    aggregates derived from it."""
+    documents the pattern). The events fact is scanned exactly ONCE:
+    the (day, user) distinct is materialized (lazy localCheckpoint)
+    and every downstream aggregate derives from it — before r8 the
+    multi-consumer lineage re-scanned the fact 4x (see the inline
+    comments)."""
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(
-        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
-    ).distinct()
+    # du (the distinct (day, user) pair set) feeds BOTH dau and
+    # first_seen. Without a lineage cut the two branches do not share
+    # a subtree — Catalyst rewrites first_seen's distinct+min into a
+    # direct min-over-raw-rows aggregate, so nothing canonicalizes to
+    # a reusable exchange and the events FACT is scanned twice (and,
+    # with the downstream consumers, 4x total — found by the
+    # r8-tightened tools/dup_scan_check.py). du is the query's
+    # inherent working set (bounded by |users| x |days|, spillable
+    # MEMORY_AND_DISK); materializing it once costs less than a
+    # second 100 TB fact scan.
+    du = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
     first_seen = du.groupBy("user_id").agg(F.min("day").alias("day"))
     news = first_seen.groupBy("day").agg(
@@ -2535,6 +2549,14 @@ def users_to_date_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         dau.join(news, "day", "left")
         .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
         .withColumn("yr", F.year("day"))
+        # daily is one row per DAY (tiny at any corpus scale) but
+        # feeds THREE consumers (the within-year window, and both
+        # sides of the year-offset self-join) — without this second
+        # lineage cut each consumer re-runs the dau/news aggregates
+        # over du (the yr-join's isnotnull(yr) pushdown
+        # de-canonicalizes the branches, so AQE cannot reuse them;
+        # same failure class as supplier_quality_rank r7).
+        .localCheckpoint(eager=False)
     )
     w_in = (
         W.partitionBy("yr")

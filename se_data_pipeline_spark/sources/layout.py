@@ -199,6 +199,36 @@ def write_bq_index(
     )
 
 
+def compact_bq_index(spark: SparkSession, index_path: str) -> None:
+    """Fold a stream-maintained BQ index (maintain_bq_index's
+    one-partition-per-micro-batch layout) into a single
+    ``batch_id=-1`` base partition, keeping ONLY the latest code per
+    vec_id (max_by batch_id) — stale codes from re-emitted vectors
+    are physically dropped, and the partition count stops growing
+    one-per-batch. Same contract as streaming/jobs.compact_term_stats:
+    run ONLY while the stream is stopped (committed batch ids never
+    replay, so folding them cannot duplicate; a restarted stream
+    appends fresh ``batch_id>=0`` partitions next to the base and
+    bq_candidates' latest-wins read stays correct). Static
+    per-writer overwrite mode so every old delta partition is
+    deleted even under a dynamic-mode session."""
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(index_path)
+    base = (
+        idx.groupBy("vec_id")
+        .agg(F.max_by("code", "batch_id").alias("code"))
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint()  # materialize before overwriting the source
+    )
+    (
+        base.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
+
+
 def bq_candidates(
     spark: SparkSession,
     index_path: str,
@@ -212,17 +242,37 @@ def bq_candidates(
     Selects ONLY (id, code) so the scan never touches the vector
     column; rerank the returned ids against full vectors afterwards
     (see queries/vectors.py embedding_binary_quant_rerank for the
-    inline twin of the full two-stage shape)."""
+    inline twin of the full two-stage shape).
+
+    A stream-maintained index (batch_id column present) is deduped
+    on read — latest batch_id wins per id — so an updated embedding
+    re-emitted in a later micro-batch cannot rank both its stale and
+    fresh codes (ADVICE r7); compact_bq_index folds the partitions
+    to keep that dedupe cheap."""
     from pyspark.sql import functions as F
 
     from se_data_pipeline_spark.functions.vectors import hamming_codes
 
     idx = spark.read.parquet(index_path)
+    sel = idx.select(id_col, "code", *(
+        ["batch_id"] if "batch_id" in idx.columns else []
+    ))
+    # defensive: a foreign index with NULL codes must not rank
+    # unsearchable rows first (Spark sorts NULLS FIRST ascending)
+    sel = sel.filter(F.col("code").isNotNull())
+    if "batch_id" in idx.columns:
+        # stream-maintained index (maintain_bq_index): a vec re-emitted
+        # with an updated embedding lands a NEW code in a LATER
+        # batch_id partition while the stale one survives in the old
+        # partition — rank only the latest code per id (ADVICE r7),
+        # matching the batch write_bq_index rebuild semantics. One
+        # extra 16-byte-row shuffle on the index, never the vectors;
+        # fold old partitions with compact_bq_index to drop it.
+        sel = sel.groupBy(id_col).agg(
+            F.max_by("code", "batch_id").alias("code")
+        )
     return (
-        idx.select(id_col, "code")
-        # defensive: a foreign index with NULL codes must not rank
-        # unsearchable rows first (Spark sorts NULLS FIRST ascending)
-        .filter(F.col("code").isNotNull())
+        sel
         .withColumn(
             "hamming",
             hamming_codes(F.col("code"), F.lit(q_code).cast("long")),

@@ -38,9 +38,12 @@ def _read_store_or_none(spark: SparkSession, path: str):
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:
-        get = getattr(exc, "getErrorClass", None)
-        klass = (get() if callable(get) else None) or ""
-        if "PATH_NOT_FOUND" in klass or "PATH_NOT_FOUND" in str(exc):
+        # Error-CLASS equality only (pyspark 4.x always populates it).
+        # The previous str(exc) substring fallback could misclassify
+        # an unrelated AnalysisException whose message merely mentions
+        # the token (e.g. a nested cause) as "first batch" and let the
+        # next overwrite silently reset the store (ADVICE r7).
+        if exc.getErrorClass() == "PATH_NOT_FOUND":
             return None
         raise
 
@@ -246,10 +249,17 @@ def maintain_bq_index(
     The index stores (id, code) ONLY — 8 bytes of searchable state
     per vector; the full float payloads stay in the source table and
     are touched only by the stage-2 exact rerank
-    (queries/vectors.embedding_binary_quant_rerank). Readers just
-    ``spark.read.parquet(out_dir)`` and serve
-    sources/layout.bq_candidates unchanged — the batch-id partition
-    split is invisible to the Hamming scan."""
+    (queries/vectors.embedding_binary_quant_rerank).
+
+    Re-emitted ids (an UPDATED embedding arriving in a later
+    micro-batch): the new code lands in the newer batch_id partition
+    while the stale one survives in the older partition — appends
+    here never rewrite foreign partitions. Readers therefore keep
+    ONLY the latest batch_id per id (sources/layout.bq_candidates
+    dedupes on read whenever the batch_id column is present, ADVICE
+    r7), and sources/layout.compact_bq_index physically drops the
+    stale codes by folding all partitions into a batch_id=-1 base
+    (run while the stream is stopped, like compact_term_stats)."""
 
     from se_data_pipeline_spark.functions.vectors import pack_sign_bits
 

@@ -987,6 +987,91 @@ def test_maintain_bq_index_matches_batch_and_serves_candidates(
     assert from_stream == from_batch
 
 
+def test_maintain_bq_index_reemitted_id_latest_code_wins(
+    spark, tmp_path
+):
+    """An id re-emitted with an UPDATED embedding in a later
+    micro-batch leaves its stale code alive in the older batch_id
+    partition (appends never rewrite foreign partitions). The reader
+    must rank only the LATEST code per id (ADVICE r7) — and
+    compact_bq_index must physically drop the stale row while
+    preserving the serving results."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
+    from se_data_pipeline_spark.sources.layout import (
+        bq_candidates,
+        compact_bq_index,
+    )
+    from se_data_pipeline_spark.streaming.jobs import maintain_bq_index
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    idx_dir = str(tmp_path / "idx")
+
+    def run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_bq_index(stream, idx_dir, ckpt).awaitTermination(120)
+
+    base = [
+        (1, [1.0, 1.0, 1.0, 1.0], 0),
+        (2, [1.0, 1.0, 1.0, 1.0], 0),
+        (3, [-1.0, 1.0, -1.0, 1.0], 0),
+        (4, [1.0, -1.0, 1.0, -1.0], 0),
+    ]
+    spark.createDataFrame(base, schema).coalesce(1).write.parquet(src)
+    run()
+
+    # vec 2's embedding flips sign: a NEW code in a LATER batch
+    updated = [(2, [-1.0, -1.0, -1.0, -1.0], 0)]
+    spark.createDataFrame(updated, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    raw = spark.read.parquet(idx_dir)
+    assert raw.count() == 5, "stale code should still be on disk"
+    new_code = (
+        spark.createDataFrame(updated, schema)
+        .select(pack_sign_bits(F.col("embedding")).alias("c"))
+        .first()["c"]
+    )
+
+    def serve():
+        rows = bq_candidates(spark, idx_dir, new_code, n=10).collect()
+        by_id = {}
+        for r in rows:
+            assert r["vec_id"] not in by_id, "id ranked twice (stale code)"
+            by_id[r["vec_id"]] = r["hamming"]
+        return by_id
+
+    served = serve()
+    assert served[2] == 0, "must rank vec 2 by its LATEST code"
+    assert set(served) == {1, 2, 3, 4}
+
+    # compaction drops the stale row; serving results are unchanged
+    compact_bq_index(spark, idx_dir)
+    folded = spark.read.parquet(idx_dir)
+    assert folded.count() == 4
+    assert [r["batch_id"] for r in folded.select("batch_id").distinct().collect()] == [-1]
+    assert serve() == served
+    # restarted stream appends next to the base; latest-wins persists
+    more = [(2, [1.0, 1.0, 1.0, 1.0], 0)]
+    spark.createDataFrame(more, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    # vec 2 now carries the flipped-back code: hamming vs new_code = 4
+    assert serve()[2] == 4
+
+
 def test_maintain_bq_index_all_null_first_batch_writes_nothing(
     spark, tmp_path
 ):
