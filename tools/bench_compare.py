@@ -55,8 +55,29 @@ def main() -> int:
     t_new = sum(nq[k] for k in common)
     print(
         f"common {len(common)} queries: {t_old:.2f}s -> {t_new:.2f}s "
-        f"({(t_new - t_old) / t_old * 100:+.1f}%)"
+        f"(raw {(t_new - t_old) / t_old * 100:+.1f}%)"
     )
+    # Two-regime calibration (r7 VERDICT #2): the throughput calib
+    # normalizes seconds-long scan/shuffle-bound queries, the latency
+    # calib the sub-second scheduling-bound majority. Report all
+    # three ratios; when they disagree, trust RAW unless the calibs
+    # agree with each other (a throughput-only view claimed a phantom
+    # uniform 1.24x regression in r7 while raw was flat).
+    for field, label in (
+        ("calib_sec", "throughput-calibrated"),
+        ("calib_latency_sec", "latency-calibrated"),
+    ):
+        co, cn = old.get(field), new.get(field)
+        if co and cn:
+            ratio = (t_new / cn) / (t_old / co)
+            print(
+                f"  {label}: x{ratio:.3f} "
+                f"({field} {co} -> {cn}; host "
+                f"{'faster' if cn < co else 'slower'} by "
+                f"{abs(cn - co) / co * 100:.1f}%)"
+            )
+        else:
+            print(f"  {label}: n/a ({field} missing on one side)")
     movers = sorted(common, key=lambda k: nq[k] - oq[k])
     print("\nbiggest improvements:")
     for k in movers[:top_n]:
