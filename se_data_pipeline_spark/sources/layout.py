@@ -199,6 +199,158 @@ def write_bq_index(
     )
 
 
+def _nearest_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str):
+    """Row-local argmin over the (bounded) centroid table as ONE
+    Catalyst expression: the centroids are a literal
+    array<struct<ctr, cell>>, transform() scores each against the
+    row's vector (zip_with/aggregate d2), and array_min picks the
+    (d2, cell)-lexicographic minimum. No UDF, no join, no shuffle:
+    cell assignment is pure per-row codegen work, which is what lets
+    streaming maintenance run shuffle-free per micro-batch.
+
+    Deliberately LINEAR-size: an earlier running-best WHEN-fold
+    referenced the accumulated struct twice per centroid, doubling
+    the analyzed expression tree per cell (2^n_cells blowup — the
+    plan never finished analyzing at 10 cells)."""
+    from pyspark.sql import functions as F
+
+    cells_lit = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in cvec]).alias("ctr"),
+                F.lit(int(cell_id)).alias("cell"),
+            )
+            for cell_id, cvec in centroids
+        ]
+    )
+    scored = F.transform(
+        cells_lit,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    s["ctr"],
+                    F.col(vec_col),
+                    lambda c, x: (c - x.cast("double"))
+                    * (c - x.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    return F.array_min(scored)["cell"]
+
+
+def write_ivf_index(
+    df: DataFrame,
+    out_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> None:
+    """Materialize an IVF (inverted-file) ANN index: a coarse-
+    quantizer centroid table (per-cell mean vectors — the same
+    quantizer as queries/vectors.embedding_knn_ivf, with `cell_col`
+    as the cell key) plus the vector rows written PARTITIONED BY
+    CELL, so a probe reading nprobe cells is parquet partition
+    pruning — it touches nprobe/n_cells of the data, which is the
+    entire point of IVF at 100 TB.
+
+    Layout: ``out_path/centroids`` (n_cells rows: cell, centroid) and
+    ``out_path/cells`` (cell=N directories of (vec_id, embedding)).
+    NULL vectors are excluded (unsearchable). One grouped pass for
+    the centroids + one cell-partitioned write."""
+    from pyspark.sql import functions as F
+
+    rows = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col(cell_col).cast("int").alias("cell"),
+    )
+    centroids = (
+        rows.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("ctr"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                # BOUNDED: one entry per dimension per cell
+                F.sort_array(F.collect_list(F.struct("pos", "ctr"))),
+                lambda s: s["ctr"],
+            ).alias("centroid")
+        )
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_path}/centroids"
+    )
+    (
+        rows.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("cell", "batch_id")
+        .parquet(f"{out_path}/cells")
+    )
+
+
+def ivf_candidates(
+    spark: SparkSession,
+    index_path: str,
+    q_vec: list[float],
+    nprobe: int = 1,
+    n: int = 10,
+) -> DataFrame:
+    """Probe an IVF index: nearest nprobe cells to the query are
+    picked DRIVER-SIDE from the (bounded, n_cells-row) centroid
+    table, the cell store is read with cell IN (...) — parquet
+    PARTITION pruning, the test asserts it on the executed plan —
+    and exact cosine + top-n runs only inside the probed cells
+    (TakeOrderedAndProject)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    by_d2 = sorted(
+        (
+            sum((c - q) ** 2 for c, q in zip(r["centroid"], q_vec)),
+            r["cell"],
+        )
+        for r in cents
+    )
+    cells = [cell for _, cell in by_d2[:nprobe]]
+
+    qn = math.sqrt(sum(x * x for x in q_vec)) or 1.0
+    qlit = F.array(*[F.lit(float(x)) for x in q_vec])
+    dot = F.aggregate(
+        F.zip_with(
+            qlit, F.col("embedding"), lambda a, b: a * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        spark.read.parquet(f"{index_path}/cells")
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select(
+            "vec_id",
+            "cell",
+            (dot / (vnorm * F.lit(qn))).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(n)
+    )
+
+
 def compact_bq_index(spark: SparkSession, index_path: str) -> None:
     """Fold a stream-maintained BQ index (maintain_bq_index's
     one-partition-per-micro-batch layout) into a single

@@ -295,6 +295,83 @@ def maintain_bq_index(
     )
 
 
+def maintain_ivf_index(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming maintenance of the IVF ANN index (r8; the IVF twin
+    of maintain_bq_index, r7 VERDICT optional #8): new vectors are
+    assigned to their nearest coarse-quantizer cell and appended to
+    ``index_path/cells`` under a ``cell=C/batch_id=N`` partition via
+    per-writer dynamic partition overwrite — a replayed micro-batch
+    overwrites ITS OWN partitions, so restarts never duplicate rows
+    (exactly-once by LAYOUT, the maintain_term_stats protocol), and
+    ivf_candidates' cell-IN(...) partition pruning is oblivious to
+    the batch_id split below the cell directories.
+
+    Cell assignment is SHUFFLE-FREE: the centroid table (bounded,
+    n_cells x dims — built once by sources/layout.write_ivf_index,
+    which MUST have run first) is collected once at job start and
+    folded into a single row-local Catalyst argmin expression
+    (layout._nearest_cell_expr) — no UDF, no join, each micro-batch
+    is scan -> project -> partitioned write.
+
+    HARD PRECONDITION — new ids only: like every append-by-layout
+    store, a RE-EMITTED id (updated embedding) leaves its stale row
+    alive in the old (cell, batch_id) partition, and because the new
+    embedding may land in a DIFFERENT cell, a read-side latest-wins
+    dedupe inside the probed cells cannot see the newer copy parked
+    elsewhere — so updates require a rebuild (write_ivf_index) or an
+    offline reassignment compaction, not a streamed re-emit. The
+    quantizer is likewise frozen at job start: re-training centroids
+    invalidates the cell layout and is a rebuild, not maintenance
+    (standard IVF practice: retrain + reindex offline, serve the
+    frozen epoch)."""
+    from se_data_pipeline_spark.sources.layout import _nearest_cell_expr
+
+    spark = vec_stream.sparkSession
+    cents = [
+        (r["cell"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    ]
+    if not cents:
+        raise ValueError(
+            f"{index_path}/centroids is empty — run write_ivf_index "
+            "first (the streaming job maintains a frozen quantizer, "
+            "it does not train one)"
+        )
+    cell_of = _nearest_cell_expr(cents, vec_col)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            cell_of.alias("cell"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        # same all-NULL-first-batch guard as maintain_bq_index: never
+        # write a zero-row partitioned store
+        if rows.isEmpty():
+            return
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "batch_id")
+            .parquet(f"{index_path}/cells")
+        )
+
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's documents parquet (for
     the streaming curation operators)."""

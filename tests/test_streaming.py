@@ -1072,6 +1072,110 @@ def test_maintain_bq_index_reemitted_id_latest_code_wins(
     assert serve()[2] == 4
 
 
+def test_maintain_ivf_index_streams_new_vectors_into_cells(
+    spark, sf_dir, tmp_path
+):
+    """The streamed IVF maintenance must (a) assign each new vector
+    to the nearest FROZEN-quantizer cell (verified against an
+    independent numpy argmin), (b) be replay-idempotent, (c) serve
+    ivf_candidates with exact cosines over batch+streamed rows, and
+    (d) keep the probe partition-PRUNED (asserted on the executed
+    plan) — the property that makes IVF a 1/n_cells read at 100 TB."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_candidates,
+        write_ivf_index,
+    )
+    from se_data_pipeline_spark.streaming.jobs import maintain_ivf_index
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(a, idx)
+
+    src = str(tmp_path / "src")
+    b.repartition(2).write.parquet(src)  # >= 2 micro-batches
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        maintain_ivf_index(stream, idx, ckpt).awaitTermination(120)
+
+    run()
+
+    cents = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+
+    def nearest(v):
+        return min(
+            (sum((c - x) ** 2 for c, x in zip(cv, v)), cid)
+            for cid, cv in cents.items()
+        )[1]
+
+    store = spark.read.parquet(f"{idx}/cells")
+    b_rows = {r["vec_id"]: list(r["embedding"]) for r in b.collect()}
+    got_b = {
+        r["vec_id"]: r["cell"]
+        for r in store.filter(F.col("batch_id") >= 0).collect()
+    }
+    assert set(got_b) == set(b_rows), "every streamed id lands exactly once"
+    for vid, cell in got_b.items():
+        assert cell == nearest(b_rows[vid]), (vid, cell)
+
+    n_before = store.count()
+    run()  # replay: no new files -> store unchanged
+    assert spark.read.parquet(f"{idx}/cells").count() == n_before
+
+    # probe correctness: all-cells probe returns exact cosines over
+    # batch + streamed rows
+    q = list(b.orderBy("vec_id").first()["embedding"])
+    allc = ivf_candidates(spark, idx, q, nprobe=len(cents), n=10)
+    a_rows = {r["vec_id"]: list(r["embedding"]) for r in a.collect()}
+    every = {**a_rows, **b_rows}
+
+    def cos(v):
+        d = sum(float(x) * float(y) for x, y in zip(v, q))
+        nv = math.sqrt(sum(float(x) ** 2 for x in v))
+        nq = math.sqrt(sum(float(y) ** 2 for y in q))
+        return d / (nv * nq)
+
+    expect = sorted(
+        ((cos(v), vid) for vid, v in every.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [
+        (r["cos_sim"], r["vec_id"]) for r in allc.collect()
+    ]
+    assert [vid for _, vid in got] == [vid for _, vid in expect]
+    for (gc, _), (ec, _) in zip(got, expect):
+        assert abs(gc - ec) < 1e-9
+
+    # nprobe=1 probes ONLY the nearest cell — and the scan is
+    # partition-pruned, not filtered post-read
+    one = ivf_candidates(spark, idx, q, nprobe=1, n=10)
+    rows1 = one.collect()
+    home = nearest(q)
+    assert all(r["cell"] == home for r in rows1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), "cell probe must reach the scan"
+
+
 def test_maintain_bq_index_all_null_first_batch_writes_nothing(
     spark, tmp_path
 ):
