@@ -4374,3 +4374,141 @@ def corpus_stoplist_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "df", F.round(ratio, 6).alias("doc_ratio"))
         .orderBy(F.desc("df"), F.asc("tok"))
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR data selection (Xie et al., "Data Selection for Language Models
+# via Importance Resampling", NeurIPS 2023): hashed-n-gram importance
+# weights of a target domain against the raw corpus, the standard
+# cheap alternative to classifier-based quality filtering when you
+# have examples OF the distribution you want rather than labels.
+# --------------------------------------------------------------------------
+_DSIR_B = 1024
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+
+
+def _dsir_bucket(tok):
+    """Hashed feature bucket of one token: the portable rolling hash
+    -> Knuth multiplicative mix -> mod B. All modular integer
+    arithmetic, reproduced verbatim by the DuckDB oracle."""
+    h = F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_003,
+    )
+    return ((h * 2654435761) % 1_000_003) % _DSIR_B
+
+
+@query(
+    "doc_dsir_selection",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             ((CAST(list_reduce(
+                 list_prepend(0, [ascii(c) for c in string_split(tok, '')]),
+                 (acc, c) -> (acc * 31 + c) % 1000003) AS BIGINT)
+               * 2654435761) % 1000003) % 1024 AS bk
+      FROM (SELECT doc_id, source,
+                   unnest([x for x in string_split(text, ' ')
+                           if x <> '']) AS tok
+            FROM documents)),
+    counts AS (
+      SELECT bk, COUNT(*) AS r_c,
+             COUNT(*) FILTER (
+               WHERE source IN ('src0','src1','src2','src3')) AS t_c
+      FROM b GROUP BY bk),
+    tot AS (SELECT SUM(r_c) AS rr, SUM(t_c) AS tt FROM counts),
+    lam AS (
+      SELECT bk,
+             LN((t_c + 1.0) / (tt + 1024.0))
+               - LN((r_c + 1.0) / (rr + 1024.0)) AS lam
+      FROM counts CROSS JOIN tot),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(lam) AS raw_logw
+      FROM b JOIN lam USING (bk) GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ROUND(raw_logw, 4) AS logw,
+           ROUND(raw_logw / n_tokens, 6) AS logw_per_tok,
+           ROUND(raw_logw, 4) > 0 AS selected
+    FROM perdoc
+    ORDER BY doc_id
+    """,
+)
+def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: features are unigrams hashed into
+    B=1024 buckets; the estimator is add-1-smoothed bucket
+    distributions of the TARGET domain (sources src0-src3, standing
+    in for "the high-quality corpus you want more of") vs the RAW
+    corpus; a document's log importance weight is the sum over its
+    tokens of ln p_target(bucket) - ln p_raw(bucket). `selected` is
+    the target-leaning decision (logw > 0); real pipelines resample
+    by these weights (see `weighted_corpus_sample` for the sampling
+    half of the recipe).
+
+    Scale shape (this IS the 100 TB plan, not a toy): pass 1 is one
+    explode+groupBy whose result is B=1024 rows — a bounded driver
+    collect (EAGER_OK-adjudicated, same class as the PQ codebook) —
+    from which the per-bucket log-ratio table lam is built and
+    embedded as a 1024-double array LITERAL. Pass 2 — the returned
+    plan — is a single fact scan with NO shuffle and NO join: each
+    doc folds its hashed-bucket array through element_at(lam, b),
+    entirely inside whole-stage codegen. Two passes over the corpus
+    is the algorithm's own minimum (estimate, then score).
+
+    Determinism: bucket ids are exact modular integer arithmetic;
+    floats enter only at the ln() of integer-ratio inputs, and the
+    per-doc sum is rounded (4/6 dp) on both sides — the same
+    contract doc_unigram_perplexity has run green since r4."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_nz = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
+    bks = F.transform(toks_nz, _dsir_bucket)
+
+    # Pass 1 (eager, bounded): the 1024-bucket importance estimator.
+    rows = (
+        docs.select(
+            F.explode(bks).alias("bk"),
+            F.col("source").isin(*_DSIR_TARGET).alias("is_t"),
+        )
+        .groupBy("bk")
+        .agg(
+            F.count(F.lit(1)).alias("r_c"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t_c"),
+        )
+        .collect()
+    )
+    r_tot = sum(r["r_c"] for r in rows)
+    t_tot = sum(r["t_c"] for r in rows)
+    r_by = {r["bk"]: r["r_c"] for r in rows}
+    t_by = {r["bk"]: r["t_c"] for r in rows}
+    lam = [
+        math.log((t_by.get(b, 0) + 1.0) / (t_tot + _DSIR_B))
+        - math.log((r_by.get(b, 0) + 1.0) / (r_tot + _DSIR_B))
+        for b in range(_DSIR_B)
+    ]
+    lam_lit = F.lit(lam)
+
+    # Pass 2: one fact scan, zero shuffles — per-doc fold over the
+    # bucket array against the broadcast-literal lam table.
+    scored = docs.select(
+        "doc_id",
+        F.size(bks).alias("n_tokens"),
+        F.aggregate(
+            bks,
+            F.lit(0.0),
+            lambda acc, b: acc
+            + F.element_at(lam_lit, (b + 1).cast("int")),
+        ).alias("raw_logw"),
+    ).filter(F.col("n_tokens") > 0)
+    logw = F.round("raw_logw", 4)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        logw.alias("logw"),
+        F.round(F.col("raw_logw") / F.col("n_tokens"), 6).alias(
+            "logw_per_tok"
+        ),
+        (logw > 0).alias("selected"),
+    ).orderBy("doc_id")

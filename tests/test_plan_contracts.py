@@ -540,3 +540,35 @@ def test_tail_index_is_constant_work_after_topk(spark, sf_dir):
     assert plan_of(df).count("FileScan parquet") == 0
     row = df.collect()[0]
     assert row.k > 0 and row.tail_index_alpha is not None
+
+
+def test_dsir_scoring_pass_is_map_side_only(spark, sf_dir):
+    """doc_dsir_selection's returned plan is ONE fact scan with no
+    Exchange: the 1024-bucket estimator was folded into an array
+    literal at plan build (bounded eager collect), so the scoring
+    pass pipelines with the scan — the property that makes the
+    second DSIR pass free at 100 TB."""
+    from se_data_pipeline_spark.queries.text import doc_dsir_selection
+
+    df = doc_dsir_selection(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("FileScan parquet") == 1
+    # the only Exchange allowed is the final presentation orderBy
+    body = plan.split("Sort")[0]
+    assert "Exchange" not in body
+
+    # Semantic pin: weights must actually separate the target domain
+    # from the rest — mean per-token log-weight of target-source docs
+    # strictly above the non-target mean (the DSIR invariant).
+    from se_data_pipeline_spark.catalog import load_table
+    from se_data_pipeline_spark.queries.text import _DSIR_TARGET
+
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    means = (
+        df.join(src, "doc_id")
+        .groupBy(F.col("source").isin(*_DSIR_TARGET).alias("is_t"))
+        .agg(F.avg("logw_per_tok").alias("m"))
+        .collect()
+    )
+    by = {r.is_t: r.m for r in means}
+    assert by[True] > by[False]

@@ -61,6 +61,8 @@ EAGER_OK = {
     "per round cuts lineage growth",
     "dedup_incremental_new_shard": _SHINGLE,
     "dedup_method_recall_report": _SHINGLE,
+    "doc_dsir_selection": "bounded collect: 1024-bucket hashed "
+    "importance estimator (DSIR pass 1)",
     "doc_heaps_law_fit": _CKPT + " (token-count frame)",
     "doc_stable_ids": "bounded collect: 32 per-partition counts "
     "(distributed prefix sum)",
