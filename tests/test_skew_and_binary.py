@@ -236,3 +236,61 @@ def test_passage_dedup_with_universal_boilerplate(spark, tmp_path):
         assert out[i]["dup_tokens"] == 8
     assert out[40]["dup_tokens"] == 8
     assert out[40]["dup_coverage"] == 1.0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join demonstration (the runtime half of the skew
+    story — salted_join above is the explicit half): a sort-merge
+    join whose hot key dwarfs every other partition must come out of
+    AQE with the skewed side SPLIT (`skew=true` on the SMJ), i.e.
+    OptimizeSkewedJoin actually fires under this session's confs.
+    Thresholds are lowered only inside this test (runtime confs,
+    restored in finally) because the defaults are sized for real
+    clusters, not a 10k-row fixture."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        hot = spark.range(200_000).select(
+            F.lit("hot").alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        cold = spark.range(2_000).select(
+            F.concat(F.lit("c"), (F.col("id") % 64).cast("string")).alias("k"),
+            F.col("id").cast("string").alias("v"),
+        )
+        fact = hot.unionByName(cold)
+        dim = spark.createDataFrame(
+            [Row(k="hot", tag="H")]
+            + [Row(k=f"c{i}", tag=f"T{i}") for i in range(64)]
+        )
+        joined = fact.join(dim, "k")
+        # execute THIS plan (a count() would build its own) so AQE
+        # finalizes it with runtime partition sizes
+        assert len(joined.collect()) == 202_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
