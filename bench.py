@@ -229,8 +229,10 @@ HEADLINE = [
     "dedup_connected_components",
     "order_leading_lines_hof",
     # r8: one-sketch-pass outlier screen (the at-scale twin of
-    # value_outliers_by_type)
+    # value_outliers_by_type), and the DSIR two-pass selection
+    # flagship (eager estimator + zero-shuffle scoring scan)
     "value_outliers_by_type_sketch",
+    "doc_dsir_selection",
 ]
 
 

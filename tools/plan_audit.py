@@ -98,6 +98,10 @@ EAGER_OK = {
     "supplier_part_pagerank": _CKPT + " (edge list re-joined by 2 "
     "unrolled iterations, r7) + node-count scalar for the teleport "
     "term",
+    "users_to_date_curve": _CKPT + " ((day,user) distinct + day-grain "
+    "daily frame, r8 — collapses 4 fact scans to 1; the checkpoints "
+    "are lazy but AQE materializes their shuffle stages at toRdd "
+    "time, which is what the eager counter sees)",
 }
 
 
