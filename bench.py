@@ -311,6 +311,30 @@ def main() -> None:
         if calib_latency is None or dt < calib_latency:
             calib_latency = dt
 
+    # - calib_shuffle_sec (r8): a fixed, data-independent job in the
+    #   SHUFFLE + ARROW regime — 32 map tasks hash-aggregating into
+    #   100k groups through a real exchange, top-k, 1000 rows back
+    #   over Arrow. Added after r8's forensics: the compute calib sat
+    #   flat (+5%) while every real query ran ~1.3x slower, and an
+    #   interleaved r7-code/r8-code A/B proved the code identical —
+    #   the drift lives in the exchange/scan/Arrow machinery that
+    #   neither the codegen-arithmetic nor the latency probe touches.
+    calib_shuffle = None
+    for _pass in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 30_000_000, 1, 32)
+            .selectExpr("id % 100000 AS k")
+            .groupBy("k")
+            .count()
+            .orderBy("count", "k", ascending=[False, True])
+            .limit(1000)
+            .toPandas()
+        )
+        dt = round(time.perf_counter() - t0, 3)
+        if calib_shuffle is None or dt < calib_shuffle:
+            calib_shuffle = dt
+
     # Rotating spot-bench of the non-HEADLINE tail (r7 VERDICT #5):
     # 5 per-round-rotating names so "the unbenched rest are trivially
     # small" stays MEASURED instead of asserted, without blowing the
@@ -352,6 +376,7 @@ def main() -> None:
         "n_queries": len(HEADLINE),
         "calib_sec": calib,
         "calib_latency_sec": calib_latency,
+        "calib_shuffle_sec": calib_shuffle,
         "spot_round": int(rnd),
         "spot_queries": spot,
         "sf": sf,
@@ -383,6 +408,7 @@ def main() -> None:
         "queries_file": "BENCH_LOCAL.json",
         "calib_sec": calib,
         "calib_latency_sec": calib_latency,
+        "calib_shuffle_sec": calib_shuffle,
         "spot_round": int(rnd),
         "spot_queries": spot,
         "sf": sf,

@@ -66,6 +66,10 @@ def main() -> int:
     for field, label in (
         ("calib_sec", "throughput-calibrated"),
         ("calib_latency_sec", "latency-calibrated"),
+        # r8: the shuffle+Arrow regime — the one the r8 forensics
+        # showed the other two probes miss (compute calib flat while
+        # every exchange-bearing query drifted ~1.3x with the host).
+        ("calib_shuffle_sec", "shuffle-calibrated"),
     ):
         co, cn = old.get(field), new.get(field)
         if co and cn:
