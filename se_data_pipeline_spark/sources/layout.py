@@ -351,6 +351,48 @@ def ivf_candidates(
     )
 
 
+def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
+    """Fold a stream-maintained IVF cells store (maintain_ivf_index's
+    ``cell=C/batch_id=N`` layout) into one ``batch_id=-1`` base
+    partition per cell. A long-running maintenance stream grows one
+    directory per cell PER MICRO-BATCH — n_cells x n_batches leaf
+    dirs whose listing cost every probe pays before pruning; after
+    compaction the store is back to n_cells dirs and probes list
+    O(n_cells) paths again.
+
+    Ids are unique by maintain_ivf_index's new-ids-only HARD
+    precondition, so this is a pure layout fold; defensively, any id
+    that slipped in twice is collapsed to its LATEST (embedding,
+    cell) by batch_id — best-effort repair, since pre-compaction
+    probes of such a store were already outside the contract (the
+    stale copy may sit in a different cell than the probe reads).
+    Same run-only-while-stopped contract as compact_bq_index /
+    compact_term_stats: committed batch ids never replay, and a
+    restarted stream appends fresh ``batch_id>=0`` partitions next
+    to the base. Static per-writer overwrite mode so every old delta
+    partition is deleted even under a dynamic-mode session."""
+    from pyspark.sql import functions as F
+
+    cells = spark.read.parquet(f"{index_path}/cells")
+    base = (
+        cells.groupBy("vec_id")
+        .agg(F.max_by(F.struct("embedding", "cell"), "batch_id").alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.embedding").alias("embedding"),
+            F.col("s.cell").alias("cell"),
+        )
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint()  # materialize before overwriting the source
+    )
+    (
+        base.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("cell", "batch_id")
+        .parquet(f"{index_path}/cells")
+    )
+
+
 def compact_bq_index(spark: SparkSession, index_path: str) -> None:
     """Fold a stream-maintained BQ index (maintain_bq_index's
     one-partition-per-micro-batch layout) into a single

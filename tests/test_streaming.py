@@ -1175,6 +1175,33 @@ def test_maintain_ivf_index_streams_new_vectors_into_cells(
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "cell" in pf.group(1), "cell probe must reach the scan"
 
+    # ---- compaction: fold the per-batch deltas into the base ----
+    # the stream wrote one batch_id dir per cell per micro-batch;
+    # compact_ivf_index must collapse the store to batch_id=-1 only,
+    # preserve every (vec_id, cell) assignment, and leave probe
+    # results identical.
+    from se_data_pipeline_spark.sources.layout import compact_ivf_index
+
+    before = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{idx}/cells").collect()
+    }
+    compact_ivf_index(spark, idx)
+    compacted = spark.read.parquet(f"{idx}/cells")
+    assert [
+        r["batch_id"]
+        for r in compacted.select("batch_id").distinct().collect()
+    ] == [-1]
+    after = {r["vec_id"]: r["cell"] for r in compacted.collect()}
+    assert after == before
+    got2 = [
+        (r["cos_sim"], r["vec_id"])
+        for r in ivf_candidates(
+            spark, idx, q, nprobe=len(cents), n=10
+        ).collect()
+    ]
+    assert [vid for _, vid in got2] == [vid for _, vid in expect]
+
 
 def test_maintain_bq_index_all_null_first_batch_writes_nothing(
     spark, tmp_path
