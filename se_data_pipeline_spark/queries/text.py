@@ -1796,45 +1796,54 @@ def doc_hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one Catalyst HOF pass per row: no UDF, no shuffle, no join."""
     docs = load_table(spark, sf_dir, "documents")
     toks_nz = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
-    ws = F.transform(
-        toks_nz,
-        lambda t: (
-            F.aggregate(
-                F.split(t, ""),
-                F.lit(0).cast("long"),
-                lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_003,
-            )
-            * 2654435761
+
+    def w(t):
+        h = F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_003,
         )
-        % 1_000_003
-        - 501_001,
+        return (h * 2654435761) % 1_000_003 - 501_001
+
+    # ONE struct-accumulator fold carries (count, weight-sum): HOFs
+    # are CodegenFallback (no CSE), so the earlier separate-
+    # expression form re-tokenized and re-hashed every row 3-4x
+    # (1.2s -> 0.5s warm at sf0.1; the DSIR query documents the
+    # general trap). The empty-doc filter tests the text directly so
+    # pushdown cannot inline the fold into a second evaluation.
+    st = F.aggregate(
+        toks_nz,
+        F.struct(F.lit(0).alias("n"), F.lit(0).cast("long").alias("sw")),
+        lambda acc, t: F.struct(
+            (acc["n"] + F.lit(1)).alias("n"),
+            (acc["sw"] + w(t)).alias("sw"),
+        ),
     )
-    sum_w = F.aggregate(ws, F.lit(0).cast("long"), lambda a, x: a + x)
-    n = F.size(toks_nz)
-    out = docs.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        sum_w.alias("sw"),
-    ).filter(F.col("n_tokens") > 0)
+    n = F.col("st.n")
+    sw = F.col("st.sw")
     score = F.round(
         F.lit(1.0)
         / (
             F.lit(1.0)
             + F.exp(
-                -F.col("sw").cast("double")
-                / (F.lit(289000.0) * F.sqrt("n_tokens"))
+                -sw.cast("double") / (F.lit(289000.0) * F.sqrt(n))
             )
         ),
         6,
     )
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        score.alias("score"),
-        F.when(F.col("sw") >= 0, F.lit("keep"))
-        .otherwise(F.lit("drop"))
-        .alias("label"),
-    ).orderBy("doc_id")
+    return (
+        docs.filter(F.length(F.translate(F.col("text"), " ", "")) > 0)
+        .select("doc_id", st.alias("st"))
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            score.alias("score"),
+            F.when(sw >= 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("label"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
