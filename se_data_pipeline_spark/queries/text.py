@@ -4522,6 +4522,16 @@ def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         ),
     )
+    # Float-order caveat (ADVICE r8, documented): the per-doc
+    # log-weight is a float sum — Spark folds lam in token order
+    # while the oracle's SUM(lam) may accumulate in another order, so
+    # a doc whose raw sum sits EXACTLY on a 4dp/6dp rounding boundary
+    # (or at logw == 0 for `selected`) could in principle flake the
+    # hash compare. The integer-sum trick (doc_hash_classifier_score)
+    # doesn't apply: lam entries are true logs, not fixed-point. The
+    # round-both-sides contract (established r4) keeps this green on
+    # the fixed testdata; at a boundary regression, compare with a
+    # tolerance rather than re-deriving the fold.
     return (
         docs.filter(F.length(F.translate(F.col("text"), " ", "")) > 0)
         .select("doc_id", st.alias("st"))

@@ -14,7 +14,71 @@ on every downstream join.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _hadoop_path(spark: SparkSession, p: str):
+    """(FileSystem, Path) for p via the JVM Hadoop API — works for any
+    scheme the cluster's Hadoop conf knows (local, HDFS, s3a), unlike
+    os.path which only sees the driver's local disk."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def swap_compacted(
+    spark: SparkSession,
+    live_path: str,
+    write_fn: Callable[[str], None],
+    what: str = "store",
+) -> None:
+    """Crash-safe store compaction (ADVICE r8): write the folded base
+    to a temp SIBLING path, then swap it into place. The live store is
+    deleted only AFTER the new copy is completely written, so
+
+    - a failed/killed write job leaves the live store untouched (the
+      old pattern — localCheckpoint() the fold, then overwrite the
+      source in place — held the only copy of the index in
+      non-replicated executor block storage for the duration of the
+      delete+write window; an executor loss there lost the store);
+    - a crash between the delete and the rename leaves the complete
+      new copy at ``<live>.compacting``, which the NEXT compaction (or
+      any caller of this helper) finishes swapping in automatically.
+
+    The rename is a single filesystem metadata op (atomic on HDFS and
+    posix; on S3A it is object copies, still recoverable because the
+    sibling persists until the rename returns true)."""
+    fs, live = _hadoop_path(spark, live_path)
+    tmp_str = live_path.rstrip("/") + ".compacting"
+    _, tmp = _hadoop_path(spark, tmp_str)
+    if not fs.exists(live):
+        if fs.exists(tmp):
+            # previous compaction crashed between delete and rename —
+            # the sibling holds the complete folded base; finish it.
+            if not fs.rename(tmp, live):
+                raise IOError(
+                    f"could not recover {what}: rename {tmp_str} -> "
+                    f"{live_path} failed"
+                )
+        else:
+            raise ValueError(
+                f"{what} at {live_path} does not exist — nothing to "
+                "compact (a maintenance stream whose first batches "
+                "were all filtered out never creates the store)"
+            )
+    if fs.exists(tmp):
+        fs.delete(tmp, True)  # stale leftover from a failed WRITE
+    write_fn(tmp_str)
+    fs.delete(live, True)
+    if not fs.rename(tmp, live):
+        raise IOError(
+            f"compacted {what} written to {tmp_str} but rename to "
+            f"{live_path} failed; the live store was deleted — recover "
+            "by renaming the sibling into place (the next compaction "
+            "call does this automatically)"
+        )
 
 
 def write_bucketed_table(
@@ -369,28 +433,36 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     Same run-only-while-stopped contract as compact_bq_index /
     compact_term_stats: committed batch ids never replay, and a
     restarted stream appends fresh ``batch_id>=0`` partitions next
-    to the base. Static per-writer overwrite mode so every old delta
-    partition is deleted even under a dynamic-mode session."""
+    to the base.
+
+    Crash-safety (ADVICE r8): the folded base is written to a temp
+    sibling and swapped into place via swap_compacted — the live
+    cells store survives a failed write, and a missing store (a
+    maintenance stream whose batches were all-NULL never creates it)
+    raises a descriptive ValueError instead of an AnalysisException."""
     from pyspark.sql import functions as F
 
-    cells = spark.read.parquet(f"{index_path}/cells")
-    base = (
-        cells.groupBy("vec_id")
-        .agg(F.max_by(F.struct("embedding", "cell"), "batch_id").alias("s"))
-        .select(
-            "vec_id",
-            F.col("s.embedding").alias("embedding"),
-            F.col("s.cell").alias("cell"),
+    def _write(tmp: str) -> None:
+        (
+            spark.read.parquet(f"{index_path}/cells")
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("embedding", "cell"), "batch_id"
+                ).alias("s")
+            )
+            .select(
+                "vec_id",
+                F.col("s.embedding").alias("embedding"),
+                F.col("s.cell").alias("cell"),
+            )
+            .withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("cell", "batch_id")
+            .parquet(tmp)
         )
-        .withColumn("batch_id", F.lit(-1))
-        .localCheckpoint()  # materialize before overwriting the source
-    )
-    (
-        base.write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("cell", "batch_id")
-        .parquet(f"{index_path}/cells")
-    )
+
+    swap_compacted(spark, f"{index_path}/cells", _write, "IVF cells store")
 
 
 def compact_bq_index(spark: SparkSession, index_path: str) -> None:
@@ -403,24 +475,23 @@ def compact_bq_index(spark: SparkSession, index_path: str) -> None:
     run ONLY while the stream is stopped (committed batch ids never
     replay, so folding them cannot duplicate; a restarted stream
     appends fresh ``batch_id>=0`` partitions next to the base and
-    bq_candidates' latest-wins read stays correct). Static
-    per-writer overwrite mode so every old delta partition is
-    deleted even under a dynamic-mode session."""
+    bq_candidates' latest-wins read stays correct). Crash-safe via
+    swap_compacted: the folded base goes to a temp sibling first, so
+    the live index survives a failed write (ADVICE r8)."""
     from pyspark.sql import functions as F
 
-    idx = spark.read.parquet(index_path)
-    base = (
-        idx.groupBy("vec_id")
-        .agg(F.max_by("code", "batch_id").alias("code"))
-        .withColumn("batch_id", F.lit(-1))
-        .localCheckpoint()  # materialize before overwriting the source
-    )
-    (
-        base.write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("batch_id")
-        .parquet(index_path)
-    )
+    def _write(tmp: str) -> None:
+        (
+            spark.read.parquet(index_path)
+            .groupBy("vec_id")
+            .agg(F.max_by("code", "batch_id").alias("code"))
+            .withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(tmp)
+        )
+
+    swap_compacted(spark, index_path, _write, "BQ index")
 
 
 def bq_candidates(

@@ -1080,44 +1080,59 @@ def compact_term_stats(
     of compact_table's small-file pass, but fold-aware: it shrinks
     ROWS to one per (term, bucket), not just files.
 
-    The overwrites MUST run in static partition-overwrite mode: they
-    rely on mode("overwrite") deleting EVERY old `batch_id>=0` delta
-    partition, whereas dynamic mode would replace only the
-    `batch_id=-1` partitions present in the new frame and leave the
-    folded deltas alive — double-counting every term on the next
-    read. The mode is therefore set as a per-WRITER option (which
-    overrides the session conf), so compaction is correct even in
-    sessions that set dynamic mode globally — and without mutating
-    shared session state (no race with a concurrently-running
-    upsert's dynamic-mode writes)."""
+    Each store is folded to a temp SIBLING path and swapped into place
+    (sources/layout.swap_compacted), replacing the old in-place
+    overwrite whose localCheckpoint() held the only copy in
+    non-replicated executor storage while the source was being deleted
+    (ADVICE r8 — the compact_ivf_index finding applies here too). The
+    per-store swap also makes the old static-vs-dynamic
+    partitionOverwriteMode hazard moot: the tmp dir starts empty, so
+    no stale delta partition can survive the write. The two stores
+    swap independently; a crash between them leaves term_stats folded
+    and corpus_totals un-folded — both states read correctly through
+    read_term_stats' additive fold."""
     import os
 
     from pyspark.sql import functions as F
 
-    terms, totals = read_term_stats(spark, out_dir)
-    base = (
-        terms.select(
-            "tok",
-            "doc_freq",
-            "coll_freq",
-            F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias("bucket"),
-            F.lit(-1).alias("batch_id"),
+    from se_data_pipeline_spark.sources.layout import swap_compacted
+
+    def _write_terms(tmp: str) -> None:
+        terms, _ = read_term_stats(spark, out_dir)
+        (
+            terms.select(
+                "tok",
+                "doc_freq",
+                "coll_freq",
+                F.pmod(
+                    F.xxhash64("tok"), F.lit(n_buckets)
+                ).alias("bucket"),
+                F.lit(-1).alias("batch_id"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "bucket")
+            .parquet(tmp)
         )
-        .localCheckpoint()  # materialize before overwriting the source
+
+    def _write_totals(tmp: str) -> None:
+        _, totals = read_term_stats(spark, out_dir)
+        (
+            totals.withColumn("batch_id", F.lit(-1))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(tmp)
+        )
+
+    swap_compacted(
+        spark,
+        os.path.join(out_dir, "term_stats"),
+        _write_terms,
+        "term-stats store",
     )
-    base_tot = totals.withColumn(
-        "batch_id", F.lit(-1)
-    ).localCheckpoint()
-    (
-        base.write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("batch_id", "bucket")
-        .parquet(os.path.join(out_dir, "term_stats"))
-    )
-    (
-        base_tot.coalesce(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("batch_id")
-        .parquet(os.path.join(out_dir, "corpus_totals"))
+    swap_compacted(
+        spark,
+        os.path.join(out_dir, "corpus_totals"),
+        _write_totals,
+        "corpus-totals store",
     )

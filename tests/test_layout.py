@@ -268,3 +268,91 @@ def test_bq_index_excludes_null_vectors(spark, sf_dir, tmp_path):
     ids = [r["vec_id"] for r in rows]
     assert 888_888 not in ids and len(ids) == 5
     assert all(r["hamming"] is not None for r in rows)
+
+
+def test_swap_compacted_failed_write_leaves_live_store(spark, tmp_path):
+    """ADVICE r8: a failed compaction WRITE must leave the live store
+    untouched (the old in-place overwrite deleted the source before
+    the fold finished writing). swap_compacted writes to a temp
+    sibling first, so a write_fn that dies mid-job loses nothing."""
+    import pytest
+
+    from se_data_pipeline_spark.sources.layout import swap_compacted
+
+    live = str(tmp_path / "store")
+    spark.range(10).withColumn("batch_id", F.lit(0)).write.partitionBy(
+        "batch_id"
+    ).parquet(live)
+
+    def boom(tmp):
+        # simulate an executor/job failure after the tmp dir exists
+        spark.range(1).write.parquet(tmp)
+        raise RuntimeError("write job died")
+
+    with pytest.raises(RuntimeError, match="write job died"):
+        swap_compacted(spark, live, boom, "test store")
+    # the live store survived, fully readable
+    assert spark.read.parquet(live).count() == 10
+
+    # and the NEXT compaction succeeds despite the stale tmp leftover
+    def fold(tmp):
+        spark.read.parquet(live).withColumn(
+            "batch_id", F.lit(-1)
+        ).write.partitionBy("batch_id").parquet(tmp)
+
+    swap_compacted(spark, live, fold, "test store")
+    folded = spark.read.parquet(live)
+    assert folded.count() == 10
+    assert [
+        r["batch_id"]
+        for r in folded.select("batch_id").distinct().collect()
+    ] == [-1]
+
+
+def test_swap_compacted_recovers_from_crash_between_delete_and_rename(
+    spark, tmp_path
+):
+    """A crash AFTER the live-store delete but BEFORE the rename
+    leaves the only complete copy at <live>.compacting; the next
+    swap_compacted call must finish the rename instead of treating
+    the store as absent."""
+    from se_data_pipeline_spark.sources.layout import swap_compacted
+
+    live = str(tmp_path / "store")
+    tmp = live + ".compacting"
+    # simulate the post-delete/pre-rename state: sibling only
+    spark.range(7).withColumn("batch_id", F.lit(-1)).write.partitionBy(
+        "batch_id"
+    ).parquet(tmp)
+
+    calls = []
+
+    def fold(t):
+        calls.append(t)
+        spark.read.parquet(live).write.parquet(t)
+
+    swap_compacted(spark, live, fold, "test store")
+    assert calls, "recovery must proceed into a normal compaction"
+    assert spark.read.parquet(live).count() == 7
+
+
+def test_swap_compacted_missing_store_raises_value_error(
+    spark, tmp_path
+):
+    """ADVICE r8: compacting a store that was never created (e.g. a
+    maintenance stream whose first batches were all filtered out) must
+    raise a descriptive ValueError, not an AnalysisException from the
+    read inside the fold."""
+    import pytest
+
+    from se_data_pipeline_spark.sources.layout import (
+        compact_ivf_index,
+        swap_compacted,
+    )
+
+    with pytest.raises(ValueError, match="does not exist"):
+        swap_compacted(
+            spark, str(tmp_path / "never_created"), lambda t: None
+        )
+    with pytest.raises(ValueError, match="IVF cells store"):
+        compact_ivf_index(spark, str(tmp_path / "no_such_index"))
