@@ -5744,3 +5744,253 @@ def returns_by_fulfillment_delay(
         .drop("base_rate")
         .orderBy("delay_weeks")
     )
+
+
+# --------------------------------------------------------------------------
+# E1 ingest lifecycle, benchable (r8 VERDICT #6): the full relational
+# skeleton of the reference's core workflow (data_pipeline.py:500-805)
+# — budget tiers → ledger anti-join → per-channel budget window → trim
+# plan → segment selection → nested per-channel document — driven by
+# the TPC-H tables so it runs and TIMES at any sf (the plans/ingest.py
+# build it composes was pytest-proven with fake backends but never
+# benched). customer→channels, orders→videos, lineitem→segments; all
+# derived attributes are exact integer/rational arithmetic so the
+# DuckDB oracle matches bit-for-bit.
+# --------------------------------------------------------------------------
+@query(
+    "ingest_lifecycle_document",
+    oracle="""
+    WITH channels AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 7919) % 250000 AS n_subs,
+             c_custkey % 40 AS n_videos
+      FROM customer),
+    eligible AS (
+      SELECT id,
+             CASE WHEN n_subs < 10000 THEN 10
+                  WHEN n_subs < 30000 THEN 20
+                  WHEN n_subs < 50000 THEN 30
+                  WHEN n_subs < 100000 THEN 40
+                  WHEN n_subs < 200000 THEN 50
+                  ELSE 60 END AS budget
+      FROM channels
+      WHERE n_videos IS NOT NULL AND n_videos >= 5),
+    videos AS (
+      SELECT o.o_custkey AS channel_id, o.o_orderkey AS video_id,
+             o.o_orderkey AS position,
+             (o.o_orderkey % 3600) + 61 AS duration_sec,
+             e.budget
+      FROM orders o JOIN eligible e ON e.id = o.o_custkey),
+    fresh AS (
+      SELECT * FROM videos WHERE video_id NOT IN
+        (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 0)),
+    budgeted AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY channel_id ORDER BY position) AS rn
+        FROM fresh) t WHERE rn <= budget),
+    planned AS (
+      SELECT *,
+             CASE WHEN duration_sec < 180 THEN 0
+                  WHEN duration_sec > 2042 THEN 120 ELSE 60 END AS ss,
+             CASE WHEN duration_sec < 180 THEN duration_sec
+                  WHEN duration_sec > 2042 THEN duration_sec - 120
+                  ELSE duration_sec - 60 END AS tto
+      FROM budgeted),
+    segs AS (
+      SELECT p.channel_id, p.video_id, p.budget, p.ss, p.tto,
+             CAST(l.l_linenumber AS INT) AS seg_idx,
+             CAST(l.l_linenumber - 1 AS BIGINT) * 80000 AS seg_start,
+             CAST(l.l_linenumber - 1 AS BIGINT) * 80000
+               + CAST(l.l_quantity AS BIGINT) * 1600 AS seg_end,
+             CAST(l.l_partkey % 400 AS DOUBLE) / 10 AS snr,
+             CAST(l.l_suppkey % 100 AS DOUBLE) / 100 AS speech_prob
+      FROM lineitem l JOIN planned p ON p.video_id = l.l_orderkey),
+    sel AS (
+      SELECT *, (snr >= 20.0 AND speech_prob >= 0.9) AS selected
+      FROM segs),
+    per_video AS (
+      SELECT channel_id, video_id, budget, ss, tto,
+             STRING_AGG(seg_idx || ':' || CAST(selected AS INT), ','
+                        ORDER BY seg_idx, CAST(selected AS INT))
+               AS seg_str,
+             COUNT(*) AS n_seg,
+             SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS n_sel,
+             SUM(CASE WHEN selected THEN seg_end - seg_start
+                      ELSE 0 END) AS sel_len
+      FROM sel GROUP BY channel_id, video_id, budget, ss, tto),
+    per_channel AS (
+      SELECT channel_id,
+             MAX(budget) AS budget,
+             COUNT(*) AS n_videos,
+             SUM(n_seg) AS n_segments,
+             SUM(n_sel) AS n_selected,
+             ROUND(SUM(sel_len) / 16000.0 / 3600.0, 6) AS total_hours,
+             STRING_AGG(video_id || '(' || ss || '-' || tto || ')=['
+                          || seg_str || ']',
+                        '|' ORDER BY video_id) AS doc
+      FROM per_video GROUP BY channel_id)
+    SELECT channel_id,
+           CAST(budget AS INT) AS budget,
+           CAST(n_videos AS BIGINT) AS n_videos,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(n_selected AS BIGINT) AS n_selected,
+           total_hours, doc
+    FROM per_channel ORDER BY channel_id
+    """,
+)
+def ingest_lifecycle_document(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The E1 ingest lifecycle end-to-end on TPC-H-shaped inputs,
+    composed from the ACTUAL plans/ingest.py stages (eligible_channels
+    → dedup_against_ledger → apply_budget → plan_downloads →
+    select_segments → the A9 document build): channels get the
+    reference's subscriber-tier budget (P9), already-ingested videos
+    are dropped by a broadcast anti-join against the ledger (J3/T1),
+    the per-channel budget window keeps the first `budget` videos
+    (W1), the trim rule attaches (P8), lineitem rows become segments
+    scored by deterministic snr/speech-prob, the conjunctive gate
+    selects (P5), and two sorted collect-to-document aggregations
+    produce the canonical per-channel string (A9) — exactly the
+    shuffles the real pipeline pays: one broadcast anti-join, one
+    window shuffle on channel_id, one fact join on video_id, and the
+    two-level document aggregation.
+
+    Expected plan (PLAN_AUDIT row): ledger anti-join BROADCAST, ONE
+    window exchange, collect_lists riding the groupBy hash partition;
+    nothing driver-side."""
+    from se_data_pipeline_spark.plans.ingest import (
+        apply_budget,
+        dedup_against_ledger,
+        eligible_channels,
+        plan_downloads,
+        select_segments,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    channels = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 250000).alias("n_subs"),
+        (F.col("c_custkey") % 40).alias("n_videos"),
+    )
+    eligible, _skipped = eligible_channels(channels)
+
+    orders = load_table(spark, sf_dir, "orders")
+    videos = orders.select(
+        F.col("o_custkey").alias("channel_id"),
+        F.col("o_orderkey").alias("video_id"),
+        F.col("o_orderkey").alias("position"),
+        ((F.col("o_orderkey") % 3600) + 61).alias("duration_sec"),
+    ).join(
+        F.broadcast(
+            eligible.select(F.col("id").alias("channel_id"), "budget")
+        ),
+        "channel_id",
+    )
+    ledger = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("video_id")
+    )
+    planned = plan_downloads(
+        apply_budget(dedup_against_ledger(videos, ledger))
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    segments = li.select(
+        F.col("l_orderkey").alias("video_id"),
+        F.col("l_linenumber").cast("int").alias("seg_idx"),
+        ((F.col("l_linenumber") - 1).cast("bigint") * 80000).alias(
+            "start"
+        ),
+        (
+            (F.col("l_linenumber") - 1).cast("bigint") * 80000
+            + F.col("l_quantity").cast("bigint") * 1600
+        ).alias("end"),
+        ((F.col("l_partkey") % 400).cast("double") / 10).alias("snr"),
+        ((F.col("l_suppkey") % 100).cast("double") / 100).alias(
+            "speech_prob"
+        ),
+    ).join(
+        planned.select(
+            "channel_id",
+            "video_id",
+            "budget",
+            F.col("trim.ss").alias("ss"),
+            F.col("trim.to").alias("tto"),
+        ),
+        "video_id",
+    )
+    sel = select_segments(segments)
+
+    per_video = (
+        sel.groupBy("channel_id", "video_id", "budget", "ss", "tto")
+        .agg(
+            # BOUNDED: segments per video = lineitems per order, a
+            # fixed TPC-H domain of at most 7 (the real pipeline's
+            # bound is VAD over a duration-filtered recording)
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("seg_idx"),
+                        F.col("selected").cast("int").alias("sel"),
+                    )
+                )
+            ).alias("segs"),
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(F.col("selected").cast("int")).alias("n_sel"),
+            F.sum(
+                F.when(
+                    F.col("selected"), F.col("end") - F.col("start")
+                ).otherwise(F.lit(0))
+            ).alias("sel_len"),
+        )
+        .select(
+            "channel_id",
+            "video_id",
+            "budget",
+            "n_seg",
+            "n_sel",
+            "sel_len",
+            F.format_string(
+                "%d(%d-%d)=[%s]",
+                F.col("video_id"),
+                F.col("ss"),
+                F.col("tto"),
+                F.array_join(
+                    F.transform(
+                        F.col("segs"),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["seg_idx"],
+                            s["sel"],
+                        ),
+                    ),
+                    ",",
+                ),
+            ).alias("vdoc"),
+        )
+    )
+    return (
+        per_video.groupBy("channel_id")
+        .agg(
+            F.max("budget").cast("int").alias("budget"),
+            F.count(F.lit(1)).cast("long").alias("n_videos"),
+            F.sum("n_seg").cast("long").alias("n_segments"),
+            F.sum("n_sel").cast("long").alias("n_selected"),
+            F.round(
+                F.sum("sel_len") / 16000.0 / 3600.0, 6
+            ).alias("total_hours"),
+            # BOUNDED: videos per channel <= budget <= 60 — enforced
+            # upstream by apply_budget's window, the pipeline's own cap
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("video_id", "vdoc"))
+                    ),
+                    lambda e: e["vdoc"],
+                ),
+                "|",
+            ).alias("doc"),
+        )
+        .orderBy("channel_id")
+    )

@@ -1574,3 +1574,111 @@ def test_compact_term_stats_under_dynamic_overwrite_session(
             if d.startswith("batch_id=")
         ]
         assert parts == ["batch_id=-1"], (sub, parts)
+
+
+def test_refresh_ivf_index_recovers_recall_under_drift(spark, tmp_path):
+    """r8 VERDICT missing #3: maintain_ivf_index assigns new vectors
+    to the ORIGINAL centroids forever, so on a drifting embedding
+    stream nprobe recall decays. refresh_ivf_index must re-train the
+    quantizer on the current store (warm-start Lloyd) and re-assign
+    cells: stale recall 0 on the drifted cluster -> 1 after refresh,
+    while an UNDRIFTED index refreshes to bit-identical probe
+    results (cell identities are stable under warm start)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_candidates,
+        refresh_ivf_index,
+        write_ivf_index,
+    )
+    from se_data_pipeline_spark.streaming.jobs import maintain_ivf_index
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    # training-era clusters: A near [10,0,0,0] (cell 0), B near
+    # [0,10,0,0] (cell 1)
+    a = [(i, [10.0 + 0.1 * i, 0.1 * i, 0.0, 0.0], 0) for i in range(1, 7)]
+    b = [(i, [0.1 * (i - 10), 10.0 + 0.1 * i, 0.0, 0.0], 1)
+         for i in range(11, 17)]
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(spark.createDataFrame(a + b, schema), idx)
+
+    # drifted cluster D near [7.5, 6.5, 0, 0] — new mass the frozen
+    # quantizer never saw; every D point is nearer stale cell 0
+    d = [(i, [7.5 + 0.05 * (i - 24), 6.5 - 0.05 * (i - 24), 0.0, 0.0], 0)
+         for i in range(21, 29)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(d, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    maintain_ivf_index(stream, idx, str(tmp_path / "ckpt")).awaitTermination(
+        120
+    )
+    streamed = spark.read.parquet(f"{idx}/cells").filter(
+        F.col("batch_id") >= 0
+    )
+    assert {r["cell"] for r in streamed.collect()} == {0}, (
+        "drift setup: all D points must land in stale cell 0"
+    )
+
+    # a query from the far side of D: its TRUE neighbors are D points
+    # (stored in cell 0), but the STALE centroids route nprobe=1 to
+    # cell 1 — recall decays to 0
+    q = [6.5, 7.5, 0.0, 0.0]
+    every = {vid: v for vid, v, _ in a + b + d}
+
+    def cos(v):
+        dot = sum(float(x) * y for x, y in zip(v, q))
+        return dot / (
+            math.sqrt(sum(float(x) ** 2 for x in v))
+            * math.sqrt(sum(y * y for y in q))
+        )
+
+    true_top3 = {
+        vid
+        for _, vid in sorted(
+            ((-cos(v), vid) for vid, v in every.items())
+        )[:3]
+    }
+
+    def recall() -> float:
+        got = {
+            r["vec_id"]
+            for r in ivf_candidates(spark, idx, q, nprobe=1, n=3).collect()
+        }
+        return len(got & true_top3) / len(true_top3)
+
+    assert recall() == 0.0, "stale centroids must mis-route the probe"
+
+    refresh_ivf_index(spark, idx, n_iters=2)
+    assert recall() == 1.0, "refreshed centroids must recover recall"
+    store = spark.read.parquet(f"{idx}/cells")
+    assert store.count() == len(a) + len(b) + len(d), "no rows lost"
+    assert [
+        r["batch_id"]
+        for r in store.select("batch_id").distinct().collect()
+    ] == [-1], "refresh folds the store to the batch_id=-1 base"
+    assert (
+        spark.read.parquet(f"{idx}/centroids").count() == 2
+    ), "warm start preserves the cell count"
+
+    # ---- undrifted index: refresh must be probe-IDENTICAL ----
+    idx2 = str(tmp_path / "ivf_stable")
+    write_ivf_index(spark.createDataFrame(a + b, schema), idx2)
+    q2 = [9.0, 1.0, 0.0, 0.0]
+
+    def probe2():
+        return [
+            (r["vec_id"], r["cell"], round(r["cos_sim"], 9))
+            for r in ivf_candidates(
+                spark, idx2, q2, nprobe=2, n=5
+            ).collect()
+        ]
+
+    before = probe2()
+    refresh_ivf_index(spark, idx2, n_iters=3)
+    assert probe2() == before

@@ -3,13 +3,36 @@ BENCH_r*.json wrapper with a `parsed` field): common-subset totals
 and the biggest per-query movers.
 
 Usage: python tools/bench_compare.py OLD.json NEW.json [top_n]
+   or: python tools/bench_compare.py r8 r9 [top_n]
+
+An `rN` argument resolves to the committed FULL-timing archive
+BENCH_LOCAL_r{N}.json when present (every query, written by bench.py
+since r9 — VERDICT r8 #3), else to the driver's BENCH_r0{N}.json
+(top-35 only for rounds before the archives existed).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def resolve(arg: str) -> str:
+    m = re.fullmatch(r"r(\d+)", arg)
+    if not m:
+        return arg
+    n = int(m.group(1))
+    for cand in (
+        os.path.join(REPO, f"BENCH_LOCAL_r{n}.json"),
+        os.path.join(REPO, f"BENCH_r{n:02d}.json"),
+    ):
+        if os.path.exists(cand):
+            return cand
+    raise SystemExit(f"{arg}: no BENCH_LOCAL_r{n}.json or BENCH_r{n:02d}.json")
 
 
 def load(path: str) -> dict:
