@@ -277,6 +277,7 @@ HEADLINE = [
     # and the two-fixture ANN recall monitor (r8 VERDICT #5)
     "ingest_lifecycle_document",
     "ann_recall_clustered_report",
+    "embedding_matryoshka_ivf_topk",
 ]
 
 
@@ -398,7 +399,14 @@ def _worker(spec_path: str) -> None:
                 continue  # failed earlier; don't retry
             timed(name)
     if not forced:
+        # soft deadline backstop: on a host with CPU-steal bursts the
+        # confirm pass can cost 10x its quiet price; past the
+        # deadline the 2-pass mins stand (recorded in `samples`).
+        deadline = spec.get("deadline_ts")
         for name in spec["names"]:
+            if deadline and time.time() > deadline:
+                out["deadline_hit"] = True
+                break
             s = out["samples"].get(name)
             if s and len(s) >= 2 and max(s) > 1.15 * min(s):
                 timed(name)
@@ -512,6 +520,12 @@ def main() -> None:
         sf = -1.0
 
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "34"))
+    # soft wall deadline: past it, workers skip the confirm pass and
+    # the orchestrator skips the outlier re-time chunk — 2-pass mins
+    # stand and the artifact says so (`deadline_hit`).
+    deadline_ts = time.time() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1500")
+    )
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
         rnd = str(
@@ -539,9 +553,14 @@ def main() -> None:
     spot: dict[str, float] = {}
     calib_pre: dict = {}
     calib_post: dict = {}
+    deadline_hit = False
     with tempfile.TemporaryDirectory(prefix="bench_chunks_") as tmpdir:
         for i, names in enumerate(chunks):
-            spec = {"names": names, "sf_dir": sf_dir}
+            spec = {
+                "names": names,
+                "sf_dir": sf_dir,
+                "deadline_ts": deadline_ts,
+            }
             if i == 0:
                 spec["calib"] = "pre"
             if i == len(chunks) - 1:
@@ -573,6 +592,9 @@ def main() -> None:
         ]
         suspects = sorted(suspects, key=lambda n: -per_query[n])[:10]
         retimed: dict[str, dict[str, float]] = {}
+        if time.time() > deadline_ts:
+            suspects = []
+            deadline_hit = True
         if suspects:
             res = _run_chunk(
                 {"names": suspects, "sf_dir": sf_dir, "passes": 3},
@@ -635,6 +657,7 @@ def main() -> None:
         "host_worst_vs_ref": worst_vs_ref,
         "host_worst_drift": worst_drift,
         "retimed": retimed,
+        "deadline_hit": deadline_hit,
         "samples": samples,
         "positions": {n: i for i, n in enumerate(HEADLINE)},
         "n_chunks": len(chunks),

@@ -2242,3 +2242,146 @@ def ann_recall_clustered_report(
         "recall_at_10",
     )
     return clustered.unionByName(flat).orderBy("fixture", "method")
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-truncated IVF probe (r8 VERDICT optional #8): coarse
+# search in the 16-dim PREFIX of the embeddings, exact rerank at the
+# full 64 — the MRL retrieval funnel (Kusupati et al. 2022) composed
+# with the IVF cell probe. embedding_matryoshka_fidelity already
+# measures how faithful the prefix ranking is; this is the serving
+# query that cashes that fidelity in.
+# --------------------------------------------------------------------------
+_MAT_D = 16        # coarse prefix dims
+_MAT_C = 50        # coarse candidate cut
+_MAT_NPROBE = 2    # probed cells
+
+_SQL_COS16 = f"""
+  list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.q[i+1] AS DOUBLE)
+            for i in range({_MAT_D})])
+  / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE)
+                    * CAST(e.embedding[i+1] AS DOUBLE)
+                    for i in range({_MAT_D})]))
+     * sqrt(list_sum([CAST(q.q[i+1] AS DOUBLE)
+                      * CAST(q.q[i+1] AS DOUBLE)
+                      for i in range({_MAT_D})])))
+"""
+
+
+@query(
+    "embedding_matryoshka_ivf_topk",
+    oracle=f"""
+    WITH q AS ({_SQL_QVEC}),
+    flat AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                    unnest(embedding) AS v
+             FROM embeddings),
+    c16 AS (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS ctr
+            FROM flat WHERE pos <= {_MAT_D} GROUP BY label, pos),
+    dist AS (SELECT c.label,
+                    SUM((c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))
+                        * (c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE)))
+                      AS d2
+             FROM c16 c CROSS JOIN q GROUP BY c.label),
+    cells AS (SELECT label FROM dist ORDER BY d2, label
+              LIMIT {_MAT_NPROBE}),
+    cand AS (
+      SELECT e.vec_id, e.label,
+             {_SQL_COS16} AS cos_coarse,
+             {_SQL_COS} AS cos
+      FROM embeddings e JOIN cells USING (label) CROSS JOIN q
+      ORDER BY {_SQL_COS16} DESC, e.vec_id LIMIT {_MAT_C})
+    SELECT vec_id, label,
+           ROUND(cos_coarse, 6) AS cos_coarse,
+           ROUND(cos, 6) AS cos_sim
+    FROM cand ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_matryoshka_ivf_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-funnel ANN serving: (1) probe the {nprobe} nearest
+    IVF cells by 16-DIM centroid distance, (2) rank candidates inside
+    the probed cells by 16-dim-prefix cosine and keep the top 50,
+    (3) exact-rerank those 50 by full 64-dim cosine, top 10. Three
+    budget dials (nprobe, candidate cut, prefix width), each
+    measurable against brute force via ann_recall_report's method.
+
+    Scale: the coarse stage does 16/64 of the flops per row over
+    {nprobe}/n_cells of the table; in a production layout the 16-dim
+    prefix is MATERIALIZED as its own column next to the cell-
+    partitioned store (write_ivf_index's layout with one extra
+    column), so the candidate scan also reads ~1/4 of the vector
+    BYTES — the same ReadSchema-pruning trick the BQ index layout
+    proves (sources/layout.py write_bq_index) — and the full vectors
+    are touched only for the 50 rerank rows. The 16-dim centroid
+    table is n_cells x 16, driver-bounded like every quantizer here;
+    prefix fidelity itself is monitored by
+    embedding_matryoshka_fidelity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("q"))
+    )
+
+    cents16 = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .filter(F.col("pos") < _MAT_D)
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("ctr"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                # BOUNDED: one entry per prefix dimension — 16/label
+                F.sort_array(F.collect_list(F.struct("pos", "ctr"))),
+                lambda s: s["ctr"],
+            ).alias("centroid")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("centroid"),
+            F.slice(F.col("q"), 1, _MAT_D),
+            lambda c, x: (c - x.cast("double")) * (c - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cells = (
+        cents16.crossJoin(F.broadcast(qvec))
+        .select("label", d2.alias("d2"))
+        .orderBy("d2", "label")
+        .limit(_MAT_NPROBE)
+        .select("label")
+    )
+
+    def dbl(arr):
+        return F.transform(arr, lambda x: x.cast("double"))
+
+    cos16 = _arr_cos(
+        dbl(F.slice(F.col("embedding"), 1, _MAT_D)),
+        dbl(F.slice(F.col("q"), 1, _MAT_D)),
+    )
+    cos64 = _arr_cos(dbl(F.col("embedding")), dbl(F.col("q")))
+    cand = (
+        emb.join(F.broadcast(cells), "label")
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            cos16.alias("cos_coarse"),
+            cos64.alias("cos"),
+        )
+        .orderBy(F.desc("cos_coarse"), F.asc("vec_id"))
+        .limit(_MAT_C)
+    )
+    return (
+        cand.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            F.round("cos_coarse", 6).alias("cos_coarse"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
