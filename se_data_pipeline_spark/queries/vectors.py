@@ -2069,7 +2069,9 @@ def _clustered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _arr_cos(v, q):
     """Row-local Catalyst cosine between two double arrays (zip_with
     dot + per-array norms) — same fold order as the oracle's
-    list_sum comprehensions."""
+    list_sum comprehensions. try_divide: an all-zero vector (the
+    degenerate-corpus sweep) has norm 0 and must rank as NULL
+    (sorted last under desc), not throw under ANSI mode."""
     dot = F.aggregate(
         F.zip_with(v, q, lambda a, b: a * b),
         F.lit(0.0),
@@ -2089,7 +2091,7 @@ def _arr_cos(v, q):
             lambda acc, x: acc + x,
         )
     )
-    return dot / (nv * nq)
+    return F.try_divide(dot, nv * nq)
 
 
 @query(

@@ -70,7 +70,7 @@ def load(path: str) -> dict:
 
 
 def main() -> int:
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    old, new = load(resolve(sys.argv[1])), load(resolve(sys.argv[2]))
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     oq, nq = old["queries"], new["queries"]
     common = sorted(set(oq) & set(nq))
