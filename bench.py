@@ -278,6 +278,7 @@ HEADLINE = [
     "ingest_lifecycle_document",
     "ann_recall_clustered_report",
     "embedding_matryoshka_ivf_topk",
+    "embedding_model_rerank",
 ]
 
 

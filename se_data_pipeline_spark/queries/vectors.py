@@ -2387,3 +2387,116 @@ def embedding_matryoshka_ivf_topk(
             F.round("cos", 6).alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Four-stage retrieval funnel with a pluggable MODEL rerank (r8
+# VERDICT optional #8, second half): BQ Hamming cut (100) → exact
+# cosine (20) → cross-encoder-style model score (10). The model runs
+# behind operators/rerank.py's executor-singleton Arrow interface
+# with a deterministic fake whose arithmetic the DuckDB oracle
+# reproduces, so the WHOLE funnel — including the Python model stage
+# — is value-hash-checked.
+# --------------------------------------------------------------------------
+_RERANK_EXACT = 20
+
+
+@query(
+    "embedding_model_rerank",
+    oracle=f"""
+    WITH q AS ({_SQL_QVEC}),
+    h AS (
+      SELECT e.vec_id,
+             {_SQL_HAMMING} AS hamming,
+             {_SQL_COS} AS cos
+      FROM embeddings e CROSS JOIN q),
+    cand AS (
+      SELECT * FROM h ORDER BY hamming, vec_id LIMIT {_BQ_CANDIDATES}),
+    exact AS (
+      SELECT vec_id, cos FROM cand
+      ORDER BY cos DESC, vec_id LIMIT {_RERANK_EXACT}),
+    scored AS (
+      SELECT vec_id, cos,
+             cos * (0.9 + 0.1 * CAST((vec_id * 2654435761) % 97
+                                     AS DOUBLE) / 97.0) AS ms
+      FROM exact)
+    SELECT vec_id,
+           ROUND(cos, 6) AS cos_sim,
+           ROUND(ms, 6) AS model_score
+    FROM scored ORDER BY ms DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_model_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """index → candidates → exact rerank → MODEL rerank, the complete
+    serving funnel a production retrieval stack runs: stage 1 cuts
+    100 candidates by packed-sign-bit Hamming distance (8 bytes/row,
+    no float math — embedding_binary_quant_rerank's stage, whose
+    materialized-index twin is sources/layout.bq_candidates); stage 2
+    exact-cosine-keeps the best 20; stage 3 scores those 20 through
+    the pluggable cross-encoder interface (operators/rerank.py —
+    executor-singleton model, Arrow batches, the D3 pattern) and
+    returns the model's top 10.
+
+    The fake backend's score is deterministic arithmetic (numpy
+    cosine x id-hash modulation), so the oracle checks the Python
+    model stage's actual output values — the plumbing a real
+    CrossEncoder drops into is what's being proven. Scale: the model
+    sees exactly {_RERANK_EXACT} rows per query regardless of corpus
+    size; everything upstream is TakeOrderedAndProject over the code
+    compare. model_score != cos ordering (the modulation reshuffles
+    near-ties), which is what the test pins to prove the stage is
+    live."""
+    from se_data_pipeline_spark.functions.vectors import (
+        hamming_codes,
+        pack_sign_bits,
+    )
+    from se_data_pipeline_spark.operators.rerank import rerank_candidates
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qvec = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("embedding").alias("q"),
+            pack_sign_bits(F.col("embedding")).alias("qcode"),
+        )
+    )
+    cand = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            pack_sign_bits(F.col("embedding")).alias("code"),
+        )
+        .crossJoin(F.broadcast(qvec))
+        .withColumn(
+            "hamming", hamming_codes(F.col("code"), F.col("qcode"))
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(_BQ_CANDIDATES)
+    )
+    def dbl(arr):
+        return F.transform(arr, lambda x: x.cast("double"))
+
+    # Catalyst cosine (not the numpy kernel) so v and q survive the
+    # cut for the model stage — and the fold order matches the
+    # oracle's sequential list_sum exactly.
+    cosx = _arr_cos(dbl(F.col("v")), dbl(F.col("q")))
+    exact = (
+        cand.select("vec_id", "v", "q", cosx.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_RERANK_EXACT)
+    )
+    scored = rerank_candidates(exact)
+    return (
+        scored.orderBy(F.desc("model_score"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.round("model_score", 6).alias("model_score"),
+        )
+    )
