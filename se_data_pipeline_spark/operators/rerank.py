@@ -118,13 +118,25 @@ def rerank_candidates(
         for pdf in batches:
             if not len(pdf):
                 continue
-            q = np.asarray(pdf[query_col].iloc[0], dtype=np.float64)
-            vecs = np.asarray(
-                pdf[vec_col].tolist(), dtype=np.float64
-            )
-            ids = pdf[id_col].to_numpy()
             pdf = pdf.copy()
-            pdf["model_score"] = backend.score_batch(q, vecs, ids)
+            # an Arrow batch may interleave candidates of SEVERAL
+            # queries (multi-query candidate frames); group rows by
+            # their own query vector so no row is ever scored against
+            # another row's query
+            qkey = pdf[query_col].map(
+                lambda a: np.asarray(a, dtype=np.float64).tobytes()
+            )
+            scores = np.empty(len(pdf), dtype=np.float64)
+            for idx in pdf.groupby(qkey.values, sort=False).indices.values():
+                q = np.asarray(
+                    pdf[query_col].iloc[idx[0]], dtype=np.float64
+                )
+                vecs = np.asarray(
+                    pdf[vec_col].iloc[idx].tolist(), dtype=np.float64
+                )
+                ids = pdf[id_col].iloc[idx].to_numpy()
+                scores[idx] = backend.score_batch(q, vecs, ids)
+            pdf["model_score"] = scores
             yield pdf[passthrough + ["model_score"]]
 
     return cand.mapInPandas(run, out_schema)

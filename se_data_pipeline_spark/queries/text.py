@@ -1654,6 +1654,148 @@ def doc_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus-wide exact span dedup TRANSFORM: the removal half of
+# ExactSubstr dedup — doc_duplicate_passages detects duplicated
+# spans; this op actually REWRITES the corpus with all but the first
+# occurrence removed (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better"; the line-level variant is
+# MassiveText/C4 sentence-span dedup — this corpus has no
+# line/sentence boundaries, so the unit is the K-token chunk).
+# --------------------------------------------------------------------------
+_SPAN_DEDUP_K = _PASSAGE_K
+
+
+@query(
+    "doc_span_dedup",
+    oracle=f"""
+    WITH toks AS ({_SQL_TOKS}),
+    c AS (
+      SELECT doc_id, i - 1 AS cidx,
+             array_to_string(
+               toks[(i-1)*{_SPAN_DEDUP_K}+1:(i-1)*{_SPAN_DEDUP_K}
+                    +{_SPAN_DEDUP_K}], ' ') AS chunk
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(
+                     1, CAST(ceil(len(toks) / {_SPAN_DEDUP_K}.0) AS BIGINT)))
+                     AS i
+            FROM toks)),
+    kept AS (
+      SELECT doc_id, cidx, chunk
+      FROM (SELECT doc_id, cidx, chunk,
+                   row_number() OVER
+                     (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+            FROM c)
+      WHERE rn = 1),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS INTEGER) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY cidx) AS text_dedup
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           b.n_chunks,
+           CAST(b.n_chunks - COALESCE(a.n_kept, 0) AS INTEGER) AS n_removed,
+           COALESCE(a.text_dedup, '') AS text_dedup
+    FROM (SELECT doc_id,
+                 CAST(ceil(len(string_split(text, ' '))
+                           / {_SPAN_DEDUP_K}.0) AS INTEGER) AS n_chunks
+          FROM documents) b
+    LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact span dedup as a corpus REWRITE: split every document
+    into non-overlapping K-token chunks (K=_SPAN_DEDUP_K, matching
+    the detection report's window size), keep only the globally
+    FIRST occurrence of each exact chunk (ordered by doc_id, then
+    position — the deterministic winner rule), and reassemble each
+    document from its surviving chunks. The removal counterpart of
+    `doc_duplicate_passages`' detection report; extends the
+    reference's whole-item ledger dedup (data_pipeline.py:27-439,576)
+    to sub-document rewriting, the form LLM corpora need (Lee et al.
+    2022; C4/MassiveText span dedup).
+
+    Scale shape (100 TB-safe, no pair blowup, ONE scan of the fact):
+      1. chunking is row-local (sequence + slice + array_join HOFs,
+         whole-stage codegen, zero Python);
+      2. the exploded occurrence frame is explicitly repartitioned on
+         the chunk's xxhash64 ONCE — the winner aggregate consumes
+         that exchange and the occurrence side of the join REUSES it
+         (ReusedExchange), so the scan+explode subtree is evaluated
+         once, not per join side. Only the 8-byte hash is the
+         shuffle/group key, never the chunk string;
+      3. the winner per chunk is min(struct(doc_id, cidx)) — partial
+         map-side aggregation applies (never a window over a hot
+         key); occurrences join the 1-row-per-chunk winner table
+         co-partitioned (AQE splits skewed hot-chunk keys) and carry
+         a keep FLAG instead of being filtered, so the per-doc totals
+         need no second scan and no left join back to the base table;
+      4. per-doc reassembly is one conditional collect_list
+         (collect_list skips the NULLs of dropped chunks) bounded by
+         the document's own length — the same bound as any doc
+         rebuild. Docs whose every chunk was seen earlier reassemble
+         to ''.
+    The oracle groups by the chunk TEXT instead of the hash (DuckDB
+    has no xxhash64); identical semantics absent 64-bit collisions —
+    the established convention from doc_duplicate_passages, where the
+    hash is only ever a grouping/join key, never an output value.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SPAN_DEDUP_K
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / float(k)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * k + 1, k), " "
+        ),
+    )
+    c = (
+        docs.select(
+            "doc_id",
+            F.posexplode(chunk_arr).alias("cidx", "chunk"),
+        )
+        .select(
+            "doc_id",
+            "cidx",
+            "chunk",
+            F.xxhash64("chunk").alias("ck"),
+        )
+        .repartition("ck")  # shared by the winner agg AND the join
+    )
+    winners = c.groupBy("ck").agg(
+        F.min(F.struct("doc_id", "cidx")).alias("w")
+    )
+    keep = F.struct("doc_id", "cidx") == F.col("w")
+    return (
+        c.join(winners, "ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("nk"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(keep, F.struct("cidx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.col("nk")).cast("int").alias("n_removed"),
+            "text_dedup",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus heavy hitters: top-k tokens by occurrence count.
 # --------------------------------------------------------------------------
 @query(

@@ -545,6 +545,50 @@ def test_doc_duplicate_passages_span_merge(spark, tmp_path):
     assert abs(out[1]["dup_coverage"] - round(7 / n1, 6)) < 1e-9
 
 
+def test_doc_span_dedup_rewrites_corpus_first_occurrence_wins(
+    spark, tmp_path
+):
+    """Crafted corpus for the span-dedup TRANSFORM (K=5 chunks):
+    doc 1 and doc 2 start with the same 5-token chunk — doc 1 (lower
+    doc_id) keeps it, doc 2 loses it; doc 2's second chunk is unique
+    and survives; doc 3 repeats ITS OWN first chunk (within-doc dup,
+    second copy dropped); doc 4 consists ENTIRELY of doc 1's chunk
+    and reassembles to ''. Also pins the trailing-partial-chunk rule
+    (doc 2's last 2 tokens form their own chunk)."""
+    import os
+
+    from se_data_pipeline_spark.queries import all_queries
+
+    c = "alpha beta gamma delta epsilon"  # one 5-token chunk
+    rows = [
+        (1, c + " one two three four five"),
+        (2, c + " six seven eight nine ten tail end"),
+        (3, c.replace("alpha", "zeta") + " " + c.replace("alpha", "zeta")),
+        (4, c),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d = str(tmp_path / "sf")
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = {
+        r["doc_id"]: r
+        for r in all_queries()["doc_span_dedup"](spark, d).collect()
+    }
+    assert len(out) == 4
+    # doc 1: both chunks globally first -> untouched
+    assert out[1]["n_chunks"] == 2 and out[1]["n_removed"] == 0
+    assert out[1]["text_dedup"] == rows[0][1]
+    # doc 2: chunk 0 lost to doc 1; unique middle + 2-token tail kept
+    assert out[2]["n_chunks"] == 3 and out[2]["n_removed"] == 1
+    assert out[2]["text_dedup"] == "six seven eight nine ten tail end"
+    # doc 3: within-doc duplicate -> second copy dropped
+    assert out[3]["n_chunks"] == 2 and out[3]["n_removed"] == 1
+    assert out[3]["text_dedup"] == c.replace("alpha", "zeta")
+    # doc 4: every chunk seen earlier -> empty rewrite
+    assert out[4]["n_chunks"] == 1 and out[4]["n_removed"] == 1
+    assert out[4]["text_dedup"] == ""
+
+
 def test_session_window_strict_gap_boundary(spark, tmp_path):
     """An event exactly 30 minutes after the previous one starts a
     running session merged (inclusive gap boundary); one second

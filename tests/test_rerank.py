@@ -58,6 +58,37 @@ def test_rerank_candidates_appends_model_score_and_reorders(spark):
     assert got[7] != got[11]
 
 
+def test_rerank_multi_query_batch_scores_each_row_against_its_own_query(
+    spark,
+):
+    """A candidate frame carrying SEVERAL queries (e.g. a batched
+    serving path) must score each row against its own query vector —
+    never against whichever query happens to lead the Arrow batch.
+    Regression: the first implementation took iloc[0]'s query for the
+    whole batch."""
+    rows = [
+        # query A = x-axis, query B = y-axis; same candidate vector
+        (7, [1.0, 0.0], [1.0, 0.0]),   # cos = 1 under A
+        (7, [1.0, 0.0], [0.0, 1.0]),   # cos = 0 under B
+        (11, [0.0, 2.0], [1.0, 0.0]),  # cos = 0 under A
+        (11, [0.0, 2.0], [0.0, 1.0]),  # cos = 1 under B
+    ]
+    cand = spark.createDataFrame(
+        rows, "vec_id bigint, v array<double>, q array<double>"
+    ).coalesce(1)  # force one Arrow batch with both queries in it
+    out = rerank_candidates(cand).collect()
+    assert len(out) == 4
+
+    def mod(i):
+        return 0.9 + 0.1 * ((i * 2654435761) % 97) / 97.0
+
+    got = sorted((r["vec_id"], round(r["model_score"], 12)) for r in out)
+    want = sorted(
+        [(7, round(mod(7), 12)), (7, 0.0), (11, 0.0), (11, round(mod(11), 12))]
+    )
+    assert got == want
+
+
 def test_rerank_backend_constructed_once_per_worker(spark, tmp_path):
     """backend_factory must be constructed once per worker process,
     not per Arrow batch or per row (the classify.py singleton

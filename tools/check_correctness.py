@@ -124,10 +124,14 @@ def main() -> int:
         qs = {n: qs[n] for n in picked}
         print(f"sampled {len(qs)} queries (seed={seed}): "
               f"{', '.join(sorted(qs))}\n")
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"FAIL  unknown query names: {', '.join(sorted(unknown))}")
+            return 1
+        qs = {n: fn for n, fn in qs.items() if n in only}
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         t0 = time.time()
         try:
             spdf = fn(spark, sf_dir).toPandas()
