@@ -279,6 +279,10 @@ HEADLINE = [
     "ann_recall_clustered_report",
     "embedding_matryoshka_ivf_topk",
     "embedding_model_rerank",
+    # r9b: the ExactSubstr removal transform (corpus rewrite — the
+    # heaviest new shuffle shape of the round: chunk-hash winner agg
+    # + co-partitioned keep-flag join + per-doc reassembly)
+    "doc_span_dedup",
 ]
 
 
