@@ -281,8 +281,10 @@ HEADLINE = [
     "embedding_model_rerank",
     # r9b: the ExactSubstr removal transform (corpus rewrite — the
     # heaviest new shuffle shape of the round: chunk-hash winner agg
-    # + co-partitioned keep-flag join + per-doc reassembly)
+    # + co-partitioned keep-flag join + per-doc reassembly) and the
+    # perceptual-hash near-dup pass (banded Hamming-LSH + verify)
     "doc_span_dedup",
+    "multimodal_phash_pairs",
 ]
 
 

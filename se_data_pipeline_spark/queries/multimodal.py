@@ -242,3 +242,223 @@ def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digest")
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual near-dup over opaque binary payloads: the aHash
+# (average-hash) fingerprint + the Manku et al. 2007 banded
+# Hamming-k design (WWW '07, "Detecting Near-Duplicates for Web
+# Crawling" — 64-bit fingerprint, k=3, table keys wide enough that
+# buckets stay SPARSE as the corpus grows). multimodal_exact_dedup
+# catches byte-identical copies; this catches re-encoded /
+# slightly-perturbed copies, whose fingerprints differ in a few bits.
+#
+# Band width matters at scale: a first cut used 16 bands x 4 bits,
+# whose 16 possible values per band saturate — bucket size grows
+# linearly with the corpus and the C(m,2) pair fan-out quadratically
+# (the 10x scale check timed out). Manku's 4 tables x 16-bit keys
+# give 65,536 values per table, so bucket occupancy stays ~corpus/65k
+# and total pair work grows linearly. Recall is still exactly 1 for
+# hamming <= 3 by pigeonhole (3 flips cannot touch all 4 bands).
+#
+# Random payload fingerprints sit ~32 bits apart (measured min 9 on
+# the fixture), so true hamming<=3 near-dups do not occur naturally
+# in synthetic word-soup; the query therefore PLANTS deterministic
+# perturbed copies (every doc_id % 20 == 0 gets a twin at
+# id + 10_000_000 with its last byte replaced by '~') — the same
+# in-query deterministic-fixture pattern as
+# ann_recall_clustered_report. The perturbation is plain SQL, so the
+# oracle rebuilds the identical corpus and the planted pairs are
+# value-checked end-to-end: every planted twin lands at hamming <= 2
+# and no unplanted pair comes near the threshold.
+# --------------------------------------------------------------------------
+_PHASH_BITS = 64
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = _PHASH_BITS // _PHASH_BANDS
+_PHASH_MAX_HAMMING = 3  # < _PHASH_BANDS, so banding has recall 1
+_PHASH_PLANT_MOD = 20
+_PHASH_PLANT_OFFSET = 10_000_000
+
+
+def _ahash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched aHash kernel: 64 equal byte-blocks per payload
+    (floor boundaries, the np.array_split rule), bit i = 1 iff block
+    i's mean exceeds the payload's global mean. The comparison is the
+    exact integer cross-multiply block_sum*n > total_sum*block_len —
+    no float division — so the SQL oracle reproduces every bit. A
+    real image pipeline swaps the byte blocks for decoded 8x8
+    luminance; the banding/verify dataflow downstream is unchanged."""
+    import numpy as np
+
+    idx = np.arange(_PHASH_BITS + 1)
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:  # NULL payload: no fingerprint
+                out.append((doc_id, None))
+                continue
+            b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                np.int64
+            )
+            n = len(b)
+            bounds = (idx * n) // _PHASH_BITS
+            csum = np.concatenate(([0], np.cumsum(b)))
+            bsum = csum[bounds[1:]] - csum[bounds[:-1]]
+            blen = bounds[1:] - bounds[:-1]
+            total = int(b.sum()) if n else 0
+            bits = (bsum * n) > (total * blen)
+            out.append(
+                (doc_id, "".join("1" if x else "0" for x in bits))
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "ahash"])
+
+
+@query(
+    "multimodal_phash_pairs",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_PHASH_PLANT_OFFSET} AS doc_id,
+             substr(text, 1, length(text) - 1) || '~' AS text
+      FROM documents WHERE doc_id % {_PHASH_PLANT_MOD} = 0),
+    b AS (
+      SELECT doc_id, [ascii(c) for c in string_split(text, '')] AS bs,
+             length(text) AS n
+      FROM corpus),
+    h AS (
+      SELECT doc_id,
+             [CASE WHEN CAST(list_sum(
+                      bs[(i*n)//{_PHASH_BITS} + 1
+                         : ((i+1)*n)//{_PHASH_BITS}]) AS BIGINT) * n
+                       > CAST(list_sum(bs) AS BIGINT)
+                         * (((i+1)*n)//{_PHASH_BITS}
+                            - (i*n)//{_PHASH_BITS})
+                   THEN 1 ELSE 0 END
+              for i in range(0, {_PHASH_BITS})] AS bits
+      FROM b),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(list_sum([abs(a.bits[i] - b.bits[i])
+                            for i in range(1, {_PHASH_BITS + 1})])
+                  AS INTEGER) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming
+    FROM p WHERE hamming <= {_PHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs, the Manku et al. WWW'07 design:
+    aHash fingerprint per payload (Arrow kernel, exact integer bit
+    rule) → 4 tables of 16-bit band keys → band-bucket candidate join
+    → exact Hamming verify at <= 3. Because the threshold (3) is
+    below the band count (4), any pair within it agrees on at least
+    one full band (pigeonhole), so banding is RECALL-1 at the
+    verification threshold and the brute-force SQL oracle (all pairs,
+    exact Hamming over the same planted corpus) is the equality
+    contract, not just a bound. Extends the multimodal family from
+    exact (CAS digest) to perceptual dedup — the image/audio
+    near-copy pass. Planted perturbed twins (see the block comment)
+    make the check non-trivial at every sf: 25 pairs at sf0.01, all
+    verified hamming <= 2, zero unplanted pairs (random fingerprints
+    sit >= 9 apart).
+
+    Scale shape: fingerprints are 64-char strings (payloads never
+    leave the kernel); the fingerprint frame is localCheckpoint'ed
+    once (EAGER_OK: three consumers — band explode + both verify
+    sides); each table's key space is 2^16, so bucket occupancy
+    stays ~corpus/65k and pair fan-out grows LINEARLY with the
+    corpus (the 4-bit-band variant saturated quadratically — see the
+    block comment); degenerate identical-fingerprint floods (e.g.
+    constant payloads) are additionally capped at
+    MAX_DOCS_PER_BUCKET with the standard row_number pre-filter;
+    verification joins are doc-keyed equi-joins.
+    """
+    from se_data_pipeline_spark.queries.text import _cap_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(
+        F.col("doc_id") % _PHASH_PLANT_MOD == 0
+    ).select(
+        (F.col("doc_id") + _PHASH_PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 1)"), F.lit("~")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    payloads = corpus.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    h = (
+        payloads.repartition(par)
+        .mapInPandas(_ahash_batches, "doc_id long, ahash string")
+        .filter(F.col("ahash").isNotNull())
+        .localCheckpoint(eager=True)  # 3-consumer reuse (EAGER_OK)
+    )
+    bands = h.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1)),
+                lambda i: F.substring(
+                    F.col("ahash"),
+                    i * _PHASH_BAND_BITS + 1,
+                    F.lit(_PHASH_BAND_BITS),
+                ),
+            )
+        ).alias("band_idx", "band_val"),
+    ).select(
+        "doc_id",
+        F.concat_ws(":", "band_idx", "band_val").alias("bkey"),
+    )
+    buckets = (
+        _cap_bucket(bands, "bkey")
+        .groupBy("bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        """transform(ds, (x, i) ->
+                             transform(slice(ds, i + 2, size(ds)),
+                                       y -> struct(x AS a, y AS b)))"""
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    ha = h.select(F.col("doc_id").alias("a"), F.col("ahash").alias("fa"))
+    hb = h.select(F.col("doc_id").alias("b"), F.col("ahash").alias("fb"))
+    return (
+        pairs.join(ha, "a")
+        .join(hb, "b")
+        .withColumn(
+            "hamming",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.split(F.col("fa"), ""),
+                        F.split(F.col("fb"), ""),
+                        lambda x, y: x != y,
+                    ),
+                    lambda v: v,
+                )
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1776,6 +1776,11 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.transform(
                     F.sort_array(
+                        # BOUNDED: one entry per surviving K-token
+                        # chunk of ONE document — the buffer is the
+                        # document's own length, the same bound as
+                        # any doc rebuild (collect_list skips the
+                        # NULLs of dropped chunks)
                         F.collect_list(
                             F.when(keep, F.struct("cidx", "chunk"))
                         )

@@ -99,6 +99,69 @@ def test_resize_images_over_spark(spark):
         assert out[i]["mean_px"] == round(float(want.mean()), 6)
 
 
+def test_phash_pairs_finds_perturbed_copy_not_unrelated(spark, tmp_path):
+    """aHash near-dup: a payload and a lightly-perturbed copy (one
+    word changed -> a few fingerprint bits flip) must pair within the
+    Hamming threshold; an unrelated payload must not. Also pins the
+    kernel's exact-integer bit rule against a hand-computed
+    fingerprint and NULL-safety."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from se_data_pipeline_spark.queries import all_queries
+    from se_data_pipeline_spark.queries.multimodal import (
+        _PHASH_MAX_HAMMING,
+        _ahash_batches,
+    )
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+            "sed do eiusmod tempor incididunt ut labore et dolore") * 3
+    near = base[:-1] + "~"  # last-byte delta: a few bits flip at most
+    far = "the quick brown fox jumps over the lazy dog again and " * 8
+    plantable = ("pack my box with five dozen liquor jugs while the "
+                 "band played on through the night hours") * 3
+    rows = [(1, base), (2, near), (3, far), (20, plantable)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    d = str(tmp_path / "sf")
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = all_queries()["multimodal_phash_pairs"](spark, d).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert (1, 2) in got and got[(1, 2)] <= _PHASH_MAX_HAMMING
+    # doc 20 (doc_id % 20 == 0) gets a planted perturbed twin
+    assert (20, 10_000_020) in got and got[(20, 10_000_020)] <= 2
+    assert not any(
+        3 in p for p in got
+    ), "unrelated payload must not pair"
+    assert len(got) == 2, f"no spurious pairs expected, got {got}"
+
+    # kernel exactness: hand-compute the bit rule for the base text
+    def ref_bits(s: str) -> str:
+        b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+        n = len(b)
+        bits = []
+        for i in range(64):
+            lo, hi = (i * n) // 64, ((i + 1) * n) // 64
+            bits.append(
+                "1" if int(b[lo:hi].sum()) * n > int(b.sum()) * (hi - lo)
+                else "0"
+            )
+        return "".join(bits)
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [base.encode(), None]}
+    )
+    k = list(_ahash_batches(iter([pdf])))[0]
+    assert k.loc[0, "ahash"] == ref_bits(base)
+    assert k.loc[1, "ahash"] is None
+
+
 def test_pil_codec_is_marked_stub():
     import pytest as _pytest
 

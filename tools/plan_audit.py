@@ -69,6 +69,8 @@ EAGER_OK = {
     "embedding_intrinsic_dimension": "bounded collect: fixed 50-query "
     "kNN sample",
     "embedding_matryoshka_fidelity": "bounded collect: label centroids",
+    "multimodal_phash_pairs": _CKPT + " (aHash fingerprint frame: "
+    "band explode + both verify sides)",
     "embedding_power_iteration": "bounded allreduce: 64 per-dim sums "
     "per step",
     "embedding_pq_adc_topk": "bounded collect: 16-vector PQ codebook",
