@@ -1547,18 +1547,28 @@ def supplier_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrates; ranks are invariant to partitioning, so results are
     engine-reproducible (summed in any order, rounded)."""
     li = load_table(spark, sf_dir, "lineitem")
-    fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-    ).distinct()
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
     edges = (
-        fwd.unionByName(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # both orientations from ONE scan pass (an explode, not a
+        # self-referencing union whose subtree plans twice), then
+        # pre-partition by the iteration-join key and dedup riding
+        # that same exchange (HashPartitioning(src) satisfies the
+        # (src, dst) aggregate) — ONE shuffle where the previous
+        # distinct → union → distinct → repartition chain cost three.
+        li.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("src"), p.alias("dst")),
+                    F.struct(p.alias("src"), s.alias("dst")),
+                )
+            ).alias("e")
         )
-        .distinct()
+        .select("e.src", "e.dst")
         .repartition(
             max(spark.sparkContext.defaultParallelism, 8), "src"
         )
+        .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)  # multi-consumer reuse (EAGER_OK)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
@@ -2128,14 +2138,18 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
-        # pre-partition the big side by the iteration-join key BEFORE
-        # checkpointing: the materialized partitioning is reused by
-        # all three src-keyed joins, so only the (small) rank frame
-        # shuffles per iteration
+        # pre-partition by the iteration-join key FIRST, then dedup:
+        # HashPartitioning(src) satisfies the (src, dst) dedup
+        # aggregate's clustered distribution (duplicates share src),
+        # so the dedup reuses this exchange instead of adding its
+        # own — ONE shuffle where distinct()+repartition() was two.
+        # The materialized partitioning is then reused by all three
+        # src-keyed iteration joins, so only the (small) rank frame
+        # shuffles per iteration.
         .repartition(
             max(spark.sparkContext.defaultParallelism, 8), "src"
         )
+        .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=True)  # 3-iteration reuse (EAGER_OK)
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
