@@ -1665,6 +1665,28 @@ def doc_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_DEDUP_K = _PASSAGE_K
 
 
+def _span_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, cidx, chunk, ck): every document split into
+    non-overlapping _SPAN_DEDUP_K-token chunks with the chunk's
+    xxhash64 — row-local HOFs only (sequence + slice + array_join),
+    so it runs identically on a batch frame and a readStream frame.
+    Shared by the batch rewrite (doc_span_dedup) and its stateful
+    streaming twin (streaming/jobs.span_dedup_stream)."""
+    k = _SPAN_DEDUP_K
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / float(k)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * k + 1, k), " "),
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(chunk_arr).alias("cidx", "chunk"),
+    ).select(
+        "doc_id", "cidx", "chunk", F.xxhash64("chunk").alias("ck")
+    )
+
+
 @query(
     "doc_span_dedup",
     oracle=f"""
@@ -1741,28 +1763,9 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is only ever a grouping/join key, never an output value.
     """
     docs = load_table(spark, sf_dir, "documents")
-    k = _SPAN_DEDUP_K
-    toks = tokens(F.col("text"))
-    n_chunks = F.ceil(F.size(toks) / float(k)).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.array_join(
-            F.slice(toks, (i - 1) * k + 1, k), " "
-        ),
-    )
-    c = (
-        docs.select(
-            "doc_id",
-            F.posexplode(chunk_arr).alias("cidx", "chunk"),
-        )
-        .select(
-            "doc_id",
-            "cidx",
-            "chunk",
-            F.xxhash64("chunk").alias("ck"),
-        )
-        .repartition("ck")  # shared by the winner agg AND the join
-    )
+    c = _span_chunk_frame(docs).repartition(
+        "ck"
+    )  # shared by the winner agg AND the join
     winners = c.groupBy("ck").agg(
         F.min(F.struct("doc_id", "cidx")).alias("w")
     )

@@ -443,6 +443,90 @@ def near_dup_bucket_stream(docs_stream: DataFrame) -> DataFrame:
     )
 
 
+def span_dedup_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming exact span dedup: the stateful twin of the batch
+    doc_span_dedup rewrite (queries/text.py). Incoming documents are
+    split into the SAME non-overlapping K-token chunks by the SAME
+    Catalyst helper (_span_chunk_frame — one codepath, guaranteed
+    parity); state per chunk hash remembers the first-ever occurrence
+    (doc_id, cidx). Each chunk row is emitted with a `keep` flag:
+    True iff this occurrence IS the first. A foreachBatch consumer
+    reassembles documents batch-locally (all chunks of a doc arrive
+    in the doc's own micro-batch), exactly as the batch query's
+    final groupBy does.
+
+    Winner semantics across the two forms: batch = global
+    min(doc_id, cidx); streaming = FIRST ARRIVAL (micro-batch order,
+    then (doc_id, cidx) within the batch — made deterministic by the
+    in-batch sort). When the stream replays a corpus in doc_id order
+    the two agree exactly (parity-tested); on an out-of-order stream
+    "first arrival" is the only definition an incremental pass can
+    implement, and it is the one a dedup-at-ingest pipeline wants.
+
+    Scale: state is 12 bytes per DISTINCT chunk, sharded by the
+    8-byte hash across executors — the RocksDB provider holds
+    corpus-scale keyspaces; the shuffle carries the hash, never
+    rewinds history."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from se_data_pipeline_spark.queries.text import _span_chunk_frame
+
+    chunks = _span_chunk_frame(docs_stream.select("doc_id", "text"))
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("cidx", IntegerType()),
+            StructField("chunk", StringType()),
+            StructField("keep", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("first_doc", LongType()),
+            StructField("first_cidx", IntegerType()),
+        ]
+    )
+
+    def mark(key, pdfs, state: GroupState):
+        first = tuple(state.get) if state.exists else None
+        rows = []
+        batch_rows = sorted(
+            (
+                (int(d), int(c), t)
+                for pdf in pdfs
+                for d, c, t in zip(
+                    pdf["doc_id"], pdf["cidx"], pdf["chunk"]
+                )
+            ),
+        )
+        for doc_id, cidx, chunk in batch_rows:
+            keep = first is None
+            if first is None:
+                first = (doc_id, cidx)
+            rows.append((doc_id, cidx, chunk, keep))
+        state.update(first)
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "cidx", "chunk", "keep"]
+        )
+
+    return chunks.groupBy("ck").applyInPandasWithState(
+        mark,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals_stateful(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running totals with a budget flag — the reference's loop-carried

@@ -448,6 +448,125 @@ def test_streaming_near_dup_matches_batch_lsh(spark, sf_dir):
     assert batch_dups <= stream_dups
 
 
+def test_span_dedup_stream_matches_batch_rewrite(spark, sf_dir):
+    """The stateful span-dedup stream must reproduce the batch
+    doc_span_dedup rewrite when the corpus arrives in doc_id order
+    (one availableNow pass): the surviving (doc_id, cidx) set and the
+    per-doc reassembled text must be IDENTICAL — both forms share the
+    chunking helper, so this pins the winner rule end-to-end."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.queries import all_queries
+    from se_data_pipeline_spark.streaming.jobs import (
+        read_documents_stream,
+        span_dedup_stream,
+    )
+
+    _run_to_memory(
+        spark,
+        span_dedup_stream(read_documents_stream(spark, sf_dir)),
+        "t_span_dedup",
+        "append",
+    )
+    all_rows = spark.sql("SELECT * FROM t_span_dedup")
+    assert all_rows.filter("keep").count() > 0
+
+    keep = F.col("keep")
+    stream_docs = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed"], r["text_dedup"])
+        for r in all_rows.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        # BOUNDED: surviving chunks of one document
+                        F.collect_list(
+                            F.when(keep, F.struct("cidx", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.col("n_kept"))
+            .cast("int")
+            .alias("n_removed"),
+            "text_dedup",
+        )
+        .collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_chunks"], r["n_removed"], r["text_dedup"])
+        for r in all_queries()["doc_span_dedup"](spark, sf_dir).collect()
+    }
+    assert stream_docs == batch
+
+
+def test_span_dedup_stream_cross_batch_first_arrival_wins(
+    spark, tmp_path
+):
+    """Two micro-batches: a chunk seen in batch 1 must be dropped
+    from every batch-2 document that repeats it, while batch-2-unique
+    chunks survive — the incremental contract a dedup-at-ingest
+    pipeline relies on."""
+    import glob
+    import os
+    import time as _time
+
+    from se_data_pipeline_spark.streaming.jobs import span_dedup_stream
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    c = "alpha beta gamma delta epsilon"  # one 5-token chunk
+    spark.createDataFrame(
+        [(1, c + " one two three four five")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    first_files = set(glob.glob(os.path.join(src, "part-*.parquet")))
+    # the later-arriving doc repeats doc 1's first chunk + a new one
+    spark.createDataFrame(
+        [(2, c + " six seven eight nine ten")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    # file-source batches order by modification time: pin doc 1's
+    # file firmly earlier so maxFilesPerTrigger=1 yields two
+    # micro-batches in arrival order
+    now = _time.time()
+    for f in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(f, (now - 100, now - 100) if f in first_files else (now, now))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        span_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_span_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert len(q.recentProgress) >= 2, "expected two micro-batches"
+
+    rows = {
+        (r["doc_id"], r["cidx"]): r["keep"]
+        for r in spark.sql("SELECT * FROM t_span_xbatch").collect()
+    }
+    assert rows[(1, 0)] is True and rows[(1, 1)] is True
+    assert rows[(2, 0)] is False, "chunk seen in batch 1 must drop"
+    assert rows[(2, 1)] is True, "batch-2-unique chunk must survive"
+
+
 def test_maintain_hourly_rollup_upserts_to_parquet(spark, sf_dir, tmp_path):
     """The incremental materialized hourly tier must equal the batch
     aggregate after the stream drains — and stay equal after a second
