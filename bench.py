@@ -370,8 +370,8 @@ def _worker(spec_path: str) -> None:
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).toPandas()
 
     out: dict = {"queries": {}, "errors": {}, "samples": {}}
-    if spec.get("calib") == "pre":
-        out["calib"] = _calibrations(spark)
+    if spec.get("calib") in ("pre", "both"):
+        out["calib_pre"] = _calibrations(spark)
 
     def timed(name: str) -> None:
         t0 = time.perf_counter()
@@ -436,8 +436,8 @@ def _worker(spec_path: str) -> None:
                     spot[name] = dt
         out["spot"] = spot
 
-    if spec.get("calib") == "post":
-        out["calib"] = _calibrations(spark)
+    if spec.get("calib") in ("post", "both"):
+        out["calib_post"] = _calibrations(spark)
 
     with open(spec["out"], "w") as fh:
         json.dump(out, fh)
@@ -479,12 +479,15 @@ def _run_chunk(spec: dict, tmpdir: str, idx: int) -> dict:
     }
 
 
-def _history(here: str) -> dict[str, float]:
-    """Best committed historical time per query: min across the
-    full-timing archives (BENCH_LOCAL_r*.json, plus the previous
-    round's BENCH_LOCAL.json) and the driver's BENCH_r*.json records.
-    Used as the 2x outlier threshold — min across rounds, so an
-    inflated artifact (r8) can never mask a real regression."""
+def _history(here: str, sf: float) -> dict[str, float]:
+    """Best committed historical time per query AT THIS RUN'S SCALE
+    FACTOR: min across the full-timing archives (BENCH_LOCAL_r*.json,
+    plus the previous round's BENCH_LOCAL.json) and the driver's
+    BENCH_r*.json records. Used as the 2x outlier threshold — min
+    across rounds, so an inflated artifact (r8) can never mask a real
+    regression. Archives whose `sf` differs are skipped (an sf0.001
+    smoke run would otherwise seed ~10x-smaller 'history' and flag
+    every sf0.1 headline query as an outlier — r9 review find)."""
     hist: dict[str, float] = {}
 
     def fold(queries: dict) -> None:
@@ -508,6 +511,8 @@ def _history(here: str) -> dict[str, float]:
             continue
         if "queries" not in d and "parsed" in d and d["parsed"]:
             d = d["parsed"]
+        if d.get("sf") != sf:
+            continue
         fold(d.get("queries"))
         fold(d.get("spot_queries"))
     return hist
@@ -548,7 +553,7 @@ def main() -> None:
         tail, key=lambda n: hashlib.md5(f"{n}:{rnd}".encode()).hexdigest()
     )[:5]
 
-    hist = _history(HERE)  # read BEFORE this run overwrites the files
+    hist = _history(HERE, sf)  # read BEFORE this run overwrites the files
 
     chunks = [
         HEADLINE[i : i + chunk_size]
@@ -568,10 +573,13 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "deadline_ts": deadline_ts,
             }
+            # a single-chunk run must still calibrate BOTH before and
+            # after the sweep — "pre" being silently replaced by
+            # "post" made drift detection identically 1.0 (r9 review)
             if i == 0:
                 spec["calib"] = "pre"
             if i == len(chunks) - 1:
-                spec["calib"] = "post"
+                spec["calib"] = "both" if i == 0 else "post"
                 spec["spot_names"] = spot_names
             res = _run_chunk(spec, tmpdir, i)
             per_query.update(res.get("queries", {}))
@@ -580,9 +588,9 @@ def main() -> None:
             for n, s in res.get("samples", {}).items():
                 samples.setdefault(n, []).extend(s)
             if i == 0:
-                calib_pre = res.get("calib", {})
+                calib_pre = res.get("calib_pre", {})
             if i == len(chunks) - 1:
-                calib_post = res.get("calib", {})
+                calib_post = res.get("calib_post", {})
 
         # ---- auto re-time of in-run outliers (r8 VERDICT #1b) ----
         # >2x the best committed history (or >3 s with no history at

@@ -35,10 +35,14 @@ class FakeCrossEncoder:
     """Deterministic fake cross-encoder: cosine(query, candidate) in
     float64 modulated by an id-keyed hash factor in [0.9, 1.0) —
     score = cos * (0.9 + 0.1 * ((id * 2654435761) % 97) / 97). The
-    modulation stands in for the model's per-document signal and
-    makes the stage distinguishable from the plain exact rerank in
-    tests; every term is exact integer/rational arithmetic, so the
-    DuckDB oracle reproduces it bit-for-bit. Zero-norm (unsearchable)
+    modulation factor is exact integer/rational arithmetic; the
+    cosine is accumulated with STRICTLY SEQUENTIAL left-to-right
+    float64 adds (np.cumsum, never BLAS dot / np.linalg.norm, whose
+    pairwise/unrolled accumulation orders differ) so it is
+    bit-identical to the engine's F.aggregate fold and to a
+    sequential SQL list_sum — the same summation-order discipline as
+    queries/vectors._arr_cos, closing the boundary-rounding flake
+    class the DSIR caveat documents. Zero-norm (unsearchable)
     vectors score 0.0 instead of dividing by zero."""
 
     def score_batch(
@@ -46,9 +50,12 @@ class FakeCrossEncoder:
     ) -> np.ndarray:
         q = np.asarray(query, dtype=np.float64)
         v = np.asarray(vecs, dtype=np.float64)
-        denom = np.linalg.norm(v, axis=1) * np.linalg.norm(q)
+        dot = np.cumsum(v * q, axis=1)[:, -1]
+        nv = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+        nq = float(np.sqrt(np.cumsum(q * q)[-1]))
+        denom = nv * nq
         cos = np.divide(
-            v @ q, denom, out=np.zeros(len(v)), where=denom > 0
+            dot, denom, out=np.zeros(len(v)), where=denom > 0
         )
         mod = 0.9 + 0.1 * (
             (ids.astype(np.int64) * 2654435761) % 97

@@ -376,6 +376,14 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant payloads) are additionally capped at
     MAX_DOCS_PER_BUCKET with the standard row_number pre-filter;
     verification joins are doc-keyed equi-joins.
+
+    Oracle caveat (the standing multimodal-family convention, see the
+    module docstring): the kernel fingerprints UTF-8 BYTES while the
+    SQL oracle fingerprints per-CHARACTER code points — identical on
+    this verified-ASCII fixture (ascii(char) == byte), divergent on
+    multi-byte text. A non-ASCII corpus needs a bytes-capable oracle,
+    not a kernel change (the byte view is the production-correct one
+    for opaque media payloads).
     """
     from se_data_pipeline_spark.queries.text import _cap_bucket
 

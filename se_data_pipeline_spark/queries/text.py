@@ -1671,9 +1671,16 @@ def _span_chunk_frame(docs: DataFrame) -> DataFrame:
     xxhash64 — row-local HOFs only (sequence + slice + array_join),
     so it runs identically on a batch frame and a readStream frame.
     Shared by the batch rewrite (doc_span_dedup) and its stateful
-    streaming twin (streaming/jobs.span_dedup_stream)."""
+    streaming twin (streaming/jobs.span_dedup_stream).
+
+    NULL text is normalized to '' (one empty chunk) BEFORE chunking:
+    without it, size(NULL) = -1 under the session default makes
+    ceil(-1/K) produce sequence(1, 0) — Spark's DESCENDING [1, 0] —
+    i.e. two bogus NULL-chunk rows whose xxhash64(NULL) collides
+    across every NULL-text doc (r9 review find; the oracle mirrors
+    the COALESCE)."""
     k = _SPAN_DEDUP_K
-    toks = tokens(F.col("text"))
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
     n_chunks = F.ceil(F.size(toks) / float(k)).cast("int")
     chunk_arr = F.transform(
         F.sequence(F.lit(1), n_chunks),
@@ -1690,7 +1697,9 @@ def _span_chunk_frame(docs: DataFrame) -> DataFrame:
 @query(
     "doc_span_dedup",
     oracle=f"""
-    WITH toks AS ({_SQL_TOKS}),
+    WITH toks AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+      FROM documents),
     c AS (
       SELECT doc_id, i - 1 AS cidx,
              array_to_string(
@@ -1718,7 +1727,7 @@ def _span_chunk_frame(docs: DataFrame) -> DataFrame:
            CAST(b.n_chunks - COALESCE(a.n_kept, 0) AS INTEGER) AS n_removed,
            COALESCE(a.text_dedup, '') AS text_dedup
     FROM (SELECT doc_id,
-                 CAST(ceil(len(string_split(text, ' '))
+                 CAST(ceil(len(string_split(COALESCE(text, ''), ' '))
                            / {_SPAN_DEDUP_K}.0) AS INTEGER) AS n_chunks
           FROM documents) b
     LEFT JOIN agg a USING (doc_id)

@@ -28,6 +28,32 @@ def _hadoop_path(spark: SparkSession, p: str):
     return fs, jpath
 
 
+def recover_compacting(spark: SparkSession, live_path: str) -> bool:
+    """Finish a swap_compacted rename that a crash interrupted: if
+    ``live_path`` is missing but its ``.compacting`` sibling exists
+    (the only window swap_compacted can die in after deleting the
+    live copy), rename the sibling into place. Returns True when the
+    live path exists afterwards (recovered or never lost), False when
+    there is nothing at either path. Every entry point that pre-checks
+    a swappable store's existence must call this FIRST — otherwise its
+    own pre-check raises before recovery can run (the r9 review find
+    on refresh_ivf_index, which swaps the WHOLE index dir and then
+    could never get past its own 'has no cells store' guard)."""
+    fs, live = _hadoop_path(spark, live_path)
+    tmp_str = live_path.rstrip("/") + ".compacting"
+    _, tmp = _hadoop_path(spark, tmp_str)
+    if fs.exists(live):
+        return True
+    if not fs.exists(tmp):
+        return False
+    if not fs.rename(tmp, live):
+        raise IOError(
+            f"could not recover store: rename {tmp_str} -> "
+            f"{live_path} failed"
+        )
+    return True
+
+
 def swap_compacted(
     spark: SparkSession,
     live_path: str,
@@ -53,21 +79,12 @@ def swap_compacted(
     fs, live = _hadoop_path(spark, live_path)
     tmp_str = live_path.rstrip("/") + ".compacting"
     _, tmp = _hadoop_path(spark, tmp_str)
-    if not fs.exists(live):
-        if fs.exists(tmp):
-            # previous compaction crashed between delete and rename —
-            # the sibling holds the complete folded base; finish it.
-            if not fs.rename(tmp, live):
-                raise IOError(
-                    f"could not recover {what}: rename {tmp_str} -> "
-                    f"{live_path} failed"
-                )
-        else:
-            raise ValueError(
-                f"{what} at {live_path} does not exist — nothing to "
-                "compact (a maintenance stream whose first batches "
-                "were all filtered out never creates the store)"
-            )
+    if not recover_compacting(spark, live_path):
+        raise ValueError(
+            f"{what} at {live_path} does not exist — nothing to "
+            "compact (a maintenance stream whose first batches "
+            "were all filtered out never creates the store)"
+        )
     if fs.exists(tmp):
         fs.delete(tmp, True)  # stale leftover from a failed WRITE
     write_fn(tmp_str)
@@ -450,6 +467,11 @@ def refresh_ivf_index(
        cell assignments."""
     from pyspark.sql import functions as F
 
+    # a prior refresh may have died between swap_compacted's delete
+    # and rename, leaving the whole index at <index_path>.compacting —
+    # finish that swap BEFORE the existence pre-checks (which would
+    # otherwise raise and make the crash unrecoverable from here)
+    recover_compacting(spark, index_path)
     fs, live_cells = _hadoop_path(spark, f"{index_path}/cells")
     if not fs.exists(live_cells):
         raise ValueError(

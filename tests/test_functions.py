@@ -565,6 +565,8 @@ def test_doc_span_dedup_rewrites_corpus_first_occurrence_wins(
         (2, c + " six seven eight nine ten tail end"),
         (3, c.replace("alpha", "zeta") + " " + c.replace("alpha", "zeta")),
         (4, c),
+        (5, None),  # NULL text ≡ '': one empty chunk, first wins
+        (6, None),  # second NULL doc loses its '' chunk to doc 5
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     d = str(tmp_path / "sf")
@@ -574,7 +576,13 @@ def test_doc_span_dedup_rewrites_corpus_first_occurrence_wins(
         r["doc_id"]: r
         for r in all_queries()["doc_span_dedup"](spark, d).collect()
     }
-    assert len(out) == 4
+    assert len(out) == 6
+    # NULL text: exactly one chunk each (never sequence(1,0) junk);
+    # doc 5 keeps the corpus's empty chunk, doc 6 dedups against it
+    assert out[5]["n_chunks"] == 1 and out[5]["n_removed"] == 0
+    assert out[5]["text_dedup"] == ""
+    assert out[6]["n_chunks"] == 1 and out[6]["n_removed"] == 1
+    assert out[6]["text_dedup"] == ""
     # doc 1: both chunks globally first -> untouched
     assert out[1]["n_chunks"] == 2 and out[1]["n_removed"] == 0
     assert out[1]["text_dedup"] == rows[0][1]

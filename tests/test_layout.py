@@ -336,6 +336,40 @@ def test_swap_compacted_recovers_from_crash_between_delete_and_rename(
     assert spark.read.parquet(live).count() == 7
 
 
+def test_refresh_ivf_index_recovers_from_interrupted_swap(
+    spark, tmp_path
+):
+    """refresh_ivf_index swaps the WHOLE index dir; a crash between
+    swap_compacted's delete and rename leaves the only copy at
+    <index>.compacting. A re-run must finish that rename BEFORE its
+    own existence pre-checks — the r9 review found the pre-check
+    raised 'has no cells store' first, making the crash window
+    unrecoverable from refresh itself."""
+    import os
+
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_candidates,
+        refresh_ivf_index,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    vecs = spark.createDataFrame(
+        [
+            (i, [float(i % 2) * 10, float(i % 3)], i % 2)
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    write_ivf_index(vecs, idx)
+    # simulate the post-delete / pre-rename crash state
+    os.rename(idx, idx + ".compacting")
+
+    refresh_ivf_index(spark, idx, n_iters=1)
+    got = ivf_candidates(spark, idx, [10.0, 0.0], nprobe=1)
+    assert got.count() > 0, "recovered + refreshed index must serve"
+
+
 def test_swap_compacted_missing_store_raises_value_error(
     spark, tmp_path
 ):

@@ -116,7 +116,16 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    if sample_n is not None:
+    if only:
+        # explicit names win over --sample: validate against the FULL
+        # registry (not a sampled subset — a valid name the seed
+        # didn't pick must not report 'unknown') and run exactly them
+        unknown = only - set(qs)
+        if unknown:
+            print(f"FAIL  unknown query names: {', '.join(sorted(unknown))}")
+            return 1
+        qs = {n: fn for n, fn in qs.items() if n in only}
+    elif sample_n is not None:
         import random
 
         names = sorted(qs)
@@ -124,12 +133,6 @@ def main() -> int:
         qs = {n: qs[n] for n in picked}
         print(f"sampled {len(qs)} queries (seed={seed}): "
               f"{', '.join(sorted(qs))}\n")
-    if only:
-        unknown = only - set(qs)
-        if unknown:
-            print(f"FAIL  unknown query names: {', '.join(sorted(unknown))}")
-            return 1
-        qs = {n: fn for n, fn in qs.items() if n in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
