@@ -285,6 +285,8 @@ HEADLINE = [
     # perceptual-hash near-dup pass (banded Hamming-LSH + verify)
     "doc_span_dedup",
     "multimodal_phash_pairs",
+    # r9c: hybrid retrieval head (BM25 leg + dense cosine leg + RRF)
+    "doc_hybrid_search",
 ]
 
 

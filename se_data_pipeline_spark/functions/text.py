@@ -178,6 +178,14 @@ def shingle_hashes_np(text: str, k: int = 5) -> np.ndarray | None:
 
 SIMHASH_BITS = 16
 
+# Okapi BM25 parameters + the fixture search terms — here (not in
+# queries/text.py) so retrieval queries in OTHER modules (the hybrid
+# fusion in queries/vectors.py) can build their oracles at import
+# time without a queries.text circular import.
+BM25_K1 = 1.2
+BM25_B = 0.75
+SEARCH_TERMS = ("the", "of", "and")
+
 
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint: per-token rolling hashes, then for each bit

@@ -15,7 +15,10 @@ from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
 from se_data_pipeline_spark.functions.text import (
+    BM25_B,
+    BM25_K1,
     LANG_MARKERS,
+    SEARCH_TERMS,
     SIMHASH_BITS,
     distinct_token_ratio,
     lang_marker_score,
@@ -1220,7 +1223,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TF-IDF term search: the inverted-index retrieval op (BM25-lite) —
 # tokenize, term-filter BEFORE any shuffle, tf × idf, top-k.
 # --------------------------------------------------------------------------
-_SEARCH_TERMS = ("the", "of", "and")
+_SEARCH_TERMS = SEARCH_TERMS  # shared via functions.text (no cycle)
 
 
 @query(
@@ -4301,8 +4304,8 @@ def doc_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # raw counts, analysis.ipynb cells 2-4 — BM25 is the standard form of
 # the same "score documents by term statistics" op).
 # --------------------------------------------------------------------------
-_BM25_K1 = 1.2
-_BM25_B = 0.75
+_BM25_K1 = BM25_K1  # shared via functions.text (no cycle)
+_BM25_B = BM25_B
 
 
 @query(

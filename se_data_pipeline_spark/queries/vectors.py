@@ -2500,3 +2500,125 @@ def embedding_model_rerank(
             F.round("model_score", 6).alias("model_score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 sparse leg + embedding-cosine dense leg,
+# RRF-fused — the production RAG retrieval shape (lexical recall +
+# semantic recall, neither alone sufficient). doc_rank_fusion proved
+# the fusion combinator with a length PRIOR standing in for the
+# semantic leg; this query replaces the stand-in with the real dense
+# ranking over the embeddings table (vec_id aligns with doc_id in the
+# fixtures, as a production pipeline's embedding job guarantees by
+# construction). Both legs ARE the already-oracle-checked queries
+# (doc_bm25_search, embedding_knn_brute) — composition, not
+# re-implementation.
+# --------------------------------------------------------------------------
+_HYBRID_K = 20  # candidates per leg (each leg's proven LIMIT)
+
+
+def _sql_bm25_top(limit: int) -> str:
+    from se_data_pipeline_spark.functions.text import (
+        BM25_B as _BM25_B,
+        BM25_K1 as _BM25_K1,
+        SEARCH_TERMS as _SEARCH_TERMS,
+    )
+
+    return f"""
+    d AS (SELECT doc_id, text, len(string_split(text, ' ')) AS dl
+          FROM documents),
+    toksb AS (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS tok
+              FROM d),
+    tfb AS (SELECT doc_id, dl, tok, COUNT(*) AS c
+            FROM toksb WHERE tok IN {_SEARCH_TERMS!r}
+            GROUP BY 1, 2, 3),
+    dfreqb AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+               FROM tfb GROUP BY 1),
+    statsb AS (SELECT COUNT(*) AS nn,
+                      AVG(len(string_split(text, ' '))) AS avgdl
+               FROM documents),
+    sp0 AS (
+      SELECT t.doc_id,
+             ROUND(SUM(
+               ln(1 + (nn - df + 0.5) / (df + 0.5))
+               * (c * ({_BM25_K1} + 1))
+               / (c + {_BM25_K1}
+                      * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+             ), 6) AS bm25
+      FROM tfb t JOIN dfreqb USING (tok) CROSS JOIN statsb
+      GROUP BY t.doc_id
+      ORDER BY bm25 DESC, t.doc_id
+      LIMIT {limit})
+    """
+
+
+@query(
+    "doc_hybrid_search",
+    oracle=f"""
+    WITH {_sql_bm25_top(_HYBRID_K)},
+    sp AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+           FROM sp0),
+    q AS ({_SQL_QVEC}),
+    dn0 AS (SELECT e.vec_id AS doc_id, ROUND({_SQL_COS}, 6) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            ORDER BY {_SQL_COS} DESC, e.vec_id
+            LIMIT {_HYBRID_K}),
+    dn AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rb
+           FROM dn0)
+    SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + ra), 0)
+                 + COALESCE(1.0 / (60 + rb), 0), 6) AS rrf,
+           CAST(ra AS INTEGER) AS bm25_rank,
+           CAST(rb AS INTEGER) AS cos_rank
+    FROM sp FULL JOIN dn ON sp.doc_id = dn.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-20 (sparse leg) and
+    embedding-cosine top-20 (dense leg), reciprocal-rank-fused
+    (k=60) to a top-10 — the retrieval stack a RAG/search pipeline
+    actually serves. Each leg IS its proven standalone query
+    (doc_bm25_search / embedding_knn_brute), so the fused result is
+    checked end-to-end against both underlying oracles' semantics;
+    ranks are assigned over each leg's 6dp-ROUNDED scores with an id
+    tie-break, making the fusion integer-exact across engines (rrf is
+    a sum of two rationals of small integers).
+
+    Scale: both legs end in TakeOrderedAndProject (per-partition
+    top-k, no global sort); the <=K-row legs are ranked WITHOUT a
+    WindowExec via the _rank_bounded sorted-array fold (the
+    doc_rank_fusion machinery — single-task O(K log K) by
+    construction); the fusion join touches 2K rows regardless of
+    corpus size. At 100 TB each leg is served from its materialized
+    index (term-partitioned posting lists / the IVF-BQ funnel) and
+    this query is the fusion head on two K-row candidate lists."""
+    from se_data_pipeline_spark.queries.text import (
+        _rank_bounded,
+        doc_bm25_search,
+    )
+
+    sparse = doc_bm25_search(spark, sf_dir)  # (doc_id, bm25) top-20
+    dense = embedding_knn_brute(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )  # top-20
+    ra = _rank_bounded(sparse, F.col("bm25") * -1, "ra")
+    rb = _rank_bounded(dense, F.col("cos_sim") * -1, "rb")
+    return (
+        ra.join(rb, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("ra").cast("int").alias("bm25_rank"),
+            F.col("rb").cast("int").alias("cos_rank"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
