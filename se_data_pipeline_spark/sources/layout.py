@@ -665,3 +665,89 @@ def bq_candidates(
         .orderBy(F.asc("hamming"), F.asc(id_col))
         .limit(n)
     )
+
+
+def write_posting_lists(docs: DataFrame, out_dir: str) -> None:
+    """Materialize the BM25 serving layout that doc_bm25_search's
+    docstring promises ("at 100 TB the tf table IS the posting list —
+    materialize it partitioned by term and this query becomes a
+    posting-list lookup"): the (term, doc_id, tf, dl) table written
+    PARTITIONED BY term, plus a one-row corpus-totals table
+    (n_docs, n_tokens). A query for K terms then reads exactly K
+    partition directories (parquet partition pruning — test-asserted
+    via inputFiles) instead of scanning the corpus; document
+    frequency per query term falls out of the pruned read itself, so
+    no global vocabulary table is consulted at serve time."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    tf = toks.groupBy("tok", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tf.write.mode("overwrite").partitionBy("tok").parquet(
+        f"{out_dir}/postings"
+    )
+    docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias(
+            "n_tokens"
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/totals")
+
+
+def bm25_from_postings(
+    spark: SparkSession,
+    out_dir: str,
+    terms: tuple[str, ...],
+    limit: int = 20,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """Serve Okapi BM25 top-`limit` from a write_posting_lists store:
+    the term filter is a PARTITION FILTER on the postings layout (the
+    scan touches only the query terms' directories), df per term is a
+    tiny aggregate over the pruned rows, corpus totals ride a 1-row
+    broadcast. Exactly doc_bm25_search's scoring math — the parity
+    test pins score-for-score equality against the inline query —
+    with corpus-scan work replaced by an O(matching-postings) lookup.
+
+    avgdl is computed as n_tokens/n_docs from the totals row, which
+    is bit-identical to the inline query's AVG(size(split(text)))
+    (Spark's AVG is the same long-sum / long-count double divide)."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.functions.text import BM25_B, BM25_K1
+
+    k1 = BM25_K1 if k1 is None else k1
+    b = BM25_B if b is None else b
+    p = (
+        spark.read.parquet(f"{out_dir}/postings")
+        .filter(F.col("tok").isin(*terms))  # partition pruning
+    )
+    dfreq = p.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    totals = spark.read.parquet(f"{out_dir}/totals").select(
+        "n_docs",
+        (F.col("n_tokens") / F.col("n_docs")).alias("avgdl"),
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("c") * (k1 + 1)) / (
+        F.col("c") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        p.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(limit)
+    )
