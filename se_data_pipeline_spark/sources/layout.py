@@ -667,17 +667,18 @@ def bq_candidates(
     )
 
 
-def write_posting_lists(docs: DataFrame, out_dir: str) -> None:
-    """Materialize the BM25 serving layout that doc_bm25_search's
-    docstring promises ("at 100 TB the tf table IS the posting list —
-    materialize it partitioned by term and this query becomes a
-    posting-list lookup"): the (term, doc_id, tf, dl) table written
-    PARTITIONED BY term, plus a one-row corpus-totals table
-    (n_docs, n_tokens). A query for K terms then reads exactly K
-    partition directories (parquet partition pruning — test-asserted
-    via inputFiles) instead of scanning the corpus; document
-    frequency per query term falls out of the pruned read itself, so
-    no global vocabulary table is consulted at serve time."""
+# Explicit store schemas (data + partition columns) — same rationale
+# as streaming/jobs._TERM_STATS_SCHEMA: no footer-inference job on a
+# many-partition store, and an empty-delta dir reads as a zero-row
+# frame instead of UNABLE_TO_INFER_SCHEMA.
+_POSTINGS_SCHEMA = "doc_id bigint, dl int, c bigint, batch_id int, tok string"
+_POSTINGS_TOTALS_SCHEMA = "n_docs bigint, n_tokens bigint, batch_id int"
+
+
+def _posting_frames(docs: DataFrame, batch_id: int):
+    """(postings, totals) delta frames for one document set — shared
+    by the batch builder and the streaming maintainer so the two
+    paths cannot drift."""
     from pyspark.sql import functions as F
 
     toks = docs.select(
@@ -685,18 +686,84 @@ def write_posting_lists(docs: DataFrame, out_dir: str) -> None:
         F.size(F.split("text", " ")).alias("dl"),
         F.explode(F.split("text", " ")).alias("tok"),
     )
-    tf = toks.groupBy("tok", "doc_id", "dl").agg(
-        F.count(F.lit(1)).alias("c")
+    tf = (
+        toks.groupBy("tok", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("batch_id", F.lit(batch_id))
     )
-    tf.write.mode("overwrite").partitionBy("tok").parquet(
-        f"{out_dir}/postings"
-    )
-    docs.agg(
+    totals = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias(
             "n_tokens"
         ),
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/totals")
+    ).withColumn("batch_id", F.lit(batch_id))
+    return tf, totals
+
+
+def write_posting_lists(docs: DataFrame, out_dir: str) -> None:
+    """Materialize the BM25 serving layout that doc_bm25_search's
+    docstring promises ("at 100 TB the tf table IS the posting list —
+    materialize it partitioned by term and this query becomes a
+    posting-list lookup"): the (term, doc_id, tf, dl) table written
+    PARTITIONED BY (batch_id, term) with a ``batch_id=-1`` base
+    partition, plus a corpus-totals table (n_docs, n_tokens) in the
+    same delta layout. A query for K terms reads exactly K term
+    directories per batch partition (parquet partition pruning —
+    executed-plan-asserted in the test); document frequency per query
+    term falls out of the pruned read itself, so no global vocabulary
+    table is consulted at serve time. The layout is IDENTICAL to what
+    streaming/jobs.maintain_posting_lists appends (``batch_id>=0``
+    deltas), so batch-built and stream-maintained stores serve
+    through the same reader."""
+    tf, totals = _posting_frames(docs, -1)
+    tf.write.mode("overwrite").partitionBy("batch_id", "tok").parquet(
+        f"{out_dir}/postings"
+    )
+    totals.coalesce(1).write.mode("overwrite").partitionBy(
+        "batch_id"
+    ).parquet(f"{out_dir}/totals")
+
+
+def compact_posting_lists(spark: SparkSession, out_dir: str) -> None:
+    """Fold a stream-maintained posting-list store's one-dir-per-
+    micro-batch deltas back into a single ``batch_id=-1`` base (the
+    compact_ivf_index contract: run ONLY while the maintenance stream
+    is stopped; crash-safe via swap_compacted's temp-sibling swap).
+    Documents are append-only with unique doc_ids (the
+    maintain_term_stats contract), so this is a pure layout fold —
+    no per-key reconciliation."""
+    from pyspark.sql import functions as F
+
+    def _write_p(tmp: str) -> None:
+        (
+            spark.read.schema(_POSTINGS_SCHEMA)
+            .parquet(f"{out_dir}/postings")
+            .withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "tok")
+            .parquet(tmp)
+        )
+
+    swap_compacted(spark, f"{out_dir}/postings", _write_p, "posting lists")
+
+    def _write_t(tmp: str) -> None:
+        (
+            spark.read.schema(_POSTINGS_TOTALS_SCHEMA)
+            .parquet(f"{out_dir}/totals")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+            )
+            .withColumn("batch_id", F.lit(-1))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(tmp)
+        )
+
+    swap_compacted(
+        spark, f"{out_dir}/totals", _write_t, "posting-list totals"
+    )
 
 
 def bm25_from_postings(
@@ -715,9 +782,13 @@ def bm25_from_postings(
     test pins score-for-score equality against the inline query —
     with corpus-scan work replaced by an O(matching-postings) lookup.
 
-    avgdl is computed as n_tokens/n_docs from the totals row, which
-    is bit-identical to the inline query's AVG(size(split(text)))
-    (Spark's AVG is the same long-sum / long-count double divide)."""
+    avgdl is computed as n_tokens/n_docs from the additively-folded
+    totals deltas, which is bit-identical to the inline query's
+    AVG(size(split(text))) (Spark's AVG is the same long-sum /
+    long-count double divide). Works unchanged on a batch-built
+    store (one batch_id=-1 partition) and a stream-maintained one
+    (many deltas): postings rows are unique per (doc, term) by the
+    append-only-unique-docs contract, and totals fold by sum."""
     from pyspark.sql import functions as F
 
     from se_data_pipeline_spark.functions.text import BM25_B, BM25_K1
@@ -725,15 +796,24 @@ def bm25_from_postings(
     k1 = BM25_K1 if k1 is None else k1
     b = BM25_B if b is None else b
     p = (
-        spark.read.parquet(f"{out_dir}/postings")
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .parquet(f"{out_dir}/postings")
         .filter(F.col("tok").isin(*terms))  # partition pruning
     )
     dfreq = p.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    totals = spark.read.parquet(f"{out_dir}/totals").select(
-        "n_docs",
-        (F.col("n_tokens") / F.col("n_docs")).alias("avgdl"),
+    totals = (
+        spark.read.schema(_POSTINGS_TOTALS_SCHEMA)
+        .parquet(f"{out_dir}/totals")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "n_docs",
+            (F.col("n_tokens") / F.col("n_docs")).alias("avgdl"),
+        )
     )
     idf = F.log(
         1

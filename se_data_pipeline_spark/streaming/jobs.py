@@ -1121,6 +1121,57 @@ _TERM_STATS_SCHEMA = (
 _CORPUS_TOTALS_SCHEMA = "n_docs bigint, n_tokens bigint, batch_id int"
 
 
+def maintain_posting_lists(
+    docs_stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Incremental BM25 posting-list maintenance: each micro-batch of
+    (append-only, unique doc_id — the maintain_term_stats contract)
+    documents appends its (term, doc_id, tf, dl) rows under a
+    ``batch_id=N/tok=...`` partition plus a one-row totals delta —
+    the SAME frames as the batch builder (sources/layout.
+    _posting_frames, one codepath), so a stream-maintained store
+    serves through bm25_from_postings unchanged and a periodic
+    compact_posting_lists folds the deltas back to the base.
+
+    Exactly-once by LAYOUT (the maintain_term_stats pattern): dynamic
+    partition overwrite means a replayed micro-batch overwrites ITS
+    OWN batch_id partitions and nothing else. Each delta is sized by
+    the batch's matching postings, never the corpus."""
+    import os
+
+    from se_data_pipeline_spark.sources.layout import _posting_frames
+
+    postings_dir = os.path.join(out_dir, "postings")
+    totals_dir = os.path.join(out_dir, "totals")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()  # decouple from the stream
+        if batch.isEmpty():
+            return
+        tf, totals = _posting_frames(batch, batch_id)
+        (
+            tf.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "tok")
+            .parquet(postings_dir)
+        )
+        (
+            totals.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(totals_dir)
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_term_stats(spark: SparkSession, out_dir: str):
     """Fold the maintain_term_stats delta partitions into current
     statistics: returns (term_stats_df with one row per term, totals

@@ -567,6 +567,81 @@ def test_span_dedup_stream_cross_batch_first_arrival_wins(
     assert rows[(2, 1)] is True, "batch-2-unique chunk must survive"
 
 
+def test_maintain_posting_lists_serves_bm25_and_compacts(
+    spark, sf_dir, tmp_path
+):
+    """A stream-maintained posting-list store must serve the SAME
+    BM25 top-k as the inline query over the full corpus (two
+    micro-batches of documents), and compact_posting_lists must fold
+    the per-batch deltas to one batch_id=-1 base with identical
+    serving results."""
+    import glob
+    import os
+    import time as _time
+
+    from se_data_pipeline_spark.functions.text import SEARCH_TERMS
+    from se_data_pipeline_spark.queries.text import doc_bm25_search
+    from se_data_pipeline_spark.sources.layout import (
+        bm25_from_postings,
+        compact_posting_lists,
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_posting_lists,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    first = set(glob.glob(os.path.join(src, "part-*.parquet")))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = _time.time()
+    for f in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(
+            f, (now - 100, now - 100) if f in first else (now, now)
+        )
+
+    out = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_posting_lists(stream, out, str(tmp_path / "chk"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert len(q.recentProgress) >= 2, "expected two micro-batches"
+
+    inline = [
+        (r["doc_id"], r["bm25"])
+        for r in doc_bm25_search(spark, sf_dir).collect()
+    ]
+    served = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ]
+    assert served == inline
+
+    compact_posting_lists(spark, out)
+    folded = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ]
+    assert folded == inline
+    batch_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{out}/postings")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert batch_ids == {-1}, f"compaction must fold deltas: {batch_ids}"
+
+
 def test_maintain_hourly_rollup_upserts_to_parquet(spark, sf_dir, tmp_path):
     """The incremental materialized hourly tier must equal the batch
     aggregate after the stream drains — and stay equal after a second
