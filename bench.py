@@ -511,9 +511,13 @@ def _history(here: str, sf: float) -> dict[str, float]:
                 d = json.load(fh)
         except (OSError, ValueError):
             continue
+        # older driver records (BENCH_r03/r04) carry sf only on the
+        # OUTER dict, not inside "parsed" — capture it before the
+        # swap or their history is silently dropped (ADVICE r9)
+        rec_sf = d.get("sf")
         if "queries" not in d and "parsed" in d and d["parsed"]:
             d = d["parsed"]
-        if d.get("sf") != sf:
+        if (d.get("sf") if d.get("sf") is not None else rec_sf) != sf:
             continue
         fold(d.get("queries"))
         fold(d.get("spot_queries"))

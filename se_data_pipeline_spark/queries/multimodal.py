@@ -373,8 +373,10 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays ~corpus/65k and pair fan-out grows LINEARLY with the
     corpus (the 4-bit-band variant saturated quadratically — see the
     block comment); degenerate identical-fingerprint floods (e.g.
-    constant payloads) are additionally capped at
-    MAX_DOCS_PER_BUCKET with the standard row_number pre-filter;
+    constant payloads) hit the STRICT bucket guard — past
+    MAX_DOCS_PER_BUCKET the query raises rather than silently
+    dropping pairs the uncapped brute-force oracle reports (ADVICE
+    r9: engine and oracle stay an equality contract under floods);
     verification joins are doc-keyed equi-joins.
 
     Oracle caveat (the standing multimodal-family convention, see the
@@ -424,7 +426,10 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "band_idx", "band_val").alias("bkey"),
     )
     buckets = (
-        _cap_bucket(bands, "bkey")
+        # strict: the brute-force oracle below has NO cap, so a
+        # flooded band bucket (constant payloads) must raise instead
+        # of silently dropping pairs the oracle reports (ADVICE r9)
+        _cap_bucket(bands, "bkey", strict=True)
         .groupBy("bkey")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)

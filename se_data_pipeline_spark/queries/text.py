@@ -529,15 +529,43 @@ _JACCARD_THRESHOLD = 0.8
 MAX_DOCS_PER_BUCKET = 10_000
 
 
-def _cap_bucket(e: DataFrame, key: str, cap: int = MAX_DOCS_PER_BUCKET) -> DataFrame:
+def _cap_bucket(
+    e: DataFrame,
+    key: str,
+    cap: int = MAX_DOCS_PER_BUCKET,
+    strict: bool = False,
+) -> DataFrame:
     """Keep only the first `cap` docs per inverted-index key (by
-    doc_id, deterministic) — the spill-safe mega-bucket guard."""
+    doc_id, deterministic) — the spill-safe mega-bucket guard.
+
+    ``strict=True`` turns silent truncation into a raise_error the
+    moment any bucket EXCEEDS the cap (ADVICE r9): queries whose
+    brute-force SQL oracle has no cap (multimodal_phash_pairs) would
+    otherwise silently drop pairs the oracle reports on a degenerate
+    flooding corpus — strict mode keeps engine and oracle an EQUALITY
+    contract by failing loudly instead, telling the operator to route
+    the degenerate payloads out first. The row_number window still
+    bounds memory (per-key sort spills; nothing is collected), so the
+    guard itself is flood-safe."""
     w = Window.partitionBy(key).orderBy("doc_id")
-    return (
-        e.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= cap)
-        .drop("_rn")
-    )
+    e = e.withColumn("_rn", F.row_number().over(w))
+    if strict:
+        e = e.filter(
+            F.when(
+                F.col("_rn") > cap,
+                F.raise_error(
+                    F.lit(
+                        f"bucket flood: a '{key}' bucket exceeded "
+                        f"cap={cap}; the brute-force oracle has no "
+                        "cap so results would silently diverge — "
+                        "route degenerate payloads out first"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col("_rn") <= cap)
+        )
+    else:
+        e = e.filter(F.col("_rn") <= cap)
+    return e.drop("_rn")
 
 
 def _hashed_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

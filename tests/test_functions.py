@@ -914,6 +914,27 @@ def test_cap_bucket_truncates_hot_buckets_deterministically(spark):
     assert _cap_bucket(e, "sh").count() == len(rows)
 
 
+def test_cap_bucket_strict_raises_on_flood(spark):
+    """strict=True turns the silent hot-bucket truncation into a
+    loud failure the moment a bucket EXCEEDS the cap — the ADVICE r9
+    contract for queries (multimodal_phash_pairs) whose brute-force
+    oracle has no cap: diverge loudly, never silently."""
+    import pytest
+
+    from se_data_pipeline_spark.queries.text import _cap_bucket
+
+    rows = [("hot", f"d{i:03d}") for i in range(20)] + [
+        ("cold", "d900"),
+        ("cold", "d901"),
+    ]
+    e = spark.createDataFrame(rows, "sh: string, doc_id: string")
+    with pytest.raises(Exception, match="bucket flood"):
+        _cap_bucket(e, "sh", cap=5, strict=True).collect()
+    # a bucket exactly AT the cap drops nothing -> no divergence,
+    # strict passes and returns every row
+    assert _cap_bucket(e, "sh", cap=20, strict=True).count() == len(rows)
+
+
 def test_pack_sign_bits_and_hamming_codes(spark):
     """Packed sign-bit codes: bit k set iff v[k] > 0 (bit 63 = the
     long sign bit), and bit_count(xor) equals the unpacked
