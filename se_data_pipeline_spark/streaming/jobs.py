@@ -1122,24 +1122,39 @@ _CORPUS_TOTALS_SCHEMA = "n_docs bigint, n_tokens bigint, batch_id int"
 
 
 def maintain_posting_lists(
-    docs_stream: DataFrame, out_dir: str, checkpoint_dir: str
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
 ):
     """Incremental BM25 posting-list maintenance: each micro-batch of
     (append-only, unique doc_id — the maintain_term_stats contract)
     documents appends its (term, doc_id, tf, dl) rows under a
-    ``batch_id=N/tok=...`` partition plus a one-row totals delta —
-    the SAME frames as the batch builder (sources/layout.
+    ``batch_id=N/tok_bucket=...`` partition plus a one-row totals
+    delta — the SAME frames as the batch builder (sources/layout.
     _posting_frames, one codepath), so a stream-maintained store
     serves through bm25_from_postings unchanged and a periodic
-    compact_posting_lists folds the deltas back to the base.
+    compact_posting_lists folds the deltas back to the base. The
+    bucket modulus comes from the store's meta table when the store
+    already exists (a restart with a different `n_buckets` argument
+    must NOT fork the layout mid-store), else from `n_buckets`
+    (default POSTINGS_TOK_BUCKETS) and is recorded in meta on the
+    first delta.
 
     Exactly-once by LAYOUT (the maintain_term_stats pattern): dynamic
     partition overwrite means a replayed micro-batch overwrites ITS
     OWN batch_id partitions and nothing else. Each delta is sized by
-    the batch's matching postings, never the corpus."""
+    the batch's matching postings, never the corpus — and lands in at
+    most min(batch vocabulary, n_buckets) directories, bounding the
+    small-file growth rate per batch."""
     import os
 
-    from se_data_pipeline_spark.sources.layout import _posting_frames
+    from se_data_pipeline_spark.sources.layout import (
+        POSTINGS_TOK_BUCKETS,
+        _posting_frames,
+        _postings_meta_buckets,
+        _write_postings_meta,
+    )
 
     postings_dir = os.path.join(out_dir, "postings")
     totals_dir = os.path.join(out_dir, "totals")
@@ -1148,13 +1163,24 @@ def maintain_posting_lists(
         batch = batch_df.localCheckpoint()  # decouple from the stream
         if batch.isEmpty():
             return
-        tf, totals = _posting_frames(batch, batch_id)
+        spark = batch.sparkSession
+        nb = _postings_meta_buckets(
+            spark,
+            out_dir,
+            default=(
+                POSTINGS_TOK_BUCKETS if n_buckets is None else n_buckets
+            ),
+        )
+        tf, totals = _posting_frames(batch, batch_id, nb)
         (
             tf.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id", "tok")
+            .partitionBy("batch_id", "tok_bucket")
             .parquet(postings_dir)
         )
+        # meta is a 1-row idempotent overwrite — a replayed batch
+        # rewrites the identical modulus
+        _write_postings_meta(spark, out_dir, nb)
         (
             totals.coalesce(1)
             .write.mode("overwrite")
