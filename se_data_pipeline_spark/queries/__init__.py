@@ -51,6 +51,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Oracles composed from OTHER queries' oracles (serving.py) cannot
+# resolve at their module's import time: text.py itself calls
+# all_oracles() mid-import (its langid composition), which re-enters
+# _load_all and imports serving while text's later registrations
+# (doc_bm25_search) don't exist yet. Builders park here and resolve
+# lazily at all_oracles() time, tolerating still-missing upstreams
+# (a nested call resolves what it can; the post-import call resolves
+# the rest).
+_DEFERRED_ORACLES: dict[str, Callable[[], str | None]] = {}
+
+
+def defer_oracle(name: str, builder: Callable[[], str | None]) -> None:
+    _DEFERRED_ORACLES[name] = builder
+
+
+def _resolve_deferred() -> None:
+    for name in list(_DEFERRED_ORACLES):
+        sql = _DEFERRED_ORACLES[name]()
+        if sql is None:
+            continue  # upstream not registered yet — retry next call
+        qd = _REGISTRY[name]
+        _REGISTRY[name] = QueryDef(qd.name, qd.fn, sql, qd.doc)
+        del _DEFERRED_ORACLES[name]
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
     return {name: qd.fn for name, qd in _REGISTRY.items()}
@@ -58,6 +83,7 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     _load_all()
+    _resolve_deferred()
     return {name: qd.oracle for name, qd in _REGISTRY.items() if qd.oracle}
 
 
@@ -79,5 +105,8 @@ def _load_all() -> None:
         text,
         vectors,
     )
+    # serving composes oracles registered by text/vectors — imported
+    # LAST, deliberately outside the alphabetical block above
+    from se_data_pipeline_spark.queries import serving  # noqa: F401
 
     _LOADED = True

@@ -2596,15 +2596,22 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. At 100 TB each leg is served from its materialized
     index (term-partitioned posting lists / the IVF-BQ funnel) and
     this query is the fusion head on two K-row candidate lists."""
-    from se_data_pipeline_spark.queries.text import (
-        _rank_bounded,
-        doc_bm25_search,
-    )
+    from se_data_pipeline_spark.queries.text import doc_bm25_search
 
     sparse = doc_bm25_search(spark, sf_dir)  # (doc_id, bm25) top-20
     dense = embedding_knn_brute(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), "cos_sim"
     )  # top-20
+    return _rrf_head(sparse, dense)
+
+
+def _rrf_head(sparse: DataFrame, dense: DataFrame) -> DataFrame:
+    """The hybrid fusion head, shared by the inline query and the
+    materialized-store variant (serving.hybrid_served) so the two
+    cannot drift: rank each <=K-row leg over its 6dp-rounded score
+    (id tie-break, no WindowExec), RRF k=60, top-10."""
+    from se_data_pipeline_spark.queries.text import _rank_bounded
+
     ra = _rank_bounded(sparse, F.col("bm25") * -1, "ra")
     rb = _rank_bounded(dense, F.col("cos_sim") * -1, "rb")
     return (
