@@ -287,6 +287,14 @@ HEADLINE = [
     "multimodal_phash_pairs",
     # r9c: hybrid retrieval head (BM25 leg + dense cosine leg + RRF)
     "doc_hybrid_search",
+    # r10: the E2 probe lifecycle end-to-end (r9 VERDICT #5 — the
+    # probe stages were pytest-proven but never timed), and the
+    # materialized serving lifecycles under the oracle (r9 VERDICT
+    # #2/#4: store build + revise + pruned serve, per call)
+    "probe_lifecycle_quality",
+    "bm25_served_parity",
+    "ivf_served_recall",
+    "hybrid_served",
 ]
 
 

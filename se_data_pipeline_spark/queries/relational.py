@@ -6008,3 +6008,194 @@ def ingest_lifecycle_document(
         )
         .orderBy("channel_id")
     )
+
+
+# --------------------------------------------------------------------------
+# E2 — the channel quality PROBE lifecycle end-to-end (SURVEY §3 E2,
+# reference filter_channel.py:15-63), the r9 VERDICT #5 gap: the
+# probe stages (plans/probe.py) were pytest-proven but never timed
+# or oracle-composed. Same TPC-H shaping as ingest_lifecycle_document
+# (customer→channels, orders→videos, lineitem→segments), with the
+# probe's own stages: first-2-per-channel playlist sample (W1),
+# 10-minute center cut (yt_download.py:139-159 math), deterministic
+# per-segment SNR/speech scores, per-channel quality record (A9).
+# Scores stay INTEGER inside the document string (snr decibels x10 /
+# speech prob x100) so the oracle is format-stable; the summary
+# means divide exact integer sums, rounded identically.
+# --------------------------------------------------------------------------
+@query(
+    "probe_lifecycle_quality",
+    oracle="""
+    WITH videos AS (
+      SELECT o_custkey AS channel_id, o_orderkey AS video_id,
+             o_orderkey AS position,
+             (o_orderkey % 3600) + 61 AS duration_sec
+      FROM orders),
+    sampled AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY channel_id ORDER BY position) AS rn
+        FROM videos) t WHERE rn <= 2),
+    cut AS (
+      SELECT channel_id, video_id, duration_sec,
+             CASE WHEN duration_sec <= 600 THEN 0
+                  ELSE CAST(FLOOR(duration_sec / 2.0) AS BIGINT) - 300
+             END AS ss,
+             CASE WHEN duration_sec <= 600 THEN duration_sec
+                  ELSE CAST(FLOOR(duration_sec / 2.0) AS BIGINT) + 300
+             END AS tto
+      FROM sampled),
+    segs AS (
+      SELECT c.channel_id, c.video_id, c.ss, c.tto,
+             CAST(l.l_linenumber AS INT) AS seg_idx,
+             l.l_partkey % 400 AS snr_d,
+             l.l_suppkey % 100 AS ac_c
+      FROM lineitem l JOIN cut c ON c.video_id = l.l_orderkey),
+    per_video AS (
+      SELECT channel_id, video_id, ss, tto,
+             COUNT(*) AS n_seg,
+             CAST(SUM(snr_d) AS BIGINT) AS snr_sum,
+             CAST(SUM(ac_c) AS BIGINT) AS ac_sum,
+             STRING_AGG(seg_idx || ':' || snr_d || ':' || ac_c, ','
+                        ORDER BY seg_idx, snr_d, ac_c) AS seg_str
+      FROM segs GROUP BY 1, 2, 3, 4),
+    per_channel AS (
+      SELECT channel_id,
+             COUNT(*) AS n_videos,
+             CAST(SUM(n_seg) AS BIGINT) AS n_segments,
+             ROUND(SUM(snr_sum) / 10.0 / SUM(n_seg), 6) AS avg_snr,
+             ROUND(SUM(ac_sum) / 100.0 / SUM(n_seg), 6) AS avg_speech,
+             STRING_AGG(video_id || '(' || ss || '-' || tto || ')=['
+                          || seg_str || ']',
+                        '|' ORDER BY video_id) AS quality_doc
+      FROM per_video GROUP BY channel_id)
+    SELECT 'https://yt/c/' || channel_id AS url,
+           CAST(n_videos AS BIGINT) AS n_videos,
+           n_segments, avg_snr, avg_speech, quality_doc
+    FROM per_channel ORDER BY url
+    """,
+)
+def probe_lifecycle_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The E2 probe lifecycle end-to-end on TPC-H-shaped inputs,
+    composed from the ACTUAL plans/probe.py stages: playlist videos
+    are sampled first-2-per-channel in position order
+    (probe.sample_videos, W1), each gets the reference's 10-minute
+    CENTER CUT (probe.center_cut_bounds — floor-of-half midpoint,
+    exactly yt_download.py:139-159), lineitem rows become the cut's
+    VAD segments with deterministic integer SNR/speech scores, and
+    one two-level A9 aggregation emits the per-channel quality
+    record (url, per-video sorted segment document, summary means) —
+    the channel_quality table E3.2 ranks, as a single checked plan.
+
+    Expected plan (PLAN_AUDIT row): ONE window exchange on
+    channel_id (the sample), ONE fact join on video_id, collect
+    riding the groupBy hash partition — the same shuffle budget as
+    the real probe; nothing driver-side. Summary means divide exact
+    integer sums so the oracle matches bit-for-bit."""
+    from se_data_pipeline_spark.plans.probe import (
+        center_cut_bounds,
+        sample_videos,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    videos = orders.select(
+        F.col("o_custkey").alias("channel_id"),
+        F.col("o_orderkey").alias("video_id"),
+        F.col("o_orderkey").alias("position"),
+        ((F.col("o_orderkey") % 3600) + 61).alias("duration_sec"),
+    )
+    sampled = sample_videos(videos, max_per_channel=2)
+    cut = sampled.select(
+        "channel_id",
+        "video_id",
+        center_cut_bounds(F.col("duration_sec")).alias("cut"),
+    ).select(
+        "channel_id",
+        "video_id",
+        F.col("cut.ss").alias("ss"),
+        F.col("cut.to").alias("tto"),
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    segs = li.select(
+        F.col("l_orderkey").alias("video_id"),
+        F.col("l_linenumber").cast("int").alias("seg_idx"),
+        (F.col("l_partkey") % 400).alias("snr_d"),
+        (F.col("l_suppkey") % 100).alias("ac_c"),
+    ).join(cut, "video_id")
+
+    per_video = (
+        segs.groupBy("channel_id", "video_id", "ss", "tto")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum("snr_d").cast("long").alias("snr_sum"),
+            F.sum("ac_c").cast("long").alias("ac_sum"),
+            # BOUNDED: segments per video = lineitems per order (<=7
+            # in the TPC-H domain; the real probe's bound is VAD over
+            # a 10-minute center cut)
+            F.sort_array(
+                F.collect_list(
+                    F.struct("seg_idx", "snr_d", "ac_c")
+                )
+            ).alias("segs"),
+        )
+        .select(
+            "channel_id",
+            "video_id",
+            "n_seg",
+            "snr_sum",
+            "ac_sum",
+            F.format_string(
+                "%d(%d-%d)=[%s]",
+                F.col("video_id"),
+                F.col("ss"),
+                F.col("tto"),
+                F.array_join(
+                    F.transform(
+                        F.col("segs"),
+                        lambda s: F.concat_ws(
+                            ":", s["seg_idx"], s["snr_d"], s["ac_c"]
+                        ),
+                    ),
+                    ",",
+                ),
+            ).alias("vdoc"),
+        )
+    )
+    return (
+        per_video.groupBy("channel_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_videos"),
+            F.sum("n_seg").cast("long").alias("n_segments"),
+            F.round(
+                F.sum("snr_sum") / 10.0 / F.sum("n_seg"), 6
+            ).alias("avg_snr"),
+            F.round(
+                F.sum("ac_sum") / 100.0 / F.sum("n_seg"), 6
+            ).alias("avg_speech"),
+            # BOUNDED: <=2 sampled videos per channel by the probe's
+            # own max_per_channel window
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("video_id", "vdoc"))
+                    ),
+                    lambda e: e["vdoc"],
+                ),
+                "|",
+            ).alias("quality_doc"),
+        )
+        .select(
+            F.concat(F.lit("https://yt/c/"), F.col("channel_id")).alias(
+                "url"
+            ),
+            "n_videos",
+            "n_segments",
+            "avg_snr",
+            "avg_speech",
+            "quality_doc",
+        )
+        .orderBy("url")
+    )

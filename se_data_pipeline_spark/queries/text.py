@@ -1205,6 +1205,17 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted — dedup only acts on connected docs.
     """
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs)
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Pregel-style min-label propagation to fixpoint over an
+    undirected pair frame (columns doc_a, doc_b) — the shared
+    clustering engine of dedup_connected_components and the semantic
+    twin (vectors.semantic_dedup_canonical_corpus). Returns (doc_id,
+    cluster_id) for every CONNECTED node; the cluster id is its
+    smallest member. Per-round localCheckpoints cut the iterative
+    lineage (O(d) passes, not O(d^2) replans)."""
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

@@ -856,6 +856,102 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    b AS (
+      SELECT *,
+             (CASE WHEN embedding[1]  > 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[14] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[28] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[42] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings),
+    good AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM b a JOIN b b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_SQL_COS_AB} >= {_NEAR_DUP_COS}),
+    edges AS (SELECT va AS a, vb AS bb FROM good
+              UNION ALL SELECT vb, va FROM good),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(src, node) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.bb FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (SELECT src AS id, MIN(node) AS cluster_id
+             FROM reach GROUP BY src),
+    sizes AS (SELECT cluster_id, COUNT(*) AS n_merged
+              FROM comp GROUP BY cluster_id),
+    dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           CAST(COALESCE(s.n_merged, 1) AS BIGINT) AS n_merged
+    FROM documents d
+    LEFT JOIN sizes s ON s.cluster_id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+    ORDER BY d.doc_id
+    """,
+)
+def semantic_dedup_canonical_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SemDeDup pipeline HEAD (r9 VERDICT optional #7): the
+    corpus a training run consumes after SEMANTIC dedup — transitive
+    near-dup clusters over the embedding pair graph, min-id survivor
+    per cluster, survivors materialized with how many documents each
+    absorbed. Completes the vector-path arc the way
+    dedup_canonical_corpus completes the exact-hash path: pairs
+    (embedding_near_dup_pairs, LSH-bucket-bounded) → transitive
+    clusters (the shared text._min_label_components Pregel engine —
+    A~B, B~C merge even when A~C was never scored, which the
+    per-pair verdict of semantic_dedup_keep cannot do) → anti-join
+    drop set → survivor rows from the documents table (vec_id/doc_id
+    aligned by the embedding job's construction, the
+    corpus_joint_curation convention).
+
+    Scale: pair discovery is bucket-bounded; propagation rounds =
+    cluster diameter (near-dup clusters are shallow), each round a
+    distributed join+groupBy with checkpoint-cut lineage; the final
+    materialization is one anti-join + one broadcast-sized cluster-
+    size join against the corpus. The DuckDB oracle replays the
+    whole arc with a recursive CTE."""
+    from se_data_pipeline_spark.queries.text import (
+        _min_label_components,
+    )
+
+    pairs = embedding_near_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = _min_label_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_merged")
+    )
+    dropped = comp.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .join(
+            sizes.select(
+                F.col("cluster_id").alias("doc_id"), "n_merged"
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.coalesce("n_merged", F.lit(1).cast("long")).alias(
+                "n_merged"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Binary-quantization constants (used by ann_recall_report's oracle
 # below and by embedding_binary_quant_rerank at the end of the file).
 _BQ_CANDIDATES = 100
