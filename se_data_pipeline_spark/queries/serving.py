@@ -160,14 +160,14 @@ def ivf_served_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.orderBy("vec_id").limit(1).collect()
+    if not head:  # empty-corpus sweep: no query vector, no report
+        return spark.createDataFrame(
+            [], "nprobe int, k int, n_found bigint, recall double"
+        )
     store = tempfile.mkdtemp(prefix="ivf_served_")
     write_ivf_index(emb, store, cell_col="label")
-    q_vec = [
-        float(x)
-        for x in emb.orderBy("vec_id")
-        .limit(1)
-        .collect()[0]["embedding"]
-    ]
+    q_vec = [float(x) for x in head[0]["embedding"]]
     brute = F.broadcast(
         ivf_candidates(
             spark, store, q_vec, nprobe=1_000_000, n=_IVF_RECALL_K
@@ -240,20 +240,21 @@ def hybrid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v_store = tempfile.mkdtemp(prefix="hybrid_ivf_")
-    write_ivf_index(emb, v_store, cell_col="label")
-    q_vec = [
-        float(x)
-        for x in emb.orderBy("vec_id")
-        .limit(1)
-        .collect()[0]["embedding"]
-    ]
-    dense = ivf_candidates(
-        spark, v_store, q_vec, nprobe=1_000_000, n=_HYBRID_K
-    ).select(
-        F.col("vec_id").alias("doc_id"),
-        F.round("cos_sim", 6).alias("cos_sim"),
-    )
+    head = emb.orderBy("vec_id").limit(1).collect()
+    if not head:  # empty-corpus sweep: dense leg contributes nothing
+        dense = spark.createDataFrame(
+            [], "doc_id bigint, cos_sim double"
+        )
+    else:
+        v_store = tempfile.mkdtemp(prefix="hybrid_ivf_")
+        write_ivf_index(emb, v_store, cell_col="label")
+        q_vec = [float(x) for x in head[0]["embedding"]]
+        dense = ivf_candidates(
+            spark, v_store, q_vec, nprobe=1_000_000, n=_HYBRID_K
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
     return _rrf_head(sparse, dense)
 
 _defer_copy_of("bm25_served_parity", "doc_bm25_search")

@@ -542,11 +542,15 @@ def ivf_candidates(
             )
             .drop("tomb_b")
         )
+    # ANSI guard: an all-zero stored vector has vnorm 0 — score NULL
+    # (unrankable; desc sort puts NULLS LAST) instead of the ANSI
+    # divide-by-zero throw the degenerate-corpus sweep catches
+    denom = vnorm * F.lit(qn)
     return (
         probed.select(
             "vec_id",
             "cell",
-            (dot / (vnorm * F.lit(qn))).alias("cos_sim"),
+            F.when(denom != 0, dot / denom).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(n)
