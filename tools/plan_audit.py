@@ -104,6 +104,19 @@ EAGER_OK = {
     "daily frame, r8 — collapses 4 fact scans to 1; the checkpoints "
     "are lazy but AQE materializes their shuffle stages at toRdd "
     "time, which is what the eager counter sees)",
+    # r10 store-LIFECYCLE queries: the build/revise writes ARE the
+    # subject under oracle test (store in a scratch dir per call,
+    # serving.py module docstring) — batch-bounded jobs by
+    # construction, plus bounded collects (1 query vector, n_cells
+    # centroids, 1-row totals/correction scalars)
+    "bm25_served_parity": "store lifecycle under test: build + "
+    "revise writes (batch-bounded) + 1-row correction collects",
+    "ivf_served_recall": "store lifecycle under test: index build "
+    "write + bounded collects (1 query vector, n_cells centroids)",
+    "hybrid_served": "store lifecycle under test: both leg stores "
+    "built per call + bounded collects (query vector, centroids)",
+    "semantic_dedup_canonical_corpus": "iterative Pregel loop "
+    "(shared _min_label_components): localCheckpoint per round",
 }
 
 
