@@ -750,12 +750,61 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     swap_compacted(spark, index_path, _write, "IVF index")
 
 
+def delete_bq_vectors(
+    spark: SparkSession, ids: DataFrame, index_path: str
+) -> int:
+    """Remove vectors from a delta-layout BQ index (r10, completing
+    the tombstone story across all four stores): deletion is an
+    IN-BAND marker — a NULL-code row for the id at a fresh batch_id.
+    bq_candidates' latest-wins fold picks the newest row per id, so
+    the NULL marker knocks out every older code and is itself
+    dropped by the final code-IS-NOT-NULL cut; a vector re-emitted
+    by the maintenance stream in a still-later batch simply wins
+    again. No sibling tombstone table means no cross-directory crash
+    window: the marker rides the same dynamic-partition-overwrite
+    protocol as every other delta (an interrupted delete re-runs
+    with the same batch id and overwrites its own partition).
+
+    Requires the batch_id delta layout (maintain_bq_index / a
+    compacted store); a flat write_bq_index store has no batch
+    dimension to version against — rebuild it without the rows
+    instead. Returns the batch id used."""
+    from pyspark.sql import functions as F
+
+    idx = spark.read.parquet(index_path)
+    if "batch_id" not in idx.columns:
+        raise ValueError(
+            f"BQ index at {index_path} is a flat rebuild store "
+            "(no batch_id layout) — deletes need the delta layout; "
+            "rebuild with write_bq_index minus the rows instead"
+        )
+    mx = idx.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+    next_b = max(0, (mx if mx is not None else -1) + 1)
+    (
+        ids.select("vec_id")
+        .distinct()
+        .select(
+            "vec_id",
+            F.lit(None).cast("long").alias("code"),
+            F.lit(next_b).alias("batch_id"),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
+    return next_b
+
+
 def compact_bq_index(spark: SparkSession, index_path: str) -> None:
     """Fold a stream-maintained BQ index (maintain_bq_index's
     one-partition-per-micro-batch layout) into a single
     ``batch_id=-1`` base partition, keeping ONLY the latest code per
     vec_id (max_by batch_id) — stale codes from re-emitted vectors
-    are physically dropped, and the partition count stops growing
+    are physically dropped, ids whose latest row is a NULL-code
+    delete marker (delete_bq_vectors) are dropped ENTIRELY (marker
+    and history fold away together — no tombstone survives
+    compaction), and the partition count stops growing
     one-per-batch. Same contract as streaming/jobs.compact_term_stats:
     run ONLY while the stream is stopped (committed batch ids never
     replay, so folding them cannot duplicate; a restarted stream
@@ -769,7 +818,14 @@ def compact_bq_index(spark: SparkSession, index_path: str) -> None:
         (
             spark.read.parquet(index_path)
             .groupBy("vec_id")
-            .agg(F.max_by("code", "batch_id").alias("code"))
+            # struct-wrapped: max_by must return the NEWEST row even
+            # when its code is NULL (a delete marker) — the struct is
+            # never null, so null-code rows can win the fold
+            .agg(
+                F.max_by(F.struct("code"), "batch_id").alias("s")
+            )
+            .select("vec_id", F.col("s.code").alias("code"))
+            .filter(F.col("code").isNotNull())  # folded-out deletes
             .withColumn("batch_id", F.lit(-1))
             .write.mode("overwrite")
             .partitionBy("batch_id")
@@ -807,9 +863,6 @@ def bq_candidates(
     sel = idx.select(id_col, "code", *(
         ["batch_id"] if "batch_id" in idx.columns else []
     ))
-    # defensive: a foreign index with NULL codes must not rank
-    # unsearchable rows first (Spark sorts NULLS FIRST ascending)
-    sel = sel.filter(F.col("code").isNotNull())
     if "batch_id" in idx.columns:
         # stream-maintained index (maintain_bq_index): a vec re-emitted
         # with an updated embedding lands a NEW code in a LATER
@@ -818,9 +871,18 @@ def bq_candidates(
         # matching the batch write_bq_index rebuild semantics. One
         # extra 16-byte-row shuffle on the index, never the vectors;
         # fold old partitions with compact_bq_index to drop it.
+        # struct-wrapped max_by so a NULL-code DELETE marker
+        # (delete_bq_vectors) can win the fold and knock out older
+        # codes; the notNull cut below then drops the deleted id.
         sel = sel.groupBy(id_col).agg(
-            F.max_by("code", "batch_id").alias("code")
+            F.max_by(F.struct("code"), "batch_id")["code"].alias(
+                "code"
+            )
         )
+    # drops delete markers that won the fold — and, defensively, a
+    # foreign index's NULL codes, which must not rank unsearchable
+    # rows first (Spark sorts NULLS FIRST ascending)
+    sel = sel.filter(F.col("code").isNotNull())
     return (
         sel
         .withColumn(
@@ -887,6 +949,15 @@ def _posting_frames(docs: DataFrame, batch_id: int, n_buckets: int):
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("batch_id", F.lit(batch_id))
         .withColumn("tok_bucket", _tok_bucket_col(n_buckets))
+        # co-locate each bucket's rows in ONE task before the
+        # partitioned write: without this every shuffle task holding
+        # any of a bucket's rows emits its own file into that
+        # bucket's directory — files = O(buckets x tasks) instead of
+        # O(buckets) (measured 2048 -> 64 in the SCALE_CHECK store).
+        # One bounded extra shuffle of the (already term-aggregated)
+        # postings rows buys a store whose file count equals its
+        # directory count.
+        .repartition(F.col("tok_bucket"))
     )
     totals = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -259,7 +259,10 @@ def maintain_bq_index(
     dedupes on read whenever the batch_id column is present, ADVICE
     r7), and sources/layout.compact_bq_index physically drops the
     stale codes by folding all partitions into a batch_id=-1 base
-    (run while the stream is stopped, like compact_term_stats)."""
+    (run while the stream is stopped, like compact_term_stats).
+    DELETES ride the same fold: sources/layout.delete_bq_vectors
+    (r10) writes a NULL-code marker at a fresh batch id, which wins
+    the latest-wins read and is dropped by the final notNull cut."""
 
     from se_data_pipeline_spark.functions.vectors import pack_sign_bits
 
