@@ -1126,6 +1126,52 @@ def _next_postings_batch(spark: SparkSession, out_dir: str) -> int:
     return max(0, (mx if mx is not None else -1) + 1)
 
 
+def _corrected_totals(
+    spark: SparkSession,
+    out_dir: str,
+    ids: DataFrame,
+    next_b: int,
+    totals_new: DataFrame | None,
+) -> DataFrame:
+    """Totals CORRECTION delta for a revision/delete batch, built as
+    ONE lazy plan (r10 perf pass: the first cut collected the old
+    and new 1-row aggregates to the driver — two whole Spark jobs —
+    then re-uploaded a literal; the store write executes the same
+    arithmetic in one job). `totals_new` is None for pure deletes."""
+    from pyspark.sql import functions as F
+
+    old = (
+        _live_doclens(spark, out_dir, before_batch=next_b)
+        .join(ids, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_old"),
+            F.coalesce(F.sum("dl"), F.lit(0))
+            .cast("long")
+            .alias("old_tokens"),
+        )
+    )
+    if totals_new is None:
+        totals_new = spark.range(1).select(
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_tokens"),
+        )
+    return (
+        totals_new.crossJoin(F.broadcast(old))  # 1-row x 1-row
+        .select(
+            (F.col("n_docs") - F.col("n_old"))
+            .cast("long")
+            .alias("n_docs"),
+            (
+                F.coalesce(F.col("n_tokens"), F.lit(0))
+                - F.col("old_tokens")
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.lit(next_b).alias("batch_id"),
+        )
+    )
+
+
 def revise_posting_lists(
     spark: SparkSession, docs_v2: DataFrame, out_dir: str
 ) -> int:
@@ -1165,28 +1211,9 @@ def revise_posting_lists(
     next_b = _next_postings_batch(spark, out_dir)
 
     ids = docs_v2.select("doc_id").distinct()
-    old = (
-        _live_doclens(spark, out_dir, before_batch=next_b)
-        .join(ids, "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_old"),
-            F.coalesce(F.sum("dl"), F.lit(0))
-            .cast("long")
-            .alias("old_tokens"),
-        )
-        .collect()[0]
-    )
     tf, totals_new = _posting_frames(docs_v2, next_b, nb)
-    new = totals_new.collect()[0]
-    totals_delta = spark.createDataFrame(
-        [
-            (
-                int(new["n_docs"]) - int(old["n_old"]),
-                int(new["n_tokens"] or 0) - int(old["old_tokens"]),
-                next_b,
-            )
-        ],
-        _POSTINGS_TOTALS_SCHEMA,
+    totals_delta = _corrected_totals(
+        spark, out_dir, ids, next_b, totals_new
     )
 
     def _dyn(df: DataFrame, cols: list[str], path: str) -> None:
@@ -1226,17 +1253,7 @@ def delete_posting_docs(
     recover_compacting(spark, out_dir)
     next_b = _next_postings_batch(spark, out_dir)
     ids = doc_ids.select("doc_id").distinct()
-    old = (
-        _live_doclens(spark, out_dir, before_batch=next_b)
-        .join(ids, "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_old"),
-            F.coalesce(F.sum("dl"), F.lit(0))
-            .cast("long")
-            .alias("old_tokens"),
-        )
-        .collect()[0]
-    )
+    totals_delta = _corrected_totals(spark, out_dir, ids, next_b, None)
     (
         ids.withColumn("batch_id", F.lit(next_b))
         .write.mode("overwrite")
@@ -1245,11 +1262,7 @@ def delete_posting_docs(
         .parquet(f"{out_dir}/tombstones")
     )
     (
-        spark.createDataFrame(
-            [(-int(old["n_old"]), -int(old["old_tokens"]), next_b)],
-            _POSTINGS_TOTALS_SCHEMA,
-        )
-        .coalesce(1)
+        totals_delta.coalesce(1)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")

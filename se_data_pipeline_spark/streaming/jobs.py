@@ -1168,10 +1168,9 @@ def maintain_posting_lists(
     from pyspark.sql import functions as F
 
     from se_data_pipeline_spark.sources.layout import (
-        _POSTINGS_TOTALS_SCHEMA,
         POSTINGS_TOK_BUCKETS,
+        _corrected_totals,
         _doclens_frame,
-        _live_doclens,
         _posting_frames,
         _postings_meta_buckets,
         _write_postings_meta,
@@ -1208,29 +1207,15 @@ def maintain_posting_lists(
         tf, totals = _posting_frames(batch, batch_id, nb)
         if allow_revisions and fs.exists(dl_path):
             # totals correction: subtract the replaced versions'
-            # contribution (replay-safe: the fold excludes THIS batch)
-            old = (
-                _live_doclens(spark, out_dir, before_batch=batch_id)
-                .join(batch.select("doc_id").distinct(), "doc_id")
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n_old"),
-                    F.coalesce(F.sum("dl"), F.lit(0))
-                    .cast("long")
-                    .alias("old_tokens"),
-                )
-                .collect()[0]
-            )
-            new = totals.collect()[0]
-            totals = spark.createDataFrame(
-                [
-                    (
-                        int(new["n_docs"]) - int(old["n_old"]),
-                        int(new["n_tokens"] or 0)
-                        - int(old["old_tokens"]),
-                        batch_id,
-                    )
-                ],
-                _POSTINGS_TOTALS_SCHEMA,
+            # contribution (replay-safe: the fold excludes THIS
+            # batch) — one lazy plan, no driver round-trips
+            # (layout._corrected_totals)
+            totals = _corrected_totals(
+                spark,
+                out_dir,
+                batch.select("doc_id").distinct(),
+                batch_id,
+                totals,
             )
         _dyn(tf, ["batch_id", "tok_bucket"], postings_dir)
         _dyn(
