@@ -295,6 +295,8 @@ HEADLINE = [
     "bm25_served_parity",
     "ivf_served_recall",
     "hybrid_served",
+    # r10b: exact-phrase retrieval from the positional posting store
+    "phrase_served_topk",
 ]
 
 

@@ -259,3 +259,55 @@ def hybrid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _defer_copy_of("bm25_served_parity", "doc_bm25_search")
 _defer_copy_of("hybrid_served", "doc_hybrid_search")
+
+
+_PHRASE = ("table", "hash")  # most frequent fixture bigram (48 hits at sf0.01)
+
+
+def _phrase_oracle() -> str:
+    cond = " AND ".join(
+        f"ts[i+{k}] = '{t}'" for k, t in enumerate(_PHRASE)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len([i for i in range(1, len(ts) - {len(_PHRASE) - 2})
+                       if {cond}]) AS INTEGER) AS n_hits
+      FROM t)
+    SELECT doc_id, n_hits FROM m
+    WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("phrase_served_topk", oracle=_phrase_oracle())
+def phrase_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval served from a POSITIONAL posting-list
+    store (write_positional_postings → phrase_from_postings): docs
+    ranked by how often the phrase occurs as ADJACENT tokens — the
+    query class a frequency-only index cannot answer and the reason
+    production posting lists carry positions. The oracle recounts
+    adjacency by scanning the raw text in SQL, so the whole
+    positional lifecycle (positions collected per (doc, term),
+    bucket-pruned K-term read, start-set intersection fold) is
+    hash-checked end-to-end.
+
+    Scale: the store's partition key space is bounded at n_buckets
+    (O(buckets) directories and files regardless of vocabulary); a
+    K-term phrase prunes to <=K bucket dirs, the legs join doc-keyed,
+    and per-doc work is bounded by the rarest term's position list —
+    corpus text is never read at serve time."""
+    from se_data_pipeline_spark.sources.layout import (
+        phrase_from_postings,
+        write_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    store = tempfile.mkdtemp(prefix="phrase_store_")
+    write_positional_postings(docs, store)
+    return phrase_from_postings(spark, store, _PHRASE, limit=10)

@@ -1271,6 +1271,121 @@ def delete_posting_docs(
     return next_b
 
 
+# positional postings: the phrase-query layout (positions array kept
+# per (doc, term); same bucket-sharded partition scheme)
+_POS_POSTINGS_SCHEMA = (
+    "doc_id bigint, pos array<int>, tok string, "
+    "batch_id int, tok_bucket bigint"
+)
+
+
+def write_positional_postings(
+    docs: DataFrame, out_dir: str, n_buckets: int = POSTINGS_TOK_BUCKETS
+) -> None:
+    """Materialize a POSITIONAL posting-list store: per (doc, term)
+    one row carrying the sorted array of the term's token positions
+    — the layout phrase/proximity queries need (a frequency-only
+    posting list cannot answer "are these terms ADJACENT"). Same
+    bounded bucket-sharded partition scheme as write_posting_lists
+    (``batch_id/tok_bucket``, modulus in the meta table), so a
+    K-term phrase prunes to <=K bucket dirs and directory count is
+    O(buckets), never O(vocabulary). Positions are a separate
+    parquet column: frequency-style readers that prune columns never
+    pay for them. Append-only in r10 (a revision path would follow
+    the write_posting_lists tombstone pattern verbatim)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("pos"))
+        .withColumn("batch_id", F.lit(-1))
+        .withColumn("tok_bucket", _tok_bucket_col(n_buckets))
+        .repartition(F.col("tok_bucket"))  # one file per bucket dir
+    )
+    rows.write.mode("overwrite").partitionBy(
+        "batch_id", "tok_bucket"
+    ).parquet(f"{out_dir}/postings")
+    _write_postings_meta(docs.sparkSession, out_dir, n_buckets)
+
+
+def phrase_from_postings(
+    spark: SparkSession,
+    out_dir: str,
+    phrase: tuple[str, ...],
+    limit: int = 10,
+) -> DataFrame:
+    """Exact-phrase search served from a write_positional_postings
+    store: prune to the phrase terms' <=K bucket dirs, pivot the
+    matching rows to one row per doc (each term's position array in
+    its own column — ONE shuffle; rows are unique per (doc, term) by
+    the store contract, so the conditional first() is exact), then
+    fold the start set row-locally: after term i, `starts` holds
+    every position s where tokens s..s+i match the phrase prefix,
+    via array_intersect(starts, pos_i - i). The classic positional-
+    index phrase algorithm (Manning et al. IIR ch.2) with the K-way
+    self-join replaced by a pivot — a K-leg self-join of one frame
+    trips Spark's shared-lineage ambiguity, and the pivot is the
+    better plan anyway (one exchange, no join). Docs missing ANY
+    term fold to a NULL start set (coalesced to 0 hits); corpus text
+    is never touched at serve time."""
+    from pyspark.sql import functions as F
+
+    if len(phrase) < 2:
+        raise ValueError("a phrase needs at least two terms")
+    recover_compacting(spark, out_dir)
+    n_buckets = _postings_meta_buckets(spark, out_dir)
+    terms = sorted(set(phrase))
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "tok string"
+            )
+            .select(_tok_bucket_col(n_buckets).alias("b"))
+            .collect()
+        }
+    )
+    p = (
+        spark.read.schema(_POS_POSTINGS_SCHEMA)
+        .parquet(f"{out_dir}/postings")
+        .filter(F.col("tok_bucket").isin(buckets))
+        .filter(F.col("tok").isin(terms))
+    )
+    byd = p.groupBy("doc_id").agg(
+        *[
+            F.first(
+                F.when(F.col("tok") == t, F.col("pos")),
+                ignorenulls=True,
+            ).alias(f"p{i}")
+            for i, t in enumerate(phrase)
+        ]
+    )
+    def _shifted(col_name: str, k: int):
+        # NB: the lambda must stay SINGLE-argument — F.transform
+        # dispatches on lambda arity, and a second parameter (even a
+        # defaulted one) makes it the ARRAY INDEX, silently replacing
+        # the intended shift (found the hard way: `lambda x, _i=k`
+        # computed x - position_in_array)
+        return F.transform(F.col(col_name), lambda x: x - F.lit(k))
+
+    starts = F.col("p0")
+    for i in range(1, len(phrase)):
+        starts = F.array_intersect(starts, _shifted(f"p{i}", i))
+    return (
+        byd.select(
+            "doc_id",
+            F.coalesce(F.size(starts), F.lit(0)).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
 def compact_posting_lists(spark: SparkSession, out_dir: str) -> None:
     """Fold a posting-list store's per-batch deltas back into a
     single ``batch_id=-1`` base — and fold its TOMBSTONES OUT:

@@ -520,3 +520,55 @@ def test_swap_compacted_missing_store_raises_value_error(
         )
     with pytest.raises(ValueError, match="IVF cells store"):
         compact_ivf_index(spark, str(tmp_path / "no_such_index"))
+
+
+def test_positional_postings_phrase_search(spark, tmp_path):
+    """Phrase serving from the positional store: multi-term start-set
+    folding (including a 3-term phrase and a repeated-term phrase),
+    docs missing any term fold to zero hits, and the guard on
+    degenerate 1-term phrases. The oracle-checked phrase_served_topk
+    covers the real corpus; this pins the algorithm's edges."""
+    import pytest
+
+    from se_data_pipeline_spark.sources.layout import (
+        phrase_from_postings,
+        write_positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c x"),
+            (2, "a b x b c"),
+            (3, "c b a"),
+            (4, "b b b"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "pos_store")
+    write_positional_postings(docs, store, n_buckets=8)
+
+    got = {
+        (r["doc_id"], r["n_hits"])
+        for r in phrase_from_postings(spark, store, ("a", "b", "c")).collect()
+    }
+    assert got == {(1, 2)}
+
+    got2 = {
+        (r["doc_id"], r["n_hits"])
+        for r in phrase_from_postings(spark, store, ("b", "c")).collect()
+    }
+    assert got2 == {(1, 2), (2, 1)}
+
+    # repeated-term phrase: overlapping occurrences both count
+    got3 = {
+        (r["doc_id"], r["n_hits"])
+        for r in phrase_from_postings(spark, store, ("b", "b")).collect()
+    }
+    assert got3 == {(4, 2)}
+
+    # a phrase containing an absent term matches nothing
+    assert (
+        phrase_from_postings(spark, store, ("a", "zz")).count() == 0
+    )
+    with pytest.raises(ValueError, match="at least two"):
+        phrase_from_postings(spark, store, ("a",))

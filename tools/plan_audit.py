@@ -115,6 +115,8 @@ EAGER_OK = {
     "write + bounded collects (1 query vector, n_cells centroids)",
     "hybrid_served": "store lifecycle under test: both leg stores "
     "built per call + bounded collects (query vector, centroids)",
+    "phrase_served_topk": "store lifecycle under test: positional "
+    "store build (batch-bounded write) + K-row term-bucket collect",
     "semantic_dedup_canonical_corpus": "iterative Pregel loop "
     "(shared _min_label_components): localCheckpoint per round",
 }
