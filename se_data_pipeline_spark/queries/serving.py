@@ -15,15 +15,31 @@ reference's probe JSONL feeds (filter_channel.py:49-54 → documents
 table); its re-ingest ledger (data_pipeline.py:559-577) is why the
 revision step is part of the checked lifecycle.
 
-Each query builds its store in a fresh scratch directory (the store
-is the SUBJECT under test, not a cache); at sf0.01/sf0.1 the builds
-are a few seconds and the stores a few MB. Production pins a store
-once and serves many queries — the lifecycle-per-call shape here is
-the correctness harness, not the deployment shape.
+Each query builds its store in a scratch directory (the store is the
+SUBJECT under test, not a cache); at sf0.01/sf0.1 the builds are a
+few seconds and the stores a few MB. Production pins a store once
+and serves many queries — the lifecycle-per-call shape here is the
+correctness harness, not the deployment shape.
+
+Scratch hygiene (ADVICE r10): all scratch stores live under ONE
+pid-scoped root; each query RECYCLES its own fixed subdir (rmtree +
+rebuild at call time — by the time a query is re-invoked, the frame
+its previous call returned has been consumed), and the whole root is
+removed at interpreter exit, so a full gate sweep + bench run leaves
+/tmp clean instead of accumulating one orphaned store per call.
+Single-flight assumption: a query's returned frame must be collected
+before the SAME query is called again in this process (true for the
+driver gate, the bench harness, and pytest). NB the scratch root is
+DRIVER-LOCAL temp space — correct in local mode and for these
+lifecycle checks, but a real cluster deployment points the layout
+helpers at a cluster filesystem path instead.
 """
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +47,26 @@ from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
 from se_data_pipeline_spark.queries import _REGISTRY, defer_oracle, query
+
+_SCRATCH_ROOT = os.path.join(
+    tempfile.gettempdir(), f"se_pipeline_serving_{os.getpid()}"
+)
+
+
+def _scratch(name: str) -> str:
+    """Per-query scratch store dir under the session root: cleared of
+    the previous call's store (stale tombstones/fences from a prior
+    lifecycle would corrupt the rebuild), created fresh, reaped at
+    exit."""
+    path = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@atexit.register
+def _reap_scratch() -> None:
+    shutil.rmtree(_SCRATCH_ROOT, ignore_errors=True)
 
 
 def _defer_copy_of(this: str, upstream: str) -> None:
@@ -82,7 +118,7 @@ def bm25_served_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" zzv1junk zzv1junk")),
         ).otherwise(F.col("text")),
     )
-    store = tempfile.mkdtemp(prefix="bm25_served_")
+    store = _scratch("bm25_served")
     write_posting_lists(v1, store)
     revise_posting_lists(spark, docs.filter("doc_id % 3 = 0"), store)
     return bm25_from_postings(spark, store, SEARCH_TERMS, limit=20)
@@ -165,7 +201,7 @@ def ivf_served_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "nprobe int, k int, n_found bigint, recall double"
         )
-    store = tempfile.mkdtemp(prefix="ivf_served_")
+    store = _scratch("ivf_served")
     write_ivf_index(emb, store, cell_col="label")
     q_vec = [float(x) for x in head[0]["embedding"]]
     brute = F.broadcast(
@@ -233,7 +269,7 @@ def hybrid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    p_store = tempfile.mkdtemp(prefix="hybrid_postings_")
+    p_store = _scratch("hybrid_postings")
     write_posting_lists(docs, p_store)
     sparse = bm25_from_postings(
         spark, p_store, SEARCH_TERMS, limit=_HYBRID_K
@@ -246,7 +282,7 @@ def hybrid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id bigint, cos_sim double"
         )
     else:
-        v_store = tempfile.mkdtemp(prefix="hybrid_ivf_")
+        v_store = _scratch("hybrid_ivf")
         write_ivf_index(emb, v_store, cell_col="label")
         q_vec = [float(x) for x in head[0]["embedding"]]
         dense = ivf_candidates(
@@ -308,6 +344,6 @@ def phrase_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
-    store = tempfile.mkdtemp(prefix="phrase_store_")
+    store = _scratch("phrase_store")
     write_positional_postings(docs, store)
     return phrase_from_postings(spark, store, _PHRASE, limit=10)

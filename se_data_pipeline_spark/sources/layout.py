@@ -98,6 +98,91 @@ def swap_compacted(
         )
 
 
+# Offline-revision batch-id fence (ADVICE r10, high): a store's
+# streaming maintainer numbers its writes with CHECKPOINT-scoped
+# micro-batch ids (0..M), while offline revise/delete derives its id
+# from the store's committed high-water mark — which for a
+# stream-maintained store is exactly M+1, the id the RESUMED stream's
+# next micro-batch will also use. Its dynamic partition overwrite
+# would then clobber the revision's partitions: replacement rows lost
+# while the surviving tombstones still kill the old rows — silent
+# document loss. The two counters are independent by design (the
+# stream's replay idempotence REQUIRES checkpoint-scoped ids), so the
+# collision cannot be renumbered away without breaking crash
+# convergence; instead every offline writer CLAIMS its batch id in a
+# tiny fence table before touching the store, and every maintainer
+# checks its micro-batch id against the fence and fails LOUDLY on a
+# claimed id, with the remedy in the message (compact — which folds
+# the claimed batches into the base and clears the fence — then
+# restart from a fresh checkpoint).
+_OFFLINE_FENCE_SCHEMA = "batch_id int"
+
+
+def claim_offline_batch(
+    spark: SparkSession, fence_dir: str, batch_id: int
+) -> None:
+    """Record an offline revision/delete's claim on `batch_id` —
+    written BEFORE any other write of that batch, so even a crashed
+    (uncommitted) revision's id stays fenced against a resumed
+    maintenance stream. Append-only; a re-run's duplicate row is
+    harmless (the fence is read as a set)."""
+    spark.createDataFrame(
+        [(int(batch_id),)], _OFFLINE_FENCE_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(fence_dir)
+
+
+def offline_claimed_ids(
+    spark: SparkSession, fence_dir: str
+) -> frozenset:
+    """The set of batch ids offline writers have claimed on this
+    store — empty for a store that has never been revised offline
+    (the common path: one fs.exists probe, no read). Bounded by the
+    number of offline operations since the last compaction."""
+    fs, p = _hadoop_path(spark, fence_dir)
+    if not fs.exists(p):
+        return frozenset()
+    return frozenset(
+        r["batch_id"]
+        for r in spark.read.schema(_OFFLINE_FENCE_SCHEMA)
+        .parquet(fence_dir)
+        .collect()
+    )
+
+
+def guard_stream_batch(
+    spark: SparkSession, fence_dir: str, batch_id: int, what: str
+) -> None:
+    """Fail a streaming maintainer's micro-batch LOUDLY when its
+    checkpoint-scoped id was already claimed by an offline
+    revision/delete — the silent alternative is the maintainer's
+    dynamic partition overwrite clobbering the revision's partitions
+    (replacement rows lost, tombstones still live: documents vanish
+    and totals corrupt)."""
+    if int(batch_id) in offline_claimed_ids(spark, fence_dir):
+        raise RuntimeError(
+            f"{what}: stream micro-batch {batch_id} collides with an "
+            "offline revision/delete that already claimed this batch "
+            "id while the stream was stopped. Resuming the old "
+            "checkpoint would overwrite the revision's partitions "
+            "(replacement rows lost, surviving tombstones still kill "
+            "the old rows — silent document loss). Remedy: compact "
+            "the store (folds every committed batch into the base "
+            "and clears the fence), then restart the stream from a "
+            "FRESH checkpoint directory."
+        )
+
+
+def drop_offline_fence(spark: SparkSession, fence_dir: str) -> None:
+    """Remove a store's fence table — called by compactors whose swap
+    does not already delete it (term-stats swaps subdirs; the BQ
+    fence is a sibling of the flat index dir). After compaction every
+    claimed batch is folded into the base, so a fresh-checkpoint
+    stream legitimately restarts at id 0."""
+    fs, p = _hadoop_path(spark, fence_dir)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
@@ -421,8 +506,10 @@ def revise_ivf_vectors(
     past the max across BOTH cells and tombstones, so a re-run after
     any partial write picks a FRESH id whose tombstones also kill
     the crashed partials — convergent without a log. Run while the
-    maintenance stream is stopped (its checkpoint-scoped batch ids
-    would collide). Returns the batch id used."""
+    maintenance stream is stopped — every claimed id is FENCED
+    (claim_offline_batch), so a stream resuming its old checkpoint
+    afterwards fails loudly instead of silently clobbering the
+    revision (ADVICE r10). Returns the batch id used."""
     from pyspark.sql import functions as F
 
     recover_compacting(spark, index_path)
@@ -455,6 +542,9 @@ def revise_ivf_vectors(
             (mx_tomb if mx_tomb is not None else -1),
         )
         + 1,
+    )
+    claim_offline_batch(
+        spark, f"{index_path}/offline_fence", next_b
     )
     rows = vecs_v2.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
@@ -780,6 +870,9 @@ def delete_bq_vectors(
         )
     mx = idx.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
     next_b = max(0, (mx if mx is not None else -1) + 1)
+    # the BQ index IS a parquet dir (no subdirectory namespace), so
+    # its fence lives at a sibling path — compact_bq_index drops it
+    claim_offline_batch(spark, _bq_fence_dir(index_path), next_b)
     (
         ids.select("vec_id")
         .distinct()
@@ -794,6 +887,13 @@ def delete_bq_vectors(
         .parquet(index_path)
     )
     return next_b
+
+
+def _bq_fence_dir(index_path: str) -> str:
+    """The BQ store's offline-fence location: a SIBLING of the flat
+    index dir (a subdir would break spark.read.parquet's partition
+    discovery on the index itself)."""
+    return index_path.rstrip("/") + ".fence"
 
 
 def compact_bq_index(spark: SparkSession, index_path: str) -> None:
@@ -833,6 +933,10 @@ def compact_bq_index(spark: SparkSession, index_path: str) -> None:
         )
 
     swap_compacted(spark, index_path, _write, "BQ index")
+    # every claimed batch is folded into the base now; a fresh
+    # checkpoint legitimately restarts at id 0 (the fence is a
+    # sibling, so the whole-dir swap cannot drop it for us)
+    drop_offline_fence(spark, _bq_fence_dir(index_path))
 
 
 def bq_candidates(
@@ -1202,13 +1306,20 @@ def revise_posting_lists(
     batch uncommitted, prior-state reads exclude it
     (before_batch=N), and a re-run reuses id N, overwriting the
     partial partitions. Run while any maintenance stream on this
-    store is stopped (stream batch ids live in ITS checkpoint and
-    would collide). Returns the batch id used."""
+    store is stopped — the claimed id is FENCED
+    (claim_offline_batch), so a stream resuming its old checkpoint
+    afterwards fails loudly instead of clobbering this revision's
+    partitions with its colliding micro-batch id (ADVICE r10; the
+    remedy is compact + fresh checkpoint). Returns the batch id
+    used."""
     from pyspark.sql import functions as F
 
     recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
     next_b = _next_postings_batch(spark, out_dir)
+    # fence the id against a resumed maintenance stream BEFORE any
+    # store write — even a crashed revision's id must stay claimed
+    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
 
     ids = docs_v2.select("doc_id").distinct()
     tf, totals_new = _posting_frames(docs_v2, next_b, nb)
@@ -1252,6 +1363,7 @@ def delete_posting_docs(
 
     recover_compacting(spark, out_dir)
     next_b = _next_postings_batch(spark, out_dir)
+    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
     ids = doc_ids.select("doc_id").distinct()
     totals_delta = _corrected_totals(spark, out_dir, ids, next_b, None)
     (
@@ -1407,10 +1519,22 @@ def compact_posting_lists(spark: SparkSession, out_dir: str) -> None:
     to the folded base."""
     from pyspark.sql import functions as F
 
+    # a prior compaction may have died between delete and rename,
+    # leaving the store only at <out_dir>.compacting — recover BEFORE
+    # the meta read raises 'has no meta table' (whose advice to
+    # rebuild would overwrite the only surviving copy; ADVICE r10).
+    # swap_compacted's own recovery runs too late for that read.
+    recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
-    tomb = _max_tombstones(spark, out_dir)
-    p = spark.read.schema(_POSTINGS_SCHEMA).parquet(
-        f"{out_dir}/postings"
+    # fold the COMMITTED state only: a crashed revision's partial
+    # postings/tombstones (its totals commit point never landed) must
+    # not be folded into the base with their correction missing
+    hw = _next_postings_batch(spark, out_dir)
+    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
+    p = (
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .parquet(f"{out_dir}/postings")
+        .filter(F.col("batch_id") < hw)
     )
     if tomb is not None:
         p = (
@@ -1421,7 +1545,7 @@ def compact_posting_lists(spark: SparkSession, out_dir: str) -> None:
             )
             .drop("tomb_b")
         )
-    live_dl = _live_doclens(spark, out_dir)
+    live_dl = _live_doclens(spark, out_dir, before_batch=hw)
     totals = (
         spark.read.schema(_POSTINGS_TOTALS_SCHEMA)
         .parquet(f"{out_dir}/totals")
@@ -1493,6 +1617,13 @@ def bm25_from_postings(
     # protocol as refresh_ivf_index)
     recover_compacting(spark, out_dir)
     n_buckets = _postings_meta_buckets(spark, out_dir)
+    # serve the COMMITTED state only (ADVICE r10): totals is every
+    # writer's LAST write, so max(totals batch_id)+1 is the committed
+    # high-water mark — a revision that crashed after its tombstone
+    # write but before its totals correction must stay invisible
+    # (its tombstones would otherwise drop the old rows while totals
+    # still count them) until its re-run lands the commit point.
+    hw = _next_postings_batch(spark, out_dir)
     # bucket ids for the K query terms: one bounded K-row local job
     # (Spark's xxhash64 has no public driver-side twin, so evaluate
     # the SAME Catalyst expression the writer used)
@@ -1509,16 +1640,17 @@ def bm25_from_postings(
     p = (
         spark.read.schema(_POSTINGS_SCHEMA)
         .parquet(f"{out_dir}/postings")
+        .filter(F.col("batch_id") < hw)  # committed batches only
         # partition pruning to <=K bucket dirs ...
         .filter(F.col("tok_bucket").isin(buckets))
         # ... then the exact-term cut within them (pushed data filter)
         .filter(F.col("tok").isin(*terms))
     )
-    # revised/deleted docs: drop rows a newer tombstone kills. The
-    # join runs over the already-PRUNED postings, and a store with no
-    # revisions has no tombstones table — zero cost on the
-    # append-only fast path (compaction folds tombstones out again).
-    tomb = _max_tombstones(spark, out_dir)
+    # revised/deleted docs: drop rows a newer COMMITTED tombstone
+    # kills. The join runs over the already-PRUNED postings, and a
+    # store with no revisions has no tombstones table — zero cost on
+    # the append-only fast path (compaction folds tombstones out).
+    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
     if tomb is not None:
         p = (
             p.join(tomb, "doc_id", "left")

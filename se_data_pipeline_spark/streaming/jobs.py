@@ -280,6 +280,21 @@ def maintain_bq_index(
         # UNABLE_TO_INFER_SCHEMA until real codes land
         if codes.isEmpty():
             return
+        from se_data_pipeline_spark.sources.layout import (
+            _bq_fence_dir,
+            guard_stream_batch,
+        )
+
+        # delete_bq_vectors fences its batch ids (sibling fence dir —
+        # the index itself is a flat parquet dir); resuming this
+        # stream's old checkpoint past an offline delete would reuse
+        # the marker's id and resurrect the deleted vectors
+        guard_stream_batch(
+            codes.sparkSession,
+            _bq_fence_dir(out_dir),
+            batch_id,
+            f"BQ index at {out_dir}",
+        )
         # per-writer dynamic mode: replace only THIS batch's partition
         # (no session-conf mutation — see maintain_hourly_rollup)
         (
@@ -360,6 +375,19 @@ def maintain_ivf_index(
         # write a zero-row partitioned store
         if rows.isEmpty():
             return
+        from se_data_pipeline_spark.sources.layout import (
+            guard_stream_batch,
+        )
+
+        # revise_ivf_vectors fences its batch ids; resuming this
+        # stream's old checkpoint past an offline revision would
+        # reuse one and clobber its partitions — fail loudly
+        guard_stream_batch(
+            rows.sparkSession,
+            f"{index_path}/offline_fence",
+            batch_id,
+            f"IVF index at {index_path}",
+        )
         (
             rows.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1055,6 +1083,19 @@ def maintain_term_stats(
         batch = batch_df.localCheckpoint()  # decouple from the stream
         if batch.isEmpty():
             return
+        from se_data_pipeline_spark.sources.layout import (
+            guard_stream_batch,
+        )
+
+        # a resumed checkpoint's next id collides with any offline
+        # revise_term_stats run while the stream was stopped — fail
+        # loudly instead of clobbering the correction delta
+        guard_stream_batch(
+            batch.sparkSession,
+            os.path.join(out_dir, "offline_fence"),
+            batch_id,
+            f"term-stats store at {out_dir}",
+        )
         toks = batch.select(
             "doc_id", F.explode(F.split("text", " ")).alias("tok")
         ).filter(F.col("tok") != "")
@@ -1171,9 +1212,11 @@ def maintain_posting_lists(
         POSTINGS_TOK_BUCKETS,
         _corrected_totals,
         _doclens_frame,
+        _hadoop_path,
         _posting_frames,
         _postings_meta_buckets,
         _write_postings_meta,
+        guard_stream_batch,
     )
 
     postings_dir = os.path.join(out_dir, "postings")
@@ -1192,6 +1235,16 @@ def maintain_posting_lists(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # offline revise/delete fences its batch ids against exactly
+        # this write (sources/layout.guard_stream_batch): resuming an
+        # old checkpoint after an offline revision would reuse its id
+        # and clobber the revision's partitions — fail loudly instead
+        guard_stream_batch(
+            spark,
+            os.path.join(out_dir, "offline_fence"),
+            batch_id,
+            f"posting-list store at {out_dir}",
+        )
         nb = _postings_meta_buckets(
             spark,
             out_dir,
@@ -1199,8 +1252,6 @@ def maintain_posting_lists(
                 POSTINGS_TOK_BUCKETS if n_buckets is None else n_buckets
             ),
         )
-        from se_data_pipeline_spark.sources.layout import _hadoop_path
-
         fs, dl_path = _hadoop_path(
             spark, os.path.join(out_dir, "doclens")
         )
@@ -1231,9 +1282,15 @@ def maintain_posting_lists(
                 ["batch_id"],
                 os.path.join(out_dir, "tombstones"),
             )
-        # meta is a 1-row idempotent overwrite — a replayed batch
-        # rewrites the identical modulus
-        _write_postings_meta(spark, out_dir, nb)
+        # meta is written ONCE, on the store-creating batch: the
+        # modulus never changes, and a per-batch delete+write of the
+        # one-row table opens a window where a concurrent
+        # bm25_from_postings serve reads 'has no meta table' or hits
+        # FileNotFound on listed-then-deleted files (ADVICE r10) —
+        # steady-state micro-batches leave the meta dir untouched
+        fs_m, meta_p = _hadoop_path(spark, os.path.join(out_dir, "meta"))
+        if not fs_m.exists(meta_p):
+            _write_postings_meta(spark, out_dir, nb)
         # totals LAST — the batch's commit point, matching the batch
         # revision path's crash-ordering contract
         _dyn(totals.coalesce(1), ["batch_id"], totals_dir)
@@ -1258,6 +1315,13 @@ def read_term_stats(spark: SparkSession, out_dir: str):
     deltas) leave the vocabulary, matching a rebuild."""
     import os
 
+    from se_data_pipeline_spark.sources.layout import recover_compacting
+
+    # a compact_term_stats swap may have died between delete and
+    # rename on either sub-store — finish it before the reads raise
+    # (the swappable-store entry protocol, ADVICE r10)
+    recover_compacting(spark, os.path.join(out_dir, "term_stats"))
+    recover_compacting(spark, os.path.join(out_dir, "corpus_totals"))
     terms = (
         spark.read.schema(_TERM_STATS_SCHEMA)
         .parquet(os.path.join(out_dir, "term_stats"))
@@ -1305,8 +1369,18 @@ def revise_term_stats(
     of an O(vocabulary) store; the posting-list store keeps a
     doclens ledger and needs no old text. `n_buckets` must match the
     store's modulus (maintain_term_stats default 64). Run while the
-    maintenance stream is stopped; returns the batch id used."""
+    maintenance stream is stopped — the batch id is FENCED against
+    the stream resuming its old checkpoint (claim_offline_batch);
+    returns the batch id used."""
     import os
+
+    from se_data_pipeline_spark.sources.layout import (
+        claim_offline_batch,
+        recover_compacting,
+    )
+
+    recover_compacting(spark, os.path.join(out_dir, "term_stats"))
+    recover_compacting(spark, os.path.join(out_dir, "corpus_totals"))
 
     def _sided(docs: DataFrame, sign: int):
         toks = docs.select(
@@ -1334,6 +1408,9 @@ def revise_term_stats(
         .collect()[0]["b"]
     )
     next_b = max(0, (mx if mx is not None else -1) + 1)
+    claim_offline_batch(
+        spark, os.path.join(out_dir, "offline_fence"), next_b
+    )
 
     new_t, new_tot = _sided(new_docs, 1)
     old_t, old_tot = _sided(old_docs, -1)
@@ -1412,7 +1489,17 @@ def compact_term_stats(
 
     from pyspark.sql import functions as F
 
-    from se_data_pipeline_spark.sources.layout import swap_compacted
+    from se_data_pipeline_spark.sources.layout import (
+        drop_offline_fence,
+        recover_compacting,
+        swap_compacted,
+    )
+
+    # finish any crashed prior swap on EITHER sub-store before the
+    # first _write's read_term_stats touches both paths (the second
+    # swap's own recovery would run only after that read raised)
+    recover_compacting(spark, os.path.join(out_dir, "term_stats"))
+    recover_compacting(spark, os.path.join(out_dir, "corpus_totals"))
 
     def _write_terms(tmp: str) -> None:
         terms, _ = read_term_stats(spark, out_dir)
@@ -1452,4 +1539,10 @@ def compact_term_stats(
         os.path.join(out_dir, "corpus_totals"),
         _write_totals,
         "corpus-totals store",
+    )
+    # every claimed revision batch is folded into the base now; this
+    # store swaps SUBDIRS, so the fence must be dropped explicitly
+    # (a fresh-checkpoint stream then legitimately restarts at id 0)
+    drop_offline_fence(
+        spark, os.path.join(out_dir, "offline_fence")
     )
