@@ -347,3 +347,280 @@ def phrase_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _scratch("phrase_store")
     write_positional_postings(docs, store)
     return phrase_from_postings(spark, store, _PHRASE, limit=10)
+
+
+def _ghost_docs(spark: SparkSession) -> DataFrame:
+    """Synthetic phrase-heavy documents injected into the v1 build
+    and DELETED during the lifecycle: their n_hits would dominate the
+    top-10, so a tombstone that fails to kill them (or a delete that
+    leaks through compaction) breaks the hash loudly rather than
+    perturbing a low rank."""
+    return spark.createDataFrame(
+        [
+            (1_000_000_000 + i, ("table hash " * 12).strip())
+            for i in range(4)
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _perturbed_v1(docs: DataFrame) -> DataFrame:
+    """v1 corpus for the phrase lifecycle: a third of the documents
+    get fake phrase occurrences PREPENDED — every true occurrence in
+    those docs also shifts position, so both phantom hits and stale
+    position arrays are distinguishable from the truth."""
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("table hash table hash "), F.col("text")
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def _phrase_lifecycle(
+    spark: SparkSession, sf_dir: str, store: str
+) -> None:
+    """build(perturbed v1 + ghost docs) → revise(true text) →
+    delete(ghosts): the store's final live state equals the raw
+    corpus, so _phrase_oracle over the documents table is the exact
+    truth for any serve that follows."""
+    from se_data_pipeline_spark.sources.layout import (
+        delete_positional_docs,
+        revise_positional_postings,
+        write_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    ghosts = _ghost_docs(spark)
+    write_positional_postings(
+        _perturbed_v1(docs).unionByName(ghosts), store
+    )
+    revise_positional_postings(
+        spark, docs.filter("doc_id % 3 = 0"), store
+    )
+    delete_positional_docs(spark, ghosts.select("doc_id"), store)
+
+
+@query("phrase_served_parity", oracle=_phrase_oracle())
+def phrase_served_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval after a full positional-store REVISION
+    cycle (r10 VERDICT next #1), checked against the raw-text
+    adjacency recount: build from a perturbed corpus plus
+    phrase-heavy ghost documents, revise the perturbed slice back to
+    its true text (tombstones + replacement position rows), DELETE
+    the ghosts, then serve top-10. The serve path runs the tombstone
+    join (_positional_live) — a surviving stale position array adds
+    phantom hits, an undead ghost floods the top-10, an uncommitted
+    batch leaking past the ledger high-water mark shifts counts; any
+    of these fails the driver hash.
+
+    Scale: same bounded story as phrase_served_topk — the lifecycle
+    adds one batch-bounded revision write and an O(revised)
+    tombstone join over the already-pruned <=K bucket read."""
+    from se_data_pipeline_spark.sources.layout import (
+        phrase_from_postings,
+    )
+
+    store = _scratch("phrase_parity")
+    _phrase_lifecycle(spark, sf_dir, store)
+    return phrase_from_postings(spark, store, _PHRASE, limit=10)
+
+
+@query("phrase_served_compacted", oracle=_phrase_oracle())
+def phrase_served_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The phrase_served_parity lifecycle + compact_positional_
+    postings before the serve: compaction folds the revision batches
+    into the batch_id=-1 base, physically drops tombstone-killed
+    position rows (including the deleted ghosts), and clears the
+    tombstones/fence — so this entry pins the FOLD path where
+    phrase_served_parity pins the tombstone-join path; a compactor
+    that resurrected a killed row or lost a replacement would break
+    the hash while parity stayed green."""
+    from se_data_pipeline_spark.sources.layout import (
+        compact_positional_postings,
+        phrase_from_postings,
+    )
+
+    store = _scratch("phrase_compacted")
+    _phrase_lifecycle(spark, sf_dir, store)
+    compact_positional_postings(spark, store)
+    return phrase_from_postings(spark, store, _PHRASE, limit=10)
+
+
+@query("phrase_stream_maintained", oracle=_phrase_oracle())
+def phrase_stream_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-phrase retrieval from a STREAM-maintained positional
+    store under the driver oracle: micro-batch 1 is the perturbed v1
+    corpus, micro-batch 2 RE-EMITS the perturbed slice's true text
+    (maintain_positional_postings with allow_revisions=True —
+    tombstones ride the stream), then the drained store serves the
+    standard top-10 against the raw-text recount. This is the
+    streamed twin of phrase_served_parity's offline revision,
+    exercising the exactly-once-by-layout protocol end-to-end (file
+    mtimes pin the batch order; availableNow drains synchronously).
+
+    Scale: each micro-batch writes min(batch vocabulary, n_buckets)
+    directories; the serve is the same <=K-bucket pruned read."""
+    import time as _time
+
+    from se_data_pipeline_spark.sources.layout import (
+        phrase_from_postings,
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    if docs.isEmpty():  # empty-corpus sweep: no batches, no store
+        return spark.createDataFrame([], "doc_id bigint, n_hits int")
+    root = _scratch("phrase_streamed")
+    src = os.path.join(root, "src")
+    store = os.path.join(root, "store")
+    chk = os.path.join(root, "chk")
+    _perturbed_v1(docs).coalesce(1).write.mode("append").parquet(src)
+    import glob as _glob
+
+    first = set(_glob.glob(os.path.join(src, "part-*.parquet")))
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = _time.time()
+    for f in _glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(
+            f, (now - 100, now - 100) if f in first else (now, now)
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_positional_postings(
+        stream, store, chk, allow_revisions=True
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise RuntimeError(str(q.exception()))
+    return phrase_from_postings(spark, store, _PHRASE, limit=10)
+
+
+_PROX_TERMS = ("table", "hash")
+_PROX_K = 3
+
+
+def _proximity_oracle() -> str:
+    t1, t2 = _PROX_TERMS
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    p AS (
+      SELECT doc_id,
+             [i for i in range(1, len(ts) + 1)
+              if ts[i] = '{t1}'] AS p1,
+             [i for i in range(1, len(ts) + 1)
+              if ts[i] = '{t2}'] AS p2
+      FROM t),
+    m AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(
+               [len([y for y in p2
+                     if abs(y - x) <= {_PROX_K} AND y <> x])
+                for x in p1]), 0) AS INTEGER) AS n_hits
+      FROM p)
+    SELECT doc_id, n_hits FROM m
+    WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("proximity_served_topk", oracle=_proximity_oracle())
+def proximity_served_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Within-k proximity retrieval served from the positional store
+    (r10 VERDICT next #4, IIR ch.2 POSITIONALINTERSECT): docs ranked
+    by the number of position pairs of the two terms within window
+    k=3 — the query class between exact-phrase and bag-of-words that
+    production posting lists exist to serve. The oracle recounts the
+    windows from raw text; the Spark side reads only the two terms'
+    bucket directories and folds pairs row-locally (per-doc work
+    bounded by the two position-list lengths, 0/1-based indexing
+    cancels in the differences)."""
+    from se_data_pipeline_spark.sources.layout import (
+        proximity_from_postings,
+        write_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    store = _scratch("proximity_store")
+    write_positional_postings(docs, store)
+    return proximity_from_postings(
+        spark, store, *_PROX_TERMS, k=_PROX_K, limit=10
+    )
+
+
+_AND_TERMS = ("scan", "merge", "vector")
+
+
+def _and_ranked_oracle() -> str:
+    counts = ",\n             ".join(
+        f"len([x for x in ts if x = '{t}']) AS c{i}"
+        for i, t in enumerate(_AND_TERMS)
+    )
+    total = " + ".join(f"c{i}" for i in range(len(_AND_TERMS)))
+    allpos = " AND ".join(
+        f"c{i} > 0" for i in range(len(_AND_TERMS))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    cnt AS (
+      SELECT doc_id,
+             {counts}
+      FROM t)
+    SELECT doc_id, CAST({total} AS INTEGER) AS total_tf
+    FROM cnt WHERE {allpos}
+    ORDER BY total_tf DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("and_ranked_served_topk", oracle=_and_ranked_oracle())
+def and_ranked_served_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conjunctive (AND) multi-term retrieval ranked by total term
+    frequency, served from the positional store — the boolean-
+    retrieval head posting lists classically serve (IIR ch.1
+    INTERSECT), here over three mid-frequency terms so the
+    all-terms-present cut actually prunes. tf per term is
+    size(positions), so no frequency twin of the store is needed;
+    the oracle recounts every term's occurrences from raw text and
+    applies the same all-positive cut and (total_tf, doc_id)
+    ordering."""
+    from se_data_pipeline_spark.sources.layout import (
+        and_ranked_from_postings,
+        write_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    store = _scratch("and_ranked_store")
+    write_positional_postings(docs, store)
+    return and_ranked_from_postings(
+        spark, store, _AND_TERMS, limit=10
+    )

@@ -1383,12 +1383,49 @@ def delete_posting_docs(
     return next_b
 
 
-# positional postings: the phrase-query layout (positions array kept
-# per (doc, term); same bucket-sharded partition scheme)
+# positional postings: the phrase/proximity-query layout (positions
+# array kept per (doc, term); same bucket-sharded partition scheme).
+# Full lifecycle since r11: revise/delete tombstones, a `batches`
+# commit ledger, a streaming maintainer
+# (streaming/jobs.maintain_positional_postings) and whole-store
+# compaction — the reference's re-ingest semantics
+# (data_pipeline.py:559-577) apply to phrase indexes exactly as they
+# did to the frequency store r10 fixed: a re-crawled CHANGED document
+# changes its positions.
 _POS_POSTINGS_SCHEMA = (
     "doc_id bigint, pos array<int>, tok string, "
     "batch_id int, tok_bucket bigint"
 )
+# commit ledger: one row per committed batch, written LAST — the
+# positional twin of the frequency store's totals commit point
+# (phrase scoring needs no corpus statistics, so the ledger carries
+# only the commit marker + an informational doc count)
+_POS_BATCHES_SCHEMA = "n_docs bigint, batch_id int"
+
+
+def _positional_frames(
+    docs: DataFrame, batch_id: int, n_buckets: int
+):
+    """(postings, batches) delta frames for one document set — shared
+    by the batch builder, the offline revision path, and the
+    streaming maintainer so the three cannot drift."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("pos"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .withColumn("tok_bucket", _tok_bucket_col(n_buckets))
+        .repartition(F.col("tok_bucket"))  # one file per bucket dir
+    )
+    batches = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn("batch_id", F.lit(batch_id))
+    return rows, batches
 
 
 def write_positional_postings(
@@ -1403,25 +1440,185 @@ def write_positional_postings(
     K-term phrase prunes to <=K bucket dirs and directory count is
     O(buckets), never O(vocabulary). Positions are a separate
     parquet column: frequency-style readers that prune columns never
-    pay for them. Append-only in r10 (a revision path would follow
-    the write_posting_lists tombstone pattern verbatim)."""
-    from pyspark.sql import functions as F
-
-    rows = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
-        )
-        .groupBy("tok", "doc_id")
-        .agg(F.sort_array(F.collect_list("pos")).alias("pos"))
-        .withColumn("batch_id", F.lit(-1))
-        .withColumn("tok_bucket", _tok_bucket_col(n_buckets))
-        .repartition(F.col("tok_bucket"))  # one file per bucket dir
-    )
+    pay for them. The ``batches`` commit ledger (one row per batch,
+    written last) is what revision/serve paths derive the committed
+    high-water mark from — the totals table's role in the frequency
+    store, without corpus statistics phrase scoring doesn't need."""
+    rows, batches = _positional_frames(docs, -1, n_buckets)
+    spark = docs.sparkSession
     rows.write.mode("overwrite").partitionBy(
         "batch_id", "tok_bucket"
     ).parquet(f"{out_dir}/postings")
-    _write_postings_meta(docs.sparkSession, out_dir, n_buckets)
+    _write_postings_meta(spark, out_dir, n_buckets)
+    batches.coalesce(1).write.mode("overwrite").partitionBy(
+        "batch_id"
+    ).parquet(f"{out_dir}/batches")
+
+
+def _next_positional_batch(spark: SparkSession, out_dir: str) -> int:
+    """One past the newest COMMITTED batch (max over the batches
+    ledger — every writer's LAST write): crashed partials at the
+    uncommitted id are excluded from reads and overwritten when the
+    operation re-runs with the same id (the _next_postings_batch
+    contract, verbatim)."""
+    from pyspark.sql import functions as F
+
+    mx = (
+        spark.read.schema(_POS_BATCHES_SCHEMA)
+        .parquet(f"{out_dir}/batches")
+        .agg(F.max("batch_id").alias("b"))
+        .collect()[0]["b"]
+    )
+    return max(0, (mx if mx is not None else -1) + 1)
+
+
+def revise_positional_postings(
+    spark: SparkSession, docs_v2: DataFrame, out_dir: str
+) -> int:
+    """UPSERT re-ingested documents into a positional posting store —
+    the lifecycle its frequency twin got in r10 (r10 VERDICT next
+    #1): a re-crawled CHANGED document changes its token POSITIONS,
+    so under the append-only contract a phrase query would see both
+    the stale and the fresh position arrays (df-style double counting
+    becomes phantom/lost phrase hits). Same tombstone mechanics as
+    revise_posting_lists: every doc_id in `docs_v2` (unique within
+    the batch) writes fresh position rows AT batch N and a tombstone
+    (doc_id, N) killing its rows from batches < N; no totals
+    correction exists because phrase scoring consults no corpus
+    statistics. Write order postings -> tombstones -> batches(LAST)
+    makes the ledger row the commit point; the claimed id is FENCED
+    against a resumed maintenance stream (claim_offline_batch).
+    Returns the batch id used."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    nb = _postings_meta_buckets(spark, out_dir)
+    next_b = _next_positional_batch(spark, out_dir)
+    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
+
+    rows, batches = _positional_frames(docs_v2, next_b, nb)
+
+    def _dyn(df: DataFrame, cols: list[str], path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*cols)
+            .parquet(path)
+        )
+
+    _dyn(rows, ["batch_id", "tok_bucket"], f"{out_dir}/postings")
+    _dyn(
+        docs_v2.select("doc_id")
+        .distinct()
+        .withColumn("batch_id", F.lit(next_b)),
+        ["batch_id"],
+        f"{out_dir}/tombstones",
+    )
+    _dyn(batches.coalesce(1), ["batch_id"], f"{out_dir}/batches")
+    return next_b
+
+
+def delete_positional_docs(
+    spark: SparkSession, doc_ids: DataFrame, out_dir: str
+) -> int:
+    """Remove documents from a positional posting store: tombstones
+    for the ids (killing ALL their prior rows — no replacement rows
+    follow) plus the commit-ledger row. Ids absent from the store
+    are no-ops. Same commit-point ordering: batches last."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    next_b = _next_positional_batch(spark, out_dir)
+    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
+    (
+        doc_ids.select("doc_id")
+        .distinct()
+        .withColumn("batch_id", F.lit(next_b))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{out_dir}/tombstones")
+    )
+    (
+        spark.createDataFrame(
+            [(0, int(next_b))], _POS_BATCHES_SCHEMA
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{out_dir}/batches")
+    )
+    return next_b
+
+
+def _positional_live(
+    spark: SparkSession, out_dir: str, terms: list[str]
+) -> DataFrame:
+    """The pruned LIVE positional rows for `terms`: committed batches
+    only (high-water mark from the batches ledger), <=K bucket-dir
+    partition filter + in-bucket term cut, tombstone-dead rows
+    dropped (a never-revised store has no tombstones table — the
+    zero-cost append-only fast path). Shared by every positional
+    serve path (phrase / proximity / AND-ranked) so the lifecycle
+    semantics cannot drift between query classes. Rows are unique
+    per (doc, term) after the kill-rule filter: each batch writes one
+    row per (doc, term), and a tombstone at B kills all rows below B
+    while the replacement rows written AT B survive."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    n_buckets = _postings_meta_buckets(spark, out_dir)
+    hw = _next_positional_batch(spark, out_dir)
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in sorted(set(terms))], "tok string"
+            )
+            .select(_tok_bucket_col(n_buckets).alias("b"))
+            .collect()
+        }
+    )
+    p = (
+        spark.read.schema(_POS_POSTINGS_SCHEMA)
+        .parquet(f"{out_dir}/postings")
+        .filter(F.col("batch_id") < hw)  # committed batches only
+        .filter(F.col("tok_bucket").isin(buckets))
+        .filter(F.col("tok").isin(sorted(set(terms))))
+    )
+    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
+    if tomb is not None:
+        p = (
+            p.join(tomb, "doc_id", "left")
+            .filter(
+                F.col("tomb_b").isNull()
+                | (F.col("batch_id") >= F.col("tomb_b"))
+            )
+            .drop("tomb_b")
+        )
+    return p
+
+
+def _pivot_positions(p: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """One row per doc with each term's position array in its own
+    column (p0..pK-1) — ONE shuffle; rows are unique per (doc, term)
+    by the store contract, so the conditional first() is exact. The
+    K-way self-join of the textbook algorithm is replaced by this
+    pivot: a K-leg self-join of one frame trips Spark's
+    shared-lineage ambiguity, and the pivot is the better plan anyway
+    (one exchange, no join)."""
+    from pyspark.sql import functions as F
+
+    return p.groupBy("doc_id").agg(
+        *[
+            F.first(
+                F.when(F.col("tok") == t, F.col("pos")),
+                ignorenulls=True,
+            ).alias(f"p{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
 
 
 def phrase_from_postings(
@@ -1431,50 +1628,22 @@ def phrase_from_postings(
     limit: int = 10,
 ) -> DataFrame:
     """Exact-phrase search served from a write_positional_postings
-    store: prune to the phrase terms' <=K bucket dirs, pivot the
-    matching rows to one row per doc (each term's position array in
-    its own column — ONE shuffle; rows are unique per (doc, term) by
-    the store contract, so the conditional first() is exact), then
-    fold the start set row-locally: after term i, `starts` holds
-    every position s where tokens s..s+i match the phrase prefix,
-    via array_intersect(starts, pos_i - i). The classic positional-
-    index phrase algorithm (Manning et al. IIR ch.2) with the K-way
-    self-join replaced by a pivot — a K-leg self-join of one frame
-    trips Spark's shared-lineage ambiguity, and the pivot is the
-    better plan anyway (one exchange, no join). Docs missing ANY
-    term fold to a NULL start set (coalesced to 0 hits); corpus text
-    is never touched at serve time."""
+    store: prune to the phrase terms' <=K bucket dirs (committed,
+    tombstone-live rows only — _positional_live), pivot the matching
+    rows to one row per doc, then fold the start set row-locally:
+    after term i, `starts` holds every position s where tokens
+    s..s+i match the phrase prefix, via
+    array_intersect(starts, pos_i - i). The classic positional-index
+    phrase algorithm (Manning et al. IIR ch.2) with the K-way
+    self-join replaced by a pivot. Docs missing ANY term fold to a
+    NULL start set (coalesced to 0 hits); corpus text is never
+    touched at serve time."""
     from pyspark.sql import functions as F
 
     if len(phrase) < 2:
         raise ValueError("a phrase needs at least two terms")
-    recover_compacting(spark, out_dir)
-    n_buckets = _postings_meta_buckets(spark, out_dir)
-    terms = sorted(set(phrase))
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "tok string"
-            )
-            .select(_tok_bucket_col(n_buckets).alias("b"))
-            .collect()
-        }
-    )
-    p = (
-        spark.read.schema(_POS_POSTINGS_SCHEMA)
-        .parquet(f"{out_dir}/postings")
-        .filter(F.col("tok_bucket").isin(buckets))
-        .filter(F.col("tok").isin(terms))
-    )
-    byd = p.groupBy("doc_id").agg(
-        *[
-            F.first(
-                F.when(F.col("tok") == t, F.col("pos")),
-                ignorenulls=True,
-            ).alias(f"p{i}")
-            for i, t in enumerate(phrase)
-        ]
+    byd = _pivot_positions(
+        _positional_live(spark, out_dir, list(phrase)), phrase
     )
     def _shifted(col_name: str, k: int):
         # NB: the lambda must stay SINGLE-argument — F.transform
@@ -1495,6 +1664,159 @@ def phrase_from_postings(
         .filter(F.col("n_hits") > 0)
         .orderBy(F.desc("n_hits"), F.asc("doc_id"))
         .limit(limit)
+    )
+
+
+def proximity_from_postings(
+    spark: SparkSession,
+    out_dir: str,
+    t1: str,
+    t2: str,
+    k: int,
+    limit: int = 10,
+) -> DataFrame:
+    """Within-k proximity retrieval from a positional store — the
+    query class between exact-phrase and bag-of-words (IIR ch.2
+    POSITIONALINTERSECT): docs ranked by the number of position
+    pairs (x ∈ positions(t1), y ∈ positions(t2)) with
+    |y − x| <= k (and x != y, so a shared position of identical
+    terms never self-matches). Two-bucket pruned read, one pivot,
+    then a row-local fold: for each x, count p1's positions within
+    the window — per-doc work bounded by |p0|·|p1| of the TWO terms'
+    lists, never the document or the corpus."""
+    from pyspark.sql import functions as F
+
+    if t1 == t2:
+        raise ValueError(
+            "proximity needs two distinct terms (a single term's "
+            "self-distances are not a retrieval signal)"
+        )
+    if k < 1:
+        raise ValueError("window k must be >= 1")
+    byd = _pivot_positions(
+        _positional_live(spark, out_dir, [t1, t2]), (t1, t2)
+    )
+    n_hits = F.aggregate(
+        F.col("p0"),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.size(
+            F.filter(
+                F.col("p1"),
+                lambda y: (F.abs(y - x) <= F.lit(int(k)))
+                & (y != x),
+            )
+        ),
+    )
+    return (
+        byd.select(
+            "doc_id",
+            F.coalesce(n_hits, F.lit(0)).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
+def and_ranked_from_postings(
+    spark: SparkSession,
+    out_dir: str,
+    terms: tuple[str, ...],
+    limit: int = 10,
+) -> DataFrame:
+    """Multi-term AND-ranked retrieval from a positional store: docs
+    containing ALL query terms, ranked by total term frequency (the
+    conjunctive boolean-retrieval head posting lists classically
+    serve, IIR ch.1 INTERSECT — here with tf ranking on top). tf per
+    term is just size(positions), so the positional store serves
+    this without a frequency twin; the pruned read and pivot are the
+    phrase machinery verbatim, the fold is a null-check + size sum
+    instead of a start-set intersection."""
+    from pyspark.sql import functions as F
+
+    if len(terms) < 2:
+        raise ValueError("an AND query needs at least two terms")
+    if len(set(terms)) != len(terms):
+        raise ValueError("AND query terms must be distinct")
+    byd = _pivot_positions(
+        _positional_live(spark, out_dir, list(terms)), terms
+    )
+    cols = [F.col(f"p{i}") for i in range(len(terms))]
+    has_all = cols[0].isNotNull()
+    for c in cols[1:]:
+        has_all = has_all & c.isNotNull()
+    total_tf = F.lit(0)
+    for c in cols:
+        total_tf = total_tf + F.size(c)
+    return (
+        byd.filter(has_all)
+        .select("doc_id", total_tf.alias("total_tf"))
+        .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
+def compact_positional_postings(
+    spark: SparkSession, out_dir: str
+) -> None:
+    """Fold a positional posting store's per-batch deltas into a
+    single ``batch_id=-1`` base and fold its TOMBSTONES OUT —
+    position rows killed by a newer tombstone are physically
+    dropped, the commit ledger folds to one row, and the rewritten
+    store carries no tombstones or fence, so serve reads are back on
+    the no-join fast path and a fresh-checkpoint stream legitimately
+    restarts at id 0. The WHOLE store directory is rewritten to a
+    temp sibling and swapped by ONE swap_compacted call (the
+    compact_posting_lists crash-window rationale verbatim: folding
+    rows to -1 while live tombstones survive would kill the entire
+    base). Folds the COMMITTED state only. Run while the maintenance
+    stream is stopped."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    nb = _postings_meta_buckets(spark, out_dir)
+    hw = _next_positional_batch(spark, out_dir)
+    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
+    p = (
+        spark.read.schema(_POS_POSTINGS_SCHEMA)
+        .parquet(f"{out_dir}/postings")
+        .filter(F.col("batch_id") < hw)
+    )
+    if tomb is not None:
+        p = (
+            p.join(tomb, "doc_id", "left")
+            .filter(
+                F.col("tomb_b").isNull()
+                | (F.col("batch_id") >= F.col("tomb_b"))
+            )
+            .drop("tomb_b")
+        )
+    # informational live-document count for the folded ledger row —
+    # one distinct over the rows the compactor is rewriting anyway
+    live_docs = p.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+    def _write(tmp: str) -> None:
+        (
+            p.withColumn("batch_id", F.lit(-1))
+            .repartition(F.col("tok_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "tok_bucket")
+            .parquet(f"{tmp}/postings")
+        )
+        (
+            live_docs.withColumn("batch_id", F.lit(-1))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{tmp}/batches")
+        )
+        _write_postings_meta(spark, tmp, nb)
+
+    swap_compacted(
+        spark, out_dir, _write, "positional posting store"
     )
 
 

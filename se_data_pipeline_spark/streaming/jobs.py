@@ -1304,6 +1304,106 @@ def maintain_posting_lists(
     )
 
 
+def maintain_positional_postings(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int | None = None,
+    allow_revisions: bool = False,
+):
+    """Incremental POSITIONAL posting-list maintenance — the
+    streaming twin of sources/layout.write_positional_postings /
+    revise_positional_postings, sharing their frame builder
+    (layout._positional_frames) so batch-built and stream-maintained
+    stores serve phrase/proximity/AND queries through the same
+    readers. Each micro-batch appends its (doc, term, positions)
+    rows under ``batch_id=N/tok_bucket=...`` plus the commit-ledger
+    row (written LAST — the batch's commit point); the bucket modulus
+    comes from the store's meta table when the store exists, else
+    from `n_buckets`, recorded on the store-creating batch only
+    (the maintain_posting_lists meta-write-once protocol).
+
+    ``allow_revisions=False`` (default) keeps the append-only-unique-
+    doc_ids contract; ``allow_revisions=True`` tombstones every
+    re-emitted doc_id at this batch id so its stale position arrays
+    die for every reader — a changed document CHANGES ITS POSITIONS,
+    which under append-only would serve phantom/lost phrase hits.
+    Exactly-once by LAYOUT: a replayed micro-batch overwrites ITS OWN
+    partitions via dynamic partition overwrite; micro-batch ids are
+    guarded against offline-claimed fence ids
+    (layout.guard_stream_batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.sources.layout import (
+        POSTINGS_TOK_BUCKETS,
+        _hadoop_path,
+        _positional_frames,
+        _postings_meta_buckets,
+        _write_postings_meta,
+        guard_stream_batch,
+    )
+
+    def _dyn(df: DataFrame, cols: list, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*cols)
+            .parquet(path)
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()  # decouple from the stream
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        guard_stream_batch(
+            spark,
+            os.path.join(out_dir, "offline_fence"),
+            batch_id,
+            f"positional posting store at {out_dir}",
+        )
+        nb = _postings_meta_buckets(
+            spark,
+            out_dir,
+            default=(
+                POSTINGS_TOK_BUCKETS if n_buckets is None else n_buckets
+            ),
+        )
+        rows, batches = _positional_frames(batch, batch_id, nb)
+        _dyn(
+            rows,
+            ["batch_id", "tok_bucket"],
+            os.path.join(out_dir, "postings"),
+        )
+        if allow_revisions:
+            _dyn(
+                batch.select("doc_id")
+                .distinct()
+                .withColumn("batch_id", F.lit(batch_id)),
+                ["batch_id"],
+                os.path.join(out_dir, "tombstones"),
+            )
+        fs_m, meta_p = _hadoop_path(spark, os.path.join(out_dir, "meta"))
+        if not fs_m.exists(meta_p):
+            _write_postings_meta(spark, out_dir, nb)
+        # ledger row LAST — the batch's commit point
+        _dyn(
+            batches.coalesce(1),
+            ["batch_id"],
+            os.path.join(out_dir, "batches"),
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_term_stats(spark: SparkSession, out_dir: str):
     """Fold the maintain_term_stats delta partitions into current
     statistics: returns (term_stats_df with one row per term, totals

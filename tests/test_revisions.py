@@ -565,3 +565,285 @@ def test_posting_store_interrupted_whole_swap_recovers(
     assert os.path.exists(out) and not os.path.exists(
         out + ".compacting"
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional posting store lifecycle (r10 VERDICT next #1): revise /
+# delete tombstones, tombstone-aware phrase reads, compaction, and the
+# proximity / AND-ranked query surface — all proven by serve-equality
+# against a store rebuilt from the true corpus.
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "hash")
+
+
+def _phrase_rows(spark, out):
+    from se_data_pipeline_spark.sources.layout import (
+        phrase_from_postings,
+    )
+
+    return [
+        (r["doc_id"], r["n_hits"])
+        for r in phrase_from_postings(spark, out, _PHRASE).collect()
+    ]
+
+
+def test_revise_positional_postings_replaces_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Build from a v1 corpus whose perturbed slice carries FAKE
+    phrase occurrences (and shifted positions for every true one),
+    revise the slice back to its true text: phrase serving must equal
+    a store built directly from the true corpus — a surviving stale
+    position array would add phantom hits, a lost replacement would
+    drop real ones. Stacked revisions and compaction must hold the
+    same equality, and compaction must fold tombstones out."""
+    from se_data_pipeline_spark.sources.layout import (
+        compact_positional_postings,
+        revise_positional_postings,
+        write_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    # fake phrase hits PREPENDED: every true occurrence also shifts
+    v1 = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("table hash table hash "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    out = str(tmp_path / "store")
+    write_positional_postings(v1, out, n_buckets=32)
+
+    truth = str(tmp_path / "truth")
+    write_positional_postings(docs, truth, n_buckets=32)
+    assert _phrase_rows(spark, out) != _phrase_rows(spark, truth), (
+        "perturbation must actually change phrase hits"
+    )
+
+    b = revise_positional_postings(
+        spark, docs.filter("doc_id % 3 = 0"), out
+    )
+    assert b == 0
+    assert _phrase_rows(spark, out) == _phrase_rows(spark, truth)
+
+    # stacked second revision: re-perturb a smaller slice, revise back
+    revise_positional_postings(
+        spark,
+        docs.filter("doc_id % 6 = 0").withColumn(
+            "text", F.concat(F.lit("table hash "), F.col("text"))
+        ),
+        out,
+    )
+    assert _phrase_rows(spark, out) != _phrase_rows(spark, truth)
+    revise_positional_postings(
+        spark, docs.filter("doc_id % 6 = 0"), out
+    )
+    assert _phrase_rows(spark, out) == _phrase_rows(spark, truth)
+
+    compact_positional_postings(spark, out)
+    assert _phrase_rows(spark, out) == _phrase_rows(spark, truth)
+    assert not os.path.exists(os.path.join(out, "tombstones"))
+    assert not os.path.exists(os.path.join(out, "offline_fence"))
+    batch_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{out}/postings")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert batch_ids == {-1}
+
+
+def test_delete_positional_docs_and_uncommitted_invisibility(
+    spark, sf_dir, tmp_path
+):
+    """Deleted docs leave phrase results; a tombstone write whose
+    ledger commit point never landed is invisible to serve reads and
+    is overwritten when the operation re-runs with the same id."""
+    from se_data_pipeline_spark.sources.layout import (
+        delete_positional_docs,
+        write_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "store")
+    write_positional_postings(docs, out, n_buckets=32)
+    before = _phrase_rows(spark, out)
+    assert before, "fixture phrase must hit"
+    victims = [d for d, _ in before[:2]]
+
+    # crash window: tombstones at batch 0, NO ledger row
+    (
+        spark.createDataFrame(
+            [(v, 0) for v in victims], "doc_id long, batch_id int"
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out, "tombstones"))
+    )
+    assert _phrase_rows(spark, out) == before, (
+        "uncommitted tombstones leaked into phrase serving"
+    )
+
+    ids = spark.createDataFrame(
+        [(v,) for v in victims], "doc_id long"
+    )
+    assert delete_positional_docs(spark, ids, out) == 0
+    after = _phrase_rows(spark, out)
+    assert set(d for d, _ in after).isdisjoint(victims)
+
+
+def test_proximity_and_andranked_from_postings(spark, tmp_path):
+    """Window counting and conjunctive tf ranking on a corpus small
+    enough to enumerate by hand (positions 0-based): proximity counts
+    (x, y) pairs with |y-x| <= k and x != y; AND-ranking keeps only
+    docs containing every term, ordered by total tf."""
+    from se_data_pipeline_spark.sources.layout import (
+        and_ranked_from_postings,
+        proximity_from_postings,
+        write_positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x b"),        # |0-2|=2: 1 pair at k=2, 0 at k=1
+            (2, "a b a"),        # pairs (0,1),(2,1): 2 at k=1
+            (3, "a x x x b"),    # |0-4|=4: 0 at k=2
+            (4, "b b a"),        # (2,0),(2,1): 1 at k=1, 2 at k=2
+            (5, "a a a"),        # no b: never returned
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "store")
+    write_positional_postings(docs, out, n_buckets=8)
+
+    prox1 = [
+        (r["doc_id"], r["n_hits"])
+        for r in proximity_from_postings(
+            spark, out, "a", "b", k=1
+        ).collect()
+    ]
+    assert prox1 == [(2, 2), (4, 1)]
+    prox2 = [
+        (r["doc_id"], r["n_hits"])
+        for r in proximity_from_postings(
+            spark, out, "a", "b", k=2
+        ).collect()
+    ]
+    assert prox2 == [(2, 2), (4, 2), (1, 1)]
+
+    ranked = [
+        (r["doc_id"], r["total_tf"])
+        for r in and_ranked_from_postings(
+            spark, out, ("a", "b")
+        ).collect()
+    ]
+    # doc2: tf(a)=2+tf(b)=1 -> 3; doc4: 1+2 -> 3; doc1: 2; doc3: 2
+    assert ranked == [(2, 3), (4, 3), (1, 2), (3, 2)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        proximity_from_postings(spark, out, "a", "a", k=1)
+    with _pytest.raises(ValueError):
+        and_ranked_from_postings(spark, out, ("a", "a"))
+
+
+def test_maintain_positional_postings_batch_parity_and_fence(
+    spark, sf_dir, tmp_path
+):
+    """Streamed positional maintenance with revisions: batch 1 is the
+    perturbed corpus, batch 2 re-emits the perturbed slice's true
+    text — after the drain, phrase/proximity serving must equal a
+    batch-built store over the true corpus; an offline revision then
+    fences the resumed stream."""
+    from se_data_pipeline_spark.sources.layout import (
+        proximity_from_postings,
+        revise_positional_postings,
+        write_positional_postings,
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    v1 = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("table hash "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    v1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(os.path.join(src, "part-*.parquet")))
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = _time.time()
+    for f in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(
+            f, (now - 100, now - 100) if f in first else (now, now)
+        )
+
+    out = str(tmp_path / "store")
+    chk = str(tmp_path / "chk")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_positional_postings(
+        stream, out, chk, n_buckets=32, allow_revisions=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive and q.exception() is None
+    assert len(q.recentProgress) >= 2
+
+    truth = str(tmp_path / "truth")
+    write_positional_postings(docs, truth, n_buckets=32)
+    assert _phrase_rows(spark, out) == _phrase_rows(spark, truth)
+
+    def _prox(store):
+        return [
+            tuple(r)
+            for r in proximity_from_postings(
+                spark, store, "table", "hash", k=3
+            ).collect()
+        ]
+
+    assert _prox(out) == _prox(truth)
+
+    # offline revision claims id 2 = the resumed stream's next id
+    assert (
+        revise_positional_postings(
+            spark, docs.filter("doc_id % 5 = 0"), out
+        )
+        == 2
+    )
+    extra = spark.createDataFrame(
+        [(10_000_002, "table hash fence probe")],
+        "doc_id long, text string",
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q2 = maintain_positional_postings(
+        stream2, out, chk, n_buckets=32, allow_revisions=True
+    )
+    with pytest.raises(Exception, match="collides with an offline"):
+        q2.awaitTermination(120)
+    assert _phrase_rows(spark, out) == _phrase_rows(spark, truth)

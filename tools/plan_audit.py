@@ -117,6 +117,20 @@ EAGER_OK = {
     "built per call + bounded collects (query vector, centroids)",
     "phrase_served_topk": "store lifecycle under test: positional "
     "store build (batch-bounded write) + K-row term-bucket collect",
+    # r11 positional-store lifecycle + retrieval-surface queries:
+    # same adjudication — the build/revise/delete/compact/stream
+    # writes ARE the subject under oracle test, batch-bounded
+    "phrase_served_parity": "store lifecycle under test: build + "
+    "revise + delete writes (batch-bounded) + K-row bucket collect",
+    "phrase_served_compacted": "store lifecycle under test: "
+    "parity lifecycle + whole-store compaction swap",
+    "phrase_stream_maintained": "store lifecycle under test: "
+    "availableNow micro-batches write the store (exactly-once by "
+    "layout), then one pruned serve",
+    "proximity_served_topk": "store lifecycle under test: positional "
+    "store build (batch-bounded write) + 2-row term-bucket collect",
+    "and_ranked_served_topk": "store lifecycle under test: "
+    "positional store build (batch-bounded write) + K-row collect",
     "semantic_dedup_canonical_corpus": "iterative Pregel loop "
     "(shared _min_label_components): localCheckpoint per round",
 }
