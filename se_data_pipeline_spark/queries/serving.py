@@ -624,3 +624,426 @@ def and_ranked_served_topk(
     return and_ranked_from_postings(
         spark, store, _AND_TERMS, limit=10
     )
+
+
+def _ivf_revised_oracle() -> str:
+    from se_data_pipeline_spark.queries.vectors import (
+        _SQL_COS,
+        _SQL_QVEC,
+    )
+
+    cos_l = _SQL_COS.replace("e.embedding", "l.embedding")
+    probes = ", ".join(f"({p})" for p in _IVF_PROBES)
+    return f"""
+    WITH q AS ({_SQL_QVEC}),
+    v1 AS (SELECT vec_id, label,
+                  CASE WHEN vec_id % 5 = 0
+                       THEN [CAST(-x AS FLOAT) for x in embedding]
+                       ELSE embedding END AS emb
+           FROM embeddings),
+    flat AS (SELECT label, unnest(emb) AS v,
+                    generate_subscripts(emb, 1) AS pos
+             FROM v1),
+    c AS (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS ctr
+          FROM flat GROUP BY label, pos),
+    live AS (SELECT vec_id, label, embedding FROM embeddings
+             WHERE vec_id % 7 <> 3 AND embedding IS NOT NULL),
+    cellof AS (
+      SELECT l.vec_id,
+             CASE WHEN l.vec_id % 5 = 0 THEN (
+               SELECT d.label FROM (
+                 SELECT c.label,
+                        SUM((c.ctr - CAST(l.embedding[CAST(c.pos AS INT)]
+                                          AS DOUBLE))
+                            * (c.ctr - CAST(l.embedding[CAST(c.pos AS INT)]
+                                            AS DOUBLE))) AS d2
+                 FROM c GROUP BY c.label) d
+               ORDER BY d.d2, d.label LIMIT 1)
+             ELSE l.label END AS cell
+      FROM live l),
+    dist AS (SELECT c.label,
+                    SUM((c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))
+                        * (c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))) AS d2
+             FROM c CROSS JOIN q GROUP BY c.label),
+    ranked_cells AS (SELECT label,
+                            row_number() OVER (ORDER BY d2, label) AS rk
+                     FROM dist),
+    brute AS (SELECT l.vec_id FROM live l CROSS JOIN q
+              ORDER BY {cos_l} DESC, l.vec_id
+              LIMIT {_IVF_RECALL_K}),
+    probes(nprobe) AS (VALUES {probes}),
+    served AS (
+      SELECT p.nprobe, s.vec_id
+      FROM probes p, LATERAL (
+        SELECT l.vec_id
+        FROM live l
+        JOIN cellof co ON co.vec_id = l.vec_id
+        JOIN ranked_cells rc
+          ON rc.label = co.cell AND rc.rk <= p.nprobe
+        CROSS JOIN q
+        ORDER BY {cos_l} DESC, l.vec_id
+        LIMIT {_IVF_RECALL_K}) s)
+    SELECT served.nprobe,
+           {_IVF_RECALL_K} AS k,
+           COUNT(b.vec_id) AS n_found,
+           ROUND(COUNT(b.vec_id) * 1.0 / {_IVF_RECALL_K}, 6) AS recall
+    FROM served LEFT JOIN brute b USING (vec_id)
+    GROUP BY served.nprobe
+    ORDER BY served.nprobe
+    """
+
+
+@query("ivf_revised_recall", oracle=_ivf_revised_oracle())
+def ivf_revised_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_served_recall with a REVISION cycle in the middle (r10
+    VERDICT next #2 — the tombstone path the driver gate never
+    executed): build the IVF store from a perturbed corpus (a fifth
+    of the vectors sign-flipped, so their v1 rows sit under centroids
+    their true embeddings don't belong to), then revise_ivf_vectors
+    moves them back to their TRUE embeddings — each re-assigned to
+    its nearest cell under the frozen v1 quantizer, i.e. a genuine
+    cell MOVE whose stale row read-side dedupe inside the probed
+    cells cannot see (layout.py revise_ivf_vectors docstring) — and
+    DELETES every vec_id % 7 == 3 via NULL embeddings. Probing at
+    nprobe=1,2 against brute truth over the post-revision corpus: a
+    resurrected stale vector, a replacement left in its OLD cell, or
+    a surviving deleted row changes a recall cell and fails the
+    hash; the SQL oracle replays quantizer training (v1 centroids),
+    per-vector re-assignment, cell ranking, probe, and truth.
+
+    Scale: the revision is one batch-bounded write + an O(revised)
+    tombstone set; probes stay nprobe/n_cells partition-pruned
+    reads with the tombstone join over probed rows only."""
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_candidates,
+        revise_ivf_vectors,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.orderBy("vec_id").limit(1).collect()
+    if not head:  # empty-corpus sweep: no query vector, no report
+        return spark.createDataFrame(
+            [], "nprobe int, k int, n_found bigint, recall double"
+        )
+    v1 = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    store = _scratch("ivf_revised")
+    write_ivf_index(v1, store, cell_col="label")
+    revision = emb.filter(
+        "(vec_id % 5 = 0 OR vec_id % 7 = 3) AND embedding IS NOT NULL"
+    ).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 3, F.lit(None))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    revise_ivf_vectors(spark, revision, store)
+
+    q_vec = [float(x) for x in head[0]["embedding"]]
+    brute = F.broadcast(
+        ivf_candidates(
+            spark, store, q_vec, nprobe=1_000_000, n=_IVF_RECALL_K
+        )
+        .select("vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    tagged = None
+    for p in _IVF_PROBES:
+        s = (
+            ivf_candidates(
+                spark, store, q_vec, nprobe=p, n=_IVF_RECALL_K
+            )
+            .select("vec_id")
+            .withColumn("nprobe", F.lit(p))
+        )
+        tagged = s if tagged is None else tagged.unionByName(s)
+    return (
+        tagged.join(brute, "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(
+            F.lit(_IVF_RECALL_K).alias("k"),
+            F.count("hit").alias("n_found"),
+            F.round(
+                F.count("hit") / F.lit(_IVF_RECALL_K), 6
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _bq_served_oracle() -> str:
+    from se_data_pipeline_spark.queries.vectors import (
+        _BQ_CANDIDATES,
+        _BQ_K,
+        _SQL_COS,
+        _SQL_HAMMING,
+        _SQL_QVEC,
+    )
+
+    return f"""
+    WITH q AS ({_SQL_QVEC}),
+    h AS (
+      SELECT e.vec_id,
+             {_SQL_HAMMING} AS hamming,
+             {_SQL_COS} AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id % 7 <> 3 AND e.embedding IS NOT NULL),
+    cand AS (
+      SELECT * FROM h ORDER BY hamming, vec_id LIMIT {_BQ_CANDIDATES})
+    SELECT vec_id, CAST(hamming AS INT) AS hamming,
+           ROUND(cos, 6) AS cos_sim
+    FROM cand ORDER BY cos DESC, vec_id LIMIT {_BQ_K}
+    """
+
+
+@query("bq_served_topk", oracle=_bq_served_oracle())
+def bq_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage BQ funnel served from a MATERIALIZED delta-layout
+    index after a DELETE cycle (r10 VERDICT next #3 — the last store
+    without a serving-oracle entry): write_bq_index(delta=True) packs
+    the sign codes once, delete_bq_vectors knocks out every
+    vec_id % 7 == 3 via in-band NULL-code markers at a fresh batch
+    id, then bq_candidates' latest-wins fold ranks Hamming stage-1
+    over the LIVE codes only and the exact cosine rerank keeps the
+    top-20. The oracle replays codes, Hamming cut, and rerank in SQL
+    over the post-delete corpus — a deleted vector resurrecting
+    through a stale code partition (or a marker knocking out the
+    wrong id) enters/leaves the candidate set and fails the hash.
+
+    Scale: stage 1 reads 8 bytes/vector (id+code; parquet column
+    pruning keeps the floats on disk), TakeOrderedAndProject heaps
+    per partition; the rerank touches exactly 100 candidate vectors;
+    the delete is one tiny marker partition, folded away by
+    compact_bq_index."""
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
+    from se_data_pipeline_spark.queries.vectors import (
+        _BQ_CANDIDATES,
+        _BQ_K,
+        _score_against_query,
+    )
+    from se_data_pipeline_spark.sources.layout import (
+        bq_candidates,
+        delete_bq_vectors,
+        write_bq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    head = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            "embedding",
+            pack_sign_bits(F.col("embedding")).alias("qcode"),
+        )
+        .collect()
+    )
+    if not head:  # empty-corpus sweep
+        return spark.createDataFrame(
+            [], "vec_id bigint, hamming int, cos_sim double"
+        )
+    store = _scratch("bq_served")
+    write_bq_index(
+        emb.select("vec_id", "embedding"), store, delta=True
+    )
+    delete_bq_vectors(
+        spark, emb.filter("vec_id % 7 = 3").select("vec_id"), store
+    )
+    cand = bq_candidates(
+        spark, store, int(head[0]["qcode"]), n=_BQ_CANDIDATES
+    )
+    qvec = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("embedding").alias("q"))
+    )
+    scored = _score_against_query(
+        F.broadcast(cand)
+        .join(emb.select("vec_id", F.col("embedding").alias("v")), "vec_id")
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "hamming", "v", "q"),
+        "hamming",
+    )
+    return (
+        scored.orderBy(F.desc("raw_sim"), F.asc("vec_id"))
+        .limit(_BQ_K)
+        .select(
+            "vec_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.round("raw_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+def _hybrid_recall_oracle() -> str:
+    from se_data_pipeline_spark.queries.vectors import (
+        _HYBRID_K,
+        _SQL_COS,
+        _SQL_QVEC,
+        _sql_bm25_top,
+    )
+
+    probes = ", ".join(f"({p})" for p in _IVF_PROBES)
+    return f"""
+    WITH {_sql_bm25_top(_HYBRID_K)},
+    sp AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+           FROM sp0),
+    q AS ({_SQL_QVEC}),
+    flat AS (SELECT label, unnest(embedding) AS v,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM embeddings),
+    c AS (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS ctr
+          FROM flat GROUP BY label, pos),
+    dist AS (SELECT c.label,
+                    SUM((c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))
+                        * (c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))) AS d2
+             FROM c CROSS JOIN q GROUP BY c.label),
+    ranked_cells AS (SELECT label,
+                            row_number() OVER (ORDER BY d2, label) AS rk
+                     FROM dist),
+    probes(nprobe) AS (VALUES {probes}),
+    dn0 AS (
+      SELECT p.nprobe, s.doc_id, s.cos_sim
+      FROM probes p, LATERAL (
+        SELECT e.vec_id AS doc_id, ROUND({_SQL_COS}, 6) AS cos_sim
+        FROM embeddings e
+        JOIN ranked_cells rc
+          ON e.label = rc.label AND rc.rk <= p.nprobe
+        CROSS JOIN q
+        ORDER BY {_SQL_COS} DESC, e.vec_id
+        LIMIT {_HYBRID_K}) s),
+    dn AS (SELECT nprobe, doc_id,
+                  row_number() OVER (PARTITION BY nprobe
+                                     ORDER BY cos_sim DESC, doc_id) AS rb
+           FROM dn0),
+    dnf0 AS (SELECT e.vec_id AS doc_id, ROUND({_SQL_COS}, 6) AS cos_sim
+             FROM embeddings e CROSS JOIN q
+             ORDER BY {_SQL_COS} DESC, e.vec_id
+             LIMIT {_HYBRID_K}),
+    dnf AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rb
+            FROM dnf0),
+    spx AS (SELECT p.nprobe, sp.doc_id, sp.ra
+            FROM probes p CROSS JOIN sp),
+    fused_scored AS (
+      SELECT COALESCE(s.nprobe, d.nprobe) AS nprobe,
+             COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + s.ra), 0)
+             + COALESCE(1.0 / (60 + d.rb), 0) AS rrf
+      FROM spx s FULL JOIN dn d
+        ON s.doc_id = d.doc_id AND s.nprobe = d.nprobe),
+    fused_p AS (
+      SELECT nprobe, doc_id FROM (
+        SELECT nprobe, doc_id,
+               row_number() OVER (PARTITION BY nprobe
+                                  ORDER BY rrf DESC, doc_id) AS rk
+        FROM fused_scored) WHERE rk <= 10),
+    fused_full AS (
+      SELECT COALESCE(sp.doc_id, d.doc_id) AS doc_id
+      FROM sp FULL JOIN dnf d ON sp.doc_id = d.doc_id
+      ORDER BY COALESCE(1.0 / (60 + sp.ra), 0)
+               + COALESCE(1.0 / (60 + d.rb), 0) DESC,
+               COALESCE(sp.doc_id, d.doc_id)
+      LIMIT 10)
+    SELECT f.nprobe,
+           10 AS k,
+           COUNT(ff.doc_id) AS n_overlap,
+           ROUND(COUNT(ff.doc_id) * 1.0 / 10, 6) AS overlap
+    FROM fused_p f LEFT JOIN fused_full ff USING (doc_id)
+    GROUP BY f.nprobe
+    ORDER BY f.nprobe
+    """
+
+
+@query("hybrid_served_recall", oracle=_hybrid_recall_oracle())
+def hybrid_served_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """hybrid_served at PRODUCTION nprobe (r10 VERDICT next #5):
+    hybrid_served's oracle contract is exact equality with the inline
+    fusion, which forces nprobe=all cells — so the driver gate never
+    covered the RRF head over a PRUNED dense leg, the shape a RAG
+    tier actually dials. This entry probes the IVF store at
+    nprobe=1,2, fuses each pruned dense leg with the posting-store
+    BM25 leg through the shared _rrf_head, and reports overlap@10
+    against the full fusion (dense leg = all cells) — the
+    ivf_served_recall composed-oracle pattern applied to the fused
+    head. The SQL replays both legs, both rank assignments (over
+    6dp-rounded scores, id tie-break — integer-exact across
+    engines), both fusions, and the overlap count.
+
+    Scale: each pruned leg is a bounded store lookup ending in
+    TakeOrderedAndProject; the fusions join <=K-row frames; the
+    overlap joins two 10-row frames. This is the dial-tuning report
+    a serving deployment runs to pick nprobe."""
+    from se_data_pipeline_spark.functions.text import SEARCH_TERMS
+    from se_data_pipeline_spark.queries.vectors import (
+        _HYBRID_K,
+        _rrf_head,
+    )
+    from se_data_pipeline_spark.sources.layout import (
+        bm25_from_postings,
+        ivf_candidates,
+        write_ivf_index,
+        write_posting_lists,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    p_store = _scratch("hybrid_recall_postings")
+    write_posting_lists(docs, p_store)
+    sparse = bm25_from_postings(
+        spark, p_store, SEARCH_TERMS, limit=_HYBRID_K
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.orderBy("vec_id").limit(1).collect()
+
+    def _dense(nprobe: int) -> DataFrame:
+        if not head:  # empty-corpus sweep: no dense leg
+            return spark.createDataFrame(
+                [], "doc_id bigint, cos_sim double"
+            )
+        q_vec = [float(x) for x in head[0]["embedding"]]
+        return ivf_candidates(
+            spark, v_store, q_vec, nprobe=nprobe, n=_HYBRID_K
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+
+    if head:
+        v_store = _scratch("hybrid_recall_ivf")
+        write_ivf_index(emb, v_store, cell_col="label")
+    full = F.broadcast(
+        _rrf_head(sparse, _dense(1_000_000))
+        .select("doc_id")
+        .withColumn("hit", F.lit(1))
+    )
+    tagged = None
+    for p in _IVF_PROBES:
+        s = (
+            _rrf_head(sparse, _dense(p))
+            .select("doc_id")
+            .withColumn("nprobe", F.lit(p))
+        )
+        tagged = s if tagged is None else tagged.unionByName(s)
+    return (
+        tagged.join(full, "doc_id", "left")
+        .groupBy("nprobe")
+        .agg(
+            F.lit(10).alias("k"),
+            F.count("hit").alias("n_overlap"),
+            F.round(F.count("hit") / F.lit(10), 6).alias("overlap"),
+        )
+        .orderBy("nprobe")
+    )

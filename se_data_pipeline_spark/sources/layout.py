@@ -342,6 +342,7 @@ def write_bq_index(
     df: DataFrame,
     out_path: str,
     vec_col: str = "embedding",
+    delta: bool = False,
 ) -> None:
     """Materialize a binary-quantization ANN index: the input frame
     plus a packed 64-bit sign-code column (`code`,
@@ -350,19 +351,33 @@ def write_bq_index(
     (id, code) only — 8 bytes of index per vector instead of the
     full float payload, and parquet column pruning keeps the vector
     bytes on disk entirely (the layout test asserts the pruned
-    ReadSchema on the executed plan)."""
+    ReadSchema on the executed plan).
+
+    ``delta=True`` writes the DELTA layout (a ``batch_id=-1`` base
+    partition — the shape maintain_bq_index appends to), which is
+    what delete_bq_vectors requires: a flat store has no batch
+    dimension to version its in-band NULL-code delete markers
+    against. Use it when the index will live (deletes/streaming
+    appends); the flat default stays for one-shot rebuild stores."""
     from pyspark.sql import functions as F
 
     from se_data_pipeline_spark.functions.vectors import pack_sign_bits
 
-    (
+    codes = (
         df.filter(F.col(vec_col).isNotNull())  # NULL vector -> no code:
         # unsearchable entries don't belong in the index (and a NULL
         # code would sort FIRST in the ascending Hamming scan)
         .withColumn("code", pack_sign_bits(F.col(vec_col)))
-        .write.mode("overwrite")
-        .parquet(out_path)
     )
+    if delta:
+        (
+            codes.withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+    else:
+        codes.write.mode("overwrite").parquet(out_path)
 
 
 def _nearest_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str):

@@ -131,6 +131,14 @@ EAGER_OK = {
     "store build (batch-bounded write) + 2-row term-bucket collect",
     "and_ranked_served_topk": "store lifecycle under test: "
     "positional store build (batch-bounded write) + K-row collect",
+    "ivf_revised_recall": "store lifecycle under test: index build "
+    "+ revise writes + bounded collects (query vector, centroids, "
+    "1-row batch-max scalars)",
+    "bq_served_topk": "store lifecycle under test: delta index "
+    "build + delete marker write + 1-row qcode collect",
+    "hybrid_served_recall": "store lifecycle under test: both leg "
+    "stores built per call + bounded collects (query vector, "
+    "centroids); 3 probe/fusion rounds over the same stores",
     "semantic_dedup_canonical_corpus": "iterative Pregel loop "
     "(shared _min_label_components): localCheckpoint per round",
 }
