@@ -1047,3 +1047,109 @@ def hybrid_served_recall(
         )
         .orderBy("nprobe")
     )
+
+
+# shingle-index lifecycle constants (literals, not imports from
+# queries.text — this module's body can run while text.py is only
+# partially initialized, the _defer_copy_of rationale): 5-token
+# shingles at the shared 0.8 Jaccard threshold; src18 is the probe
+# shard (dedup_incremental_new_shard's convention), src13 the corpus
+# source deleted mid-lifecycle (it pairs with src18 at sf0.01, so a
+# failed delete changes the result).
+_IDX_SHARD = "src18"
+_IDX_DELETED = "src13"
+_IDX_THRESHOLD = 0.8
+
+
+def _dedup_index_oracle() -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4]
+         for i in range(1, len(toks) - 3)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents)),
+    e AS (
+      SELECT s.doc_id, len(s.s) AS m, unnest(s.s) AS sh, d.source
+      FROM sh s JOIN documents d USING (doc_id)
+      WHERE len(s.s) > 0),
+    a AS (SELECT * FROM e WHERE source = '{_IDX_SHARD}'),
+    b AS (SELECT * FROM e
+          WHERE source NOT IN ('{_IDX_SHARD}', '{_IDX_DELETED}')),
+    p AS (
+      SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+             a.m AS ma, b.m AS mb, COUNT(*) AS n_common
+      FROM a JOIN b ON a.sh = b.sh
+      GROUP BY new_doc, corpus_doc, ma, mb)
+    SELECT new_doc, corpus_doc, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 / (ma + mb - n_common), 6) AS jaccard
+    FROM p
+    WHERE n_common * 1.0 / (ma + mb - n_common) >= {_IDX_THRESHOLD}
+    ORDER BY new_doc, corpus_doc
+    """
+
+
+@query("dedup_index_served", oracle=_dedup_index_oracle())
+def dedup_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening served from a MATERIALIZED
+    shingle index after a full revision lifecycle — the continuous-
+    ingest production shape behind dedup_incremental_new_shard, with
+    the corpus side read from the store instead of re-shingled per
+    screen: build the index from the corpus-minus-shard with a third
+    of the documents perturbed (junk tokens inflate their m and add
+    junk shingles), revise those docs back to their true text
+    (tombstones + fresh rows), DELETE one whole source from the
+    index, then screen the held-out shard. The oracle recomputes the
+    asymmetric shingle join from raw text over exactly the live
+    corpus — a stale row splits a pair's (ma, mb) group or shifts
+    its Jaccard, an undead deleted doc adds a pair, and either fails
+    the hash.
+
+    Scale: the screen's text pass is batch-sized (the shard), the
+    index side is a columnar read of (doc_id, m, h) — never the
+    corpus text; the join shuffles 8-byte hashes; revision deltas
+    are batch-bounded."""
+    from se_data_pipeline_spark.sources.layout import (
+        delete_shingle_docs,
+        near_dups_from_index,
+        revise_shingle_docs,
+        write_shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.filter(F.col("source") != _IDX_SHARD)
+    v1 = corpus.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" zzidx0 zzidx1 zzidx2 zzidx3 zzidx4 zzidx5"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    store = _scratch("dedup_index")
+    write_shingle_index(v1.select("doc_id", "text"), store)
+    revise_shingle_docs(
+        spark,
+        corpus.filter("doc_id % 3 = 0").select("doc_id", "text"),
+        store,
+    )
+    delete_shingle_docs(
+        spark,
+        corpus.filter(F.col("source") == _IDX_DELETED).select(
+            "doc_id"
+        ),
+        store,
+    )
+    return near_dups_from_index(
+        spark,
+        store,
+        docs.filter(F.col("source") == _IDX_SHARD).select(
+            "doc_id", "text"
+        ),
+        threshold=_IDX_THRESHOLD,
+    )

@@ -1412,10 +1412,10 @@ _POS_POSTINGS_SCHEMA = (
     "batch_id int, tok_bucket bigint"
 )
 # commit ledger: one row per committed batch, written LAST — the
-# positional twin of the frequency store's totals commit point
-# (phrase scoring needs no corpus statistics, so the ledger carries
-# only the commit marker + an informational doc count)
-_POS_BATCHES_SCHEMA = "n_docs bigint, batch_id int"
+# totals-table commit-point role for stores that need no corpus
+# statistics (positional postings, shingle index); the ledger carries
+# only the commit marker + an informational doc count
+_LEDGER_SCHEMA = "n_docs bigint, batch_id int"
 
 
 def _positional_frames(
@@ -1470,7 +1470,7 @@ def write_positional_postings(
     ).parquet(f"{out_dir}/batches")
 
 
-def _next_positional_batch(spark: SparkSession, out_dir: str) -> int:
+def _next_ledger_batch(spark: SparkSession, out_dir: str) -> int:
     """One past the newest COMMITTED batch (max over the batches
     ledger — every writer's LAST write): crashed partials at the
     uncommitted id are excluded from reads and overwritten when the
@@ -1479,7 +1479,7 @@ def _next_positional_batch(spark: SparkSession, out_dir: str) -> int:
     from pyspark.sql import functions as F
 
     mx = (
-        spark.read.schema(_POS_BATCHES_SCHEMA)
+        spark.read.schema(_LEDGER_SCHEMA)
         .parquet(f"{out_dir}/batches")
         .agg(F.max("batch_id").alias("b"))
         .collect()[0]["b"]
@@ -1508,7 +1508,7 @@ def revise_positional_postings(
 
     recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
-    next_b = _next_positional_batch(spark, out_dir)
+    next_b = _next_ledger_batch(spark, out_dir)
     claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
 
     rows, batches = _positional_frames(docs_v2, next_b, nb)
@@ -1543,7 +1543,7 @@ def delete_positional_docs(
     from pyspark.sql import functions as F
 
     recover_compacting(spark, out_dir)
-    next_b = _next_positional_batch(spark, out_dir)
+    next_b = _next_ledger_batch(spark, out_dir)
     claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
     (
         doc_ids.select("doc_id")
@@ -1556,7 +1556,7 @@ def delete_positional_docs(
     )
     (
         spark.createDataFrame(
-            [(0, int(next_b))], _POS_BATCHES_SCHEMA
+            [(0, int(next_b))], _LEDGER_SCHEMA
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -1584,7 +1584,7 @@ def _positional_live(
 
     recover_compacting(spark, out_dir)
     n_buckets = _postings_meta_buckets(spark, out_dir)
-    hw = _next_positional_batch(spark, out_dir)
+    hw = _next_ledger_batch(spark, out_dir)
     buckets = sorted(
         {
             r["b"]
@@ -1791,7 +1791,7 @@ def compact_positional_postings(
 
     recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
-    hw = _next_positional_batch(spark, out_dir)
+    hw = _next_ledger_batch(spark, out_dir)
     tomb = _max_tombstones(spark, out_dir, before_batch=hw)
     p = (
         spark.read.schema(_POS_POSTINGS_SCHEMA)
@@ -1833,6 +1833,254 @@ def compact_positional_postings(
     swap_compacted(
         spark, out_dir, _write, "positional posting store"
     )
+
+
+# shingle (near-dup screening) index store: the materialized corpus
+# side of dedup_incremental_new_shard — continuous ingest probes each
+# NEW batch's shingles against this index instead of re-running the
+# Arrow shingle pass over the whole corpus per screen (at 100 TB the
+# corpus-side shingle recompute IS the cost; the index read is 8-byte
+# hashes + two ints). Same lifecycle contracts as the other stores:
+# batches commit ledger, tombstone kill rule, offline fence,
+# whole-dir compaction swaps.
+_SHINGLE_INDEX_SCHEMA = "doc_id bigint, m int, h bigint, batch_id int"
+
+
+def _shingle_frames(docs: DataFrame, batch_id: int):
+    """(rows, ledger) delta frames for one document set: rows =
+    (doc_id, m, h) with h the xxhash64 of each distinct 5-token
+    shingle and m the doc's distinct-shingle count carried alongside
+    (so Jaccard needs no join back to the documents — the
+    queries/text._shingle_index convention). Shared by the batch
+    builder, the revision path, the probe side, and the streaming
+    maintainer. Short docs (no shingles) contribute no rows but
+    still count in the ledger."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.functions.text import word_shingles_udf
+
+    sets = docs.select(
+        "doc_id",
+        F.transform(
+            word_shingles_udf(5)(F.col("text")),
+            lambda x: F.xxhash64(x),
+        ).alias("hset"),
+    )
+    rows = (
+        sets.filter(F.size("hset") > 0)
+        .select(
+            "doc_id",
+            F.size("hset").alias("m"),
+            F.explode("hset").alias("h"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    ledger = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn("batch_id", F.lit(batch_id))
+    return rows, ledger
+
+
+def write_shingle_index(docs: DataFrame, out_dir: str) -> None:
+    """Materialize the near-dup screening index: one (doc_id, m, h)
+    row per distinct 5-token shingle hash, ``batch_id=-1`` base +
+    the batches commit ledger. The 8-byte hash column is the join
+    key (never the ~40-byte shingle string — the _shingle_index
+    rationale); the shingle pass over the corpus text runs ONCE
+    here, and every later ingest screen reads this instead."""
+    rows, ledger = _shingle_frames(docs, -1)
+    rows.write.mode("overwrite").partitionBy("batch_id").parquet(
+        f"{out_dir}/postings"
+    )
+    ledger.coalesce(1).write.mode("overwrite").partitionBy(
+        "batch_id"
+    ).parquet(f"{out_dir}/batches")
+
+
+def revise_shingle_docs(
+    spark: SparkSession, docs_v2: DataFrame, out_dir: str
+) -> int:
+    """UPSERT re-ingested documents into the shingle index: a
+    re-crawled CHANGED document changes both its shingle set and its
+    m, so stale rows make every Jaccard involving the doc wrong (and
+    split its pair groups in two). Same mechanics as the positional
+    store: fresh rows AT batch N, tombstone (doc_id, N) killing
+    batches < N, ledger row LAST as the commit point, the claimed id
+    fenced against a resumed maintenance stream."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    next_b = _next_ledger_batch(spark, out_dir)
+    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
+    rows, ledger = _shingle_frames(docs_v2, next_b)
+
+    def _dyn(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    _dyn(rows, f"{out_dir}/postings")
+    _dyn(
+        docs_v2.select("doc_id")
+        .distinct()
+        .withColumn("batch_id", F.lit(next_b)),
+        f"{out_dir}/tombstones",
+    )
+    _dyn(ledger.coalesce(1), f"{out_dir}/batches")
+    return next_b
+
+
+def delete_shingle_docs(
+    spark: SparkSession, doc_ids: DataFrame, out_dir: str
+) -> int:
+    """Remove documents from the shingle index: tombstones + the
+    commit-ledger row (no replacement rows). Ids absent from the
+    index are no-ops."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    next_b = _next_ledger_batch(spark, out_dir)
+    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
+    (
+        doc_ids.select("doc_id")
+        .distinct()
+        .withColumn("batch_id", F.lit(next_b))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{out_dir}/tombstones")
+    )
+    (
+        spark.createDataFrame([(0, int(next_b))], _LEDGER_SCHEMA)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{out_dir}/batches")
+    )
+    return next_b
+
+
+def near_dups_from_index(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Screen a NEW document batch for near-duplicates against the
+    materialized corpus index: shingle the new docs (the only text
+    pass — batch-sized, not corpus-sized), equi-join their 8-byte
+    hashes against the index's committed, tombstone-live rows, count
+    collisions per (new, corpus) pair, and keep pairs with Jaccard
+    >= threshold. The asymmetric-join incremental-dedup shape of
+    dedup_incremental_new_shard with the corpus side read from the
+    store instead of recomputed — at 100 TB the difference is an
+    Arrow UDF pass over the full corpus text per screen vs a
+    columnar read of (doc_id, m, h).
+
+    Callers screen batches whose doc_ids are NOT in the index (the
+    ingest-order contract); a doc probed against its own indexed
+    version reports itself at Jaccard 1."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    hw = _next_ledger_batch(spark, out_dir)
+    idx = (
+        spark.read.schema(_SHINGLE_INDEX_SCHEMA)
+        .parquet(f"{out_dir}/postings")
+        .filter(F.col("batch_id") < hw)  # committed batches only
+    )
+    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
+    if tomb is not None:
+        idx = (
+            idx.join(tomb, "doc_id", "left")
+            .filter(
+                F.col("tomb_b").isNull()
+                | (F.col("batch_id") >= F.col("tomb_b"))
+            )
+            .drop("tomb_b")
+        )
+    probe_rows, _ = _shingle_frames(new_docs, -1)
+    probe = probe_rows.select(
+        F.col("doc_id").alias("new_doc"),
+        F.col("m").alias("ma"),
+        "h",
+    )
+    p = (
+        probe.join(
+            idx.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("m").alias("mb"),
+                "h",
+            ),
+            "h",
+        )
+        .groupBy("new_doc", "corpus_doc", "ma", "mb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("ma") + F.col("mb") - F.col("n_common")
+    )
+    return (
+        p.filter(jac >= float(threshold))
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("new_doc", "corpus_doc")
+    )
+
+
+def compact_shingle_index(spark: SparkSession, out_dir: str) -> None:
+    """Fold the shingle index's per-batch deltas into one
+    ``batch_id=-1`` base and fold its tombstones (and fence) OUT —
+    the whole-store atomic-swap contract of the other compactors.
+    Folds the COMMITTED state only; run while the maintenance stream
+    is stopped."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    hw = _next_ledger_batch(spark, out_dir)
+    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
+    rows = (
+        spark.read.schema(_SHINGLE_INDEX_SCHEMA)
+        .parquet(f"{out_dir}/postings")
+        .filter(F.col("batch_id") < hw)
+    )
+    if tomb is not None:
+        rows = (
+            rows.join(tomb, "doc_id", "left")
+            .filter(
+                F.col("tomb_b").isNull()
+                | (F.col("batch_id") >= F.col("tomb_b"))
+            )
+            .drop("tomb_b")
+        )
+    live_docs = rows.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+    def _write(tmp: str) -> None:
+        (
+            rows.withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{tmp}/postings")
+        )
+        (
+            live_docs.withColumn("batch_id", F.lit(-1))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{tmp}/batches")
+        )
+
+    swap_compacted(spark, out_dir, _write, "shingle index")
 
 
 def compact_posting_lists(spark: SparkSession, out_dir: str) -> None:

@@ -1404,6 +1404,76 @@ def maintain_positional_postings(
     )
 
 
+def maintain_shingle_index(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    allow_revisions: bool = False,
+):
+    """Incremental shingle-index maintenance — the streaming twin of
+    sources/layout.write_shingle_index / revise_shingle_docs,
+    through the SAME frame builder (layout._shingle_frames): each
+    micro-batch of ingested documents appends its (doc_id, m, h)
+    rows under ``batch_id=N`` plus the commit-ledger row (written
+    LAST). This is the continuous-ingest dedup loop closed: a batch
+    is screened via near_dups_from_index, the survivors are ingested,
+    and THIS stream adds their shingles to the index so the next
+    batch screens against them too — the corpus text is never
+    re-shingled.
+
+    ``allow_revisions=True`` tombstones re-emitted doc_ids at the
+    batch id (a changed document changes its shingle set AND its m).
+    Exactly-once by layout; micro-batch ids guarded against
+    offline-claimed fence ids."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.sources.layout import (
+        _shingle_frames,
+        guard_stream_batch,
+    )
+
+    def _dyn(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()  # decouple from the stream
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        guard_stream_batch(
+            spark,
+            os.path.join(out_dir, "offline_fence"),
+            batch_id,
+            f"shingle index at {out_dir}",
+        )
+        rows, ledger = _shingle_frames(batch, batch_id)
+        _dyn(rows, os.path.join(out_dir, "postings"))
+        if allow_revisions:
+            _dyn(
+                batch.select("doc_id")
+                .distinct()
+                .withColumn("batch_id", F.lit(batch_id)),
+                os.path.join(out_dir, "tombstones"),
+            )
+        # ledger row LAST — the batch's commit point
+        _dyn(ledger.coalesce(1), os.path.join(out_dir, "batches"))
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_term_stats(spark: SparkSession, out_dir: str):
     """Fold the maintain_term_stats delta partitions into current
     statistics: returns (term_stats_df with one row per term, totals

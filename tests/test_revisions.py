@@ -847,3 +847,137 @@ def test_maintain_positional_postings_batch_parity_and_fence(
     with pytest.raises(Exception, match="collides with an offline"):
         q2.awaitTermination(120)
     assert _phrase_rows(spark, out) == _phrase_rows(spark, truth)
+
+
+def _pairs(spark, store, probe):
+    from se_data_pipeline_spark.sources.layout import (
+        near_dups_from_index,
+    )
+
+    return [
+        tuple(r)
+        for r in near_dups_from_index(spark, store, probe).collect()
+    ]
+
+
+def test_shingle_index_lifecycle(spark, sf_dir, tmp_path):
+    """Materialized near-dup screening index: build perturbed →
+    revise → delete → probe must equal a probe against an index
+    built directly from the true live corpus, pre- and
+    post-compaction; uncommitted tombstones stay invisible."""
+    from se_data_pipeline_spark.sources.layout import (
+        compact_shingle_index,
+        delete_shingle_docs,
+        revise_shingle_docs,
+        write_shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.filter("source <> 'src18'").select("doc_id", "text")
+    probe = docs.filter("source = 'src18'").select("doc_id", "text")
+    deleted = docs.filter("source = 'src13'").select("doc_id")
+
+    v1 = corpus.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" zzj0 zzj1 zzj2 zzj3 zzj4")),
+        ).otherwise(F.col("text")),
+    )
+    out = str(tmp_path / "idx")
+    write_shingle_index(v1, out)
+    truth = str(tmp_path / "truth")
+    write_shingle_index(
+        docs.filter("source NOT IN ('src18', 'src13')").select(
+            "doc_id", "text"
+        ),
+        truth,
+    )
+
+    revise_shingle_docs(spark, corpus.filter("doc_id % 3 = 0"), out)
+    delete_shingle_docs(spark, deleted, out)
+    want = _pairs(spark, truth, probe)
+    assert want, "fixture must produce at least one near-dup pair"
+    assert _pairs(spark, out, probe) == want
+
+    # crash window: a tombstone batch with no ledger commit row must
+    # not change the screen
+    (
+        probe.select("doc_id")
+        .limit(1)
+        .withColumn("batch_id", F.lit(2))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out, "tombstones"))
+    )
+    assert _pairs(spark, out, probe) == want
+
+    compact_shingle_index(spark, out)
+    assert _pairs(spark, out, probe) == want
+    assert not os.path.exists(os.path.join(out, "tombstones"))
+    assert not os.path.exists(os.path.join(out, "offline_fence"))
+    assert {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{out}/postings")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    } == {-1}
+
+
+def test_maintain_shingle_index_batch_parity(spark, sf_dir, tmp_path):
+    """Streamed index maintenance with a revision micro-batch must
+    screen identically to the batch-built true index."""
+    from se_data_pipeline_spark.sources.layout import (
+        write_shingle_index,
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.filter("source <> 'src18'").select("doc_id", "text")
+    probe = docs.filter("source = 'src18'").select("doc_id", "text")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    v1 = corpus.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" zzj0 zzj1 zzj2 zzj3 zzj4")),
+        ).otherwise(F.col("text")),
+    )
+    v1.coalesce(1).write.mode("append").parquet(src)
+    first = set(glob.glob(os.path.join(src, "part-*.parquet")))
+    corpus.filter("doc_id % 3 = 0").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = _time.time()
+    for f in glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(
+            f, (now - 100, now - 100) if f in first else (now, now)
+        )
+
+    out = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_shingle_index(
+        stream, out, str(tmp_path / "chk"), allow_revisions=True
+    )
+    q.awaitTermination(120)
+    assert not q.isActive and q.exception() is None
+    assert len(q.recentProgress) >= 2
+
+    truth = str(tmp_path / "truth")
+    write_shingle_index(corpus, truth)
+    want = _pairs(spark, truth, probe)
+    assert _pairs(spark, out, probe) == want

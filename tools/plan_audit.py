@@ -139,6 +139,9 @@ EAGER_OK = {
     "hybrid_served_recall": "store lifecycle under test: both leg "
     "stores built per call + bounded collects (query vector, "
     "centroids); 3 probe/fusion rounds over the same stores",
+    "dedup_index_served": "store lifecycle under test: shingle "
+    "index build + revise + delete writes (batch-bounded), then one "
+    "asymmetric probe join",
     "semantic_dedup_canonical_corpus": "iterative Pregel loop "
     "(shared _min_label_components): localCheckpoint per round",
 }
