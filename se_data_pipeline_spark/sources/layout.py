@@ -471,9 +471,41 @@ def write_ivf_index(
         .partitionBy("cell", "batch_id")
         .parquet(f"{out_path}/cells")
     )
+    # batches commit ledger LAST (r11, harmonizing the IVF store with
+    # the postings/positional/shingle stores): readers derive the
+    # committed high-water mark from it, so a crashed revision's
+    # partial replacement rows stay invisible until its re-run commits
+    (
+        rows.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("batch_id", F.lit(-1))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{out_path}/batches")
+    )
 
 
 _IVF_TOMBSTONES_SCHEMA = "vec_id bigint, batch_id int"
+
+
+def _ivf_committed_hw(
+    spark: SparkSession, index_path: str
+) -> int | None:
+    """One past the newest COMMITTED batch per the store's ledger, or
+    None for a store built before the ledger existed (legacy stores
+    keep the r10 read semantics — no commit-point filter)."""
+    from pyspark.sql import functions as F
+
+    fs, p = _hadoop_path(spark, f"{index_path}/batches")
+    if not fs.exists(p):
+        return None
+    mx = (
+        spark.read.schema(_LEDGER_SCHEMA)
+        .parquet(f"{index_path}/batches")
+        .agg(F.max("batch_id").alias("b"))
+        .collect()[0]["b"]
+    )
+    return max(0, (mx if mx is not None else -1) + 1)
 
 
 def _ivf_tombstones(
@@ -517,11 +549,18 @@ def revise_ivf_vectors(
     means DELETE: tombstone without a replacement row (the
     write_ivf_index NULL-is-unsearchable rule, now with teeth).
 
-    Crash ordering: rows first, tombstones last; the batch id is one
-    past the max across BOTH cells and tombstones, so a re-run after
-    any partial write picks a FRESH id whose tombstones also kill
-    the crashed partials — convergent without a log. Run while the
-    maintenance stream is stopped — every claimed id is FENCED
+    Crash ordering (r11, the ledger harmonization): rows, then
+    tombstones, then the batches LEDGER row LAST — the commit point.
+    The batch id is the ledger-derived committed high-water mark, so
+    a re-run after any partial write reuses the SAME id and
+    overwrites its own partitions (cell assignment is deterministic
+    under the frozen quantizer, so the re-run's dynamic overwrite
+    hits exactly the crashed attempt's partitions); readers filter
+    to committed batches, so the partials never serve meanwhile. A
+    legacy store without a ledger keeps the r10 fresh-id rule (max
+    over cells+tombstones, tombstones kill the partials) and gains a
+    ledger from this revision onward. Run while the maintenance
+    stream is stopped — every claimed id is FENCED
     (claim_offline_batch), so a stream resuming its old checkpoint
     afterwards fails loudly instead of silently clobbering the
     revision (ADVICE r10). Returns the batch id used."""
@@ -539,25 +578,30 @@ def revise_ivf_vectors(
             f"{index_path}/centroids is empty — build the index with "
             "write_ivf_index before revising"
         )
-    mx_cells = (
-        spark.read.parquet(f"{index_path}/cells")
-        .agg(F.max("batch_id").alias("b"))
-        .collect()[0]["b"]
-    )
-    tomb = _ivf_tombstones(spark, index_path)
-    mx_tomb = (
-        tomb.agg(F.max("tomb_b").alias("b")).collect()[0]["b"]
-        if tomb is not None
-        else None
-    )
-    next_b = max(
-        0,
-        max(
-            (mx_cells if mx_cells is not None else -1),
-            (mx_tomb if mx_tomb is not None else -1),
+    hw = _ivf_committed_hw(spark, index_path)
+    if hw is not None:
+        next_b = hw
+    else:
+        # legacy store (no ledger): the r10 fresh-id rule
+        mx_cells = (
+            spark.read.parquet(f"{index_path}/cells")
+            .agg(F.max("batch_id").alias("b"))
+            .collect()[0]["b"]
         )
-        + 1,
-    )
+        tomb = _ivf_tombstones(spark, index_path)
+        mx_tomb = (
+            tomb.agg(F.max("tomb_b").alias("b")).collect()[0]["b"]
+            if tomb is not None
+            else None
+        )
+        next_b = max(
+            0,
+            max(
+                (mx_cells if mx_cells is not None else -1),
+                (mx_tomb if mx_tomb is not None else -1),
+            )
+            + 1,
+        )
     claim_offline_batch(
         spark, f"{index_path}/offline_fence", next_b
     )
@@ -581,6 +625,17 @@ def revise_ivf_vectors(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(f"{index_path}/tombstones")
+    )
+    # ledger row LAST — the commit point
+    (
+        spark.createDataFrame(
+            [(0, int(next_b))], _LEDGER_SCHEMA
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_path}/batches")
     )
     return next_b
 
@@ -637,7 +692,13 @@ def ivf_candidates(
     probed = spark.read.parquet(f"{index_path}/cells").filter(
         F.col("cell").isin([int(c) for c in cells])
     )
-    tomb = _ivf_tombstones(spark, index_path)
+    # committed batches only (ledger-carrying stores, r11): a crashed
+    # revision's partial replacement rows must not serve alongside
+    # the old rows its never-written tombstones would have killed
+    hw = _ivf_committed_hw(spark, index_path)
+    if hw is not None:
+        probed = probed.filter(F.col("batch_id") < hw)
+    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
     if tomb is not None:
         probed = (
             probed.join(tomb, "vec_id", "left")
@@ -718,7 +779,10 @@ def refresh_ivf_index(
     live = spark.read.parquet(f"{index_path}/cells").filter(
         F.col("embedding").isNotNull()
     )
-    tomb = _ivf_tombstones(spark, index_path)
+    hw = _ivf_committed_hw(spark, index_path)
+    if hw is not None:
+        live = live.filter(F.col("batch_id") < hw)
+    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
     if tomb is not None:
         # revised/deleted ids: drop rows a newer tombstone kills
         # BEFORE the latest-wins fold, so a deleted vector does not
@@ -818,7 +882,10 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
             "all filtered out never creates the store)"
         )
     cells = spark.read.parquet(f"{index_path}/cells")
-    tomb = _ivf_tombstones(spark, index_path)
+    hw = _ivf_committed_hw(spark, index_path)
+    if hw is not None:
+        cells = cells.filter(F.col("batch_id") < hw)
+    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
     if tomb is not None:
         cells = (
             cells.join(tomb, "vec_id", "left")
@@ -850,6 +917,16 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         ).parquet(f"{tmp}/cells")
         centroids.coalesce(1).write.mode("overwrite").parquet(
             f"{tmp}/centroids"
+        )
+        (
+            folded.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs")
+            )
+            .withColumn("batch_id", F.lit(-1))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{tmp}/batches")
         )
 
     swap_compacted(spark, index_path, _write, "IVF index")

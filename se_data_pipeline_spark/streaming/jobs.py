@@ -394,6 +394,23 @@ def maintain_ivf_index(
             .partitionBy("cell", "batch_id")
             .parquet(f"{index_path}/cells")
         )
+        # batches ledger row LAST — the micro-batch's commit point
+        # (r11 ledger harmonization: readers of ledger-carrying
+        # stores serve committed batches only)
+        from se_data_pipeline_spark.sources.layout import (
+            _LEDGER_SCHEMA,
+        )
+
+        (
+            rows.sparkSession.createDataFrame(
+                [(0, int(batch_id))], _LEDGER_SCHEMA
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/batches")
+        )
 
     return (
         vec_stream.writeStream.outputMode("append")

@@ -981,3 +981,68 @@ def test_maintain_shingle_index_batch_parity(spark, sf_dir, tmp_path):
     write_shingle_index(corpus, truth)
     want = _pairs(spark, truth, probe)
     assert _pairs(spark, out, probe) == want
+
+
+def test_ivf_uncommitted_revision_invisible(spark, tmp_path):
+    """r11 IVF ledger harmonization: a revision that crashed after
+    its replacement-row write but before its ledger commit must be
+    invisible to probes (previously both versions of a revised
+    vector served until the re-run); the re-run reuses the id and
+    converges."""
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_candidates,
+        revise_ivf_vectors,
+        write_ivf_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [0.0, 1.0], 1),
+            (3, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(vecs, idx)
+
+    def probe():
+        return [
+            (r["vec_id"], r["cell"])
+            for r in ivf_candidates(
+                spark, idx, [1.0, 0.0], nprobe=10, n=10
+            ).collect()
+        ]
+
+    before = probe()
+
+    # crash window: replacement row for vec 1 (moved near cell 1)
+    # lands at batch 0, tombstones + ledger never do
+    (
+        spark.createDataFrame(
+            [(1, [0.0, 1.0], 1, 0)],
+            "vec_id long, embedding array<float>, cell int, batch_id int",
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "batch_id")
+        .parquet(f"{idx}/cells")
+    )
+    assert probe() == before, (
+        "uncommitted replacement rows leaked into the probe"
+    )
+
+    # re-run reuses batch 0 (ledger never committed) and converges:
+    # vec 1 now serves its new embedding exactly once
+    b = revise_ivf_vectors(
+        spark,
+        spark.createDataFrame(
+            [(1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+        ),
+        idx,
+    )
+    assert b == 0
+    after = probe()
+    assert len([v for v, _ in after if v == 1]) == 1
+    assert after != before
