@@ -1153,3 +1153,83 @@ def dedup_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         threshold=_IDX_THRESHOLD,
     )
+
+
+_FUNNEL_NPROBE = 2
+_FUNNEL_CANDS = 50
+
+
+def _ivf_bq_funnel_oracle() -> str:
+    from se_data_pipeline_spark.queries.vectors import (
+        _SQL_COS,
+        _SQL_HAMMING,
+        _SQL_QVEC,
+    )
+
+    return f"""
+    WITH q AS ({_SQL_QVEC}),
+    flat AS (SELECT label, unnest(embedding) AS v,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM embeddings),
+    c AS (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS ctr
+          FROM flat GROUP BY label, pos),
+    dist AS (SELECT c.label,
+                    SUM((c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))
+                        * (c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))) AS d2
+             FROM c CROSS JOIN q GROUP BY c.label),
+    probed_cells AS (
+      SELECT label FROM (
+        SELECT label, row_number() OVER (ORDER BY d2, label) AS rk
+        FROM dist) WHERE rk <= {_FUNNEL_NPROBE}),
+    h AS (
+      SELECT e.vec_id,
+             {_SQL_HAMMING} AS hamming,
+             {_SQL_COS} AS cos
+      FROM embeddings e
+      JOIN probed_cells pc ON e.label = pc.label
+      CROSS JOIN q),
+    cand AS (
+      SELECT * FROM h ORDER BY hamming, vec_id LIMIT {_FUNNEL_CANDS})
+    SELECT vec_id, CAST(hamming AS INT) AS hamming,
+           ROUND(cos, 6) AS cos_sim
+    FROM cand ORDER BY cos DESC, vec_id LIMIT 10
+    """
+
+
+@query("ivf_bq_funnel_served", oracle=_ivf_bq_funnel_oracle())
+def ivf_bq_funnel_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL production ANN funnel served from one materialized
+    store (r11): coarse-quantizer cell pruning (IVF partition
+    filter) -> 8-byte sign-code Hamming cut inside the probed cells
+    (the embedding column never read — plan-asserted in the layout
+    test) -> exact cosine rerank of the 50 survivors. This is the
+    compounding that makes FAISS-style IVF-BQ deployments serve
+    100 TB: nprobe/n_cells of the index's codes + 50 float vectors
+    per query. The oracle replays quantizer training, cell ranking,
+    the in-cell Hamming cut, and the rerank in SQL — a code packed
+    differently, a cell pruned wrongly, or a candidate boundary off
+    by one changes the top-10 and fails the hash."""
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_bq_funnel,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.orderBy("vec_id").limit(1).collect()
+    if not head:  # empty-corpus sweep
+        return spark.createDataFrame(
+            [], "vec_id bigint, hamming int, cos_sim double"
+        )
+    store = _scratch("ivf_bq_funnel")
+    write_ivf_index(emb, store, cell_col="label")
+    q_vec = [float(x) for x in head[0]["embedding"]]
+    return ivf_bq_funnel(
+        spark,
+        store,
+        q_vec,
+        nprobe=_FUNNEL_NPROBE,
+        n_candidates=_FUNNEL_CANDS,
+        n=10,
+    )

@@ -439,14 +439,21 @@ def write_ivf_index(
     entire point of IVF at 100 TB.
 
     Layout: ``out_path/centroids`` (n_cells rows: cell, centroid) and
-    ``out_path/cells`` (cell=N directories of (vec_id, embedding)).
-    NULL vectors are excluded (unsearchable). One grouped pass for
-    the centroids + one cell-partitioned write."""
+    ``out_path/cells`` (cell=N directories of (vec_id, embedding,
+    code) — `code` is the vector's packed 64-bit sign code, computed
+    ONCE at write time so the two-stage funnel's Hamming cut reads 8
+    bytes/row inside the probed cells and never touches the float
+    column, r11 ivf_bq_funnel). NULL vectors are excluded
+    (unsearchable). One grouped pass for the centroids + one
+    cell-partitioned write."""
     from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
 
     rows = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
+        pack_sign_bits(F.col(vec_col)).alias("code"),
         F.col(cell_col).cast("int").alias("cell"),
     )
     centroids = (
@@ -605,9 +612,12 @@ def revise_ivf_vectors(
     claim_offline_batch(
         spark, f"{index_path}/offline_fence", next_b
     )
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
+
     rows = vecs_v2.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
+        pack_sign_bits(F.col(vec_col)).alias("code"),
         _nearest_cell_expr(cents, vec_col).alias("cell"),
         F.lit(next_b).alias("batch_id"),
     )
@@ -640,6 +650,27 @@ def revise_ivf_vectors(
     return next_b
 
 
+def _probe_cells(
+    spark: SparkSession,
+    index_path: str,
+    q_vec: list[float],
+    nprobe: int,
+) -> list[int]:
+    """The nprobe nearest cells to the query, picked DRIVER-SIDE from
+    the bounded (n_cells x dims) centroid table — (d2, cell)
+    lexicographic order, the _nearest_cell_expr tie-break. Shared by
+    ivf_candidates and ivf_bq_funnel."""
+    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    by_d2 = sorted(
+        (
+            sum((c - q) ** 2 for c, q in zip(r["centroid"], q_vec)),
+            r["cell"],
+        )
+        for r in cents
+    )
+    return [cell for _, cell in by_d2[:nprobe]]
+
+
 def ivf_candidates(
     spark: SparkSession,
     index_path: str,
@@ -660,15 +691,7 @@ def ivf_candidates(
     from pyspark.sql import functions as F
 
     recover_compacting(spark, index_path)
-    cents = spark.read.parquet(f"{index_path}/centroids").collect()
-    by_d2 = sorted(
-        (
-            sum((c - q) ** 2 for c, q in zip(r["centroid"], q_vec)),
-            r["cell"],
-        )
-        for r in cents
-    )
-    cells = [cell for _, cell in by_d2[:nprobe]]
+    cells = _probe_cells(spark, index_path, q_vec, nprobe)
 
     qn = math.sqrt(sum(x * x for x in q_vec)) or 1.0
     qlit = F.array(*[F.lit(float(x)) for x in q_vec])
@@ -720,6 +743,114 @@ def ivf_candidates(
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(n)
+    )
+
+
+def ivf_bq_funnel(
+    spark: SparkSession,
+    index_path: str,
+    q_vec: list[float],
+    nprobe: int = 1,
+    n_candidates: int = 100,
+    n: int = 10,
+) -> DataFrame:
+    """The full production ANN funnel over ONE store (r11): coarse
+    quantizer -> binary codes -> exact rerank. Stage 0 picks the
+    nprobe nearest cells driver-side (bounded centroid table); stage
+    1 scans ONLY (vec_id, code) inside the probed cell partitions —
+    8 bytes of searchable payload per vector, the float column never
+    leaves disk (plan-asserted in the layout test) — and keeps the
+    n_candidates best Hamming distances via TakeOrderedAndProject;
+    stage 2 joins the candidate ids back to the probed cells and
+    exact-cosine-reranks just those rows. Cost at 100 TB:
+    nprobe/n_cells of the index's 8-byte codes + n_candidates float
+    vectors — the compounding of IVF's partition pruning with BQ's
+    byte-per-dim compression, which is how FAISS-style IVF-PQ/BQ
+    deployments actually serve. Committed batches only; tombstone
+    kill rule applies to both stages (same live view).
+
+    The query's code is evaluated with the SAME Catalyst expression
+    the writers use (a 1-row local job — the _tok_bucket_col
+    precedent: pack_sign_bits has no public driver-side twin)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.functions.vectors import (
+        hamming_codes,
+        pack_sign_bits,
+    )
+
+    recover_compacting(spark, index_path)
+    cells = _probe_cells(spark, index_path, q_vec, nprobe)
+    qlit = F.array(*[F.lit(float(x)) for x in q_vec])
+    q_code = int(
+        spark.range(1)
+        .select(pack_sign_bits(qlit).alias("c"))
+        .collect()[0]["c"]
+    )
+
+    probed = spark.read.parquet(f"{index_path}/cells").filter(
+        F.col("cell").isin([int(c) for c in cells])
+    )
+    hw = _ivf_committed_hw(spark, index_path)
+    if hw is not None:
+        probed = probed.filter(F.col("batch_id") < hw)
+    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
+    if tomb is not None:
+        probed = (
+            probed.join(tomb, "vec_id", "left")
+            .filter(
+                F.col("tomb_b").isNull()
+                | (F.col("batch_id") >= F.col("tomb_b"))
+            )
+            .drop("tomb_b")
+        )
+    # stage 1: the 8-byte cut — vec_id + code only (column pruning
+    # keeps the embedding bytes on disk for every non-candidate)
+    cand = (
+        probed.select(
+            "vec_id",
+            hamming_codes(
+                F.col("code"), F.lit(q_code).cast("long")
+            ).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(n_candidates)
+    )
+    # stage 2: exact rerank of the candidates' float vectors
+    qn = math.sqrt(sum(x * x for x in q_vec)) or 1.0
+    dot = F.aggregate(
+        F.zip_with(
+            qlit, F.col("embedding"), lambda a, b: a * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    denom = vnorm * F.lit(qn)
+    return (
+        probed.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.when(denom != 0, dot / denom).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(n)
+        .select(
+            "vec_id", "hamming", F.round("cos_sim", 6).alias("cos_sim")
+        )
     )
 
 
@@ -895,6 +1026,8 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
             )
             .drop("tomb_b")
         )
+    from se_data_pipeline_spark.functions.vectors import pack_sign_bits
+
     folded = (
         cells.groupBy("vec_id")
         .agg(
@@ -905,6 +1038,10 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         .select(
             "vec_id",
             F.col("s.embedding").alias("embedding"),
+            # recomputed (deterministic from the embedding) rather
+            # than carried through the fold: a pre-code legacy store
+            # compacts into a code-carrying one
+            pack_sign_bits(F.col("s.embedding")).alias("code"),
             F.col("s.cell").alias("cell"),
         )
         .withColumn("batch_id", F.lit(-1))

@@ -365,9 +365,14 @@ def maintain_ivf_index(
     cell_of = _nearest_cell_expr(cents, vec_col)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from se_data_pipeline_spark.functions.vectors import (
+            pack_sign_bits,
+        )
+
         rows = batch_df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
+            pack_sign_bits(F.col(vec_col)).alias("code"),
             cell_of.alias("cell"),
             F.lit(batch_id).alias("batch_id"),
         )

@@ -142,6 +142,9 @@ EAGER_OK = {
     "dedup_index_served": "store lifecycle under test: shingle "
     "index build + revise + delete writes (batch-bounded), then one "
     "asymmetric probe join",
+    "ivf_bq_funnel_served": "store lifecycle under test: index "
+    "build + bounded collects (query vector, centroids, 1-row "
+    "q-code eval)",
     "semantic_dedup_canonical_corpus": "iterative Pregel loop "
     "(shared _min_label_components): localCheckpoint per round",
 }
