@@ -297,6 +297,20 @@ HEADLINE = [
     "hybrid_served",
     # r10b: exact-phrase retrieval from the positional posting store
     "phrase_served_topk",
+    # r11: positional-store lifecycle (revise/compact/streamed under
+    # the oracle), the proximity/AND retrieval surface, store-oracle
+    # symmetry for IVF/BQ/hybrid, the shingle dedup index, and the
+    # two-stage IVF+BQ funnel — all store lifecycles, all timed
+    "phrase_served_parity",
+    "phrase_served_compacted",
+    "phrase_stream_maintained",
+    "proximity_served_topk",
+    "and_ranked_served_topk",
+    "ivf_revised_recall",
+    "bq_served_topk",
+    "hybrid_served_recall",
+    "dedup_index_served",
+    "ivf_bq_funnel_served",
 ]
 
 

@@ -125,10 +125,22 @@ def claim_offline_batch(
     written BEFORE any other write of that batch, so even a crashed
     (uncommitted) revision's id stays fenced against a resumed
     maintenance stream. Append-only; a re-run's duplicate row is
-    harmless (the fence is read as a set)."""
-    spark.createDataFrame(
-        [(int(batch_id),)], _OFFLINE_FENCE_SCHEMA
-    ).coalesce(1).write.mode("append").parquet(fence_dir)
+    harmless (the fence is read as a set).
+
+    NB the row is built with range().select(lit) and NOT
+    createDataFrame([...]): a python-list local relation pays a
+    5-7 s RDD-serialization round-trip PER WRITE on this runtime
+    (measured r11), while the JVM-literal frame writes in ~0.3 s —
+    the same rule applies to every 1-row ledger/meta write below."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1)
+        .select(F.lit(int(batch_id)).cast("int").alias("batch_id"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(fence_dir)
+    )
 
 
 def offline_claimed_ids(
@@ -636,10 +648,13 @@ def revise_ivf_vectors(
         .partitionBy("batch_id")
         .parquet(f"{index_path}/tombstones")
     )
-    # ledger row LAST — the commit point
+    # ledger row LAST — the commit point (range+lit, never
+    # createDataFrame: the claim_offline_batch 1-row-write rule)
     (
-        spark.createDataFrame(
-            [(0, int(next_b))], _LEDGER_SCHEMA
+        spark.range(1)
+        .select(
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(int(next_b)).cast("int").alias("batch_id"),
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -1266,6 +1281,30 @@ def _tok_bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("tok"), F.lit(int(n_buckets)))
 
 
+def _term_buckets(
+    spark: SparkSession, terms: list, n_buckets: int
+) -> list:
+    """Bucket ids for the K query terms: one bounded K-row local job
+    evaluating the SAME Catalyst expression the writer used (Spark's
+    xxhash64 has no public driver-side twin). Built with
+    range+explode(array(lit...)), not createDataFrame — the
+    claim_offline_batch 1-row rule: python-list local relations pay
+    a multi-second RDD round-trip per job on this runtime."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(str(t)) for t in terms])
+            ).alias("tok")
+        )
+        .select(_tok_bucket_col(n_buckets).alias("b"))
+        .collect()
+    )
+    return sorted({r["b"] for r in rows})
+
+
 def _posting_frames(docs: DataFrame, batch_id: int, n_buckets: int):
     """(postings, totals) delta frames for one document set — shared
     by the batch builder and the streaming maintainer so the two
@@ -1331,9 +1370,15 @@ def _postings_meta_buckets(
 def _write_postings_meta(
     spark: SparkSession, out_dir: str, n_buckets: int
 ) -> None:
-    spark.createDataFrame(
-        [(int(n_buckets),)], _POSTINGS_META_SCHEMA
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/meta")
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1)
+        .select(F.lit(int(n_buckets)).cast("int").alias("n_buckets"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/meta")
+    )
 
 
 def _doclens_frame(docs: DataFrame, batch_id: int) -> DataFrame:
@@ -1769,8 +1814,10 @@ def delete_positional_docs(
         .parquet(f"{out_dir}/tombstones")
     )
     (
-        spark.createDataFrame(
-            [(0, int(next_b))], _LEDGER_SCHEMA
+        spark.range(1)
+        .select(
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(int(next_b)).cast("int").alias("batch_id"),
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -1799,16 +1846,7 @@ def _positional_live(
     recover_compacting(spark, out_dir)
     n_buckets = _postings_meta_buckets(spark, out_dir)
     hw = _next_ledger_batch(spark, out_dir)
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in sorted(set(terms))], "tok string"
-            )
-            .select(_tok_bucket_col(n_buckets).alias("b"))
-            .collect()
-        }
-    )
+    buckets = _term_buckets(spark, sorted(set(terms)), n_buckets)
     p = (
         spark.read.schema(_POS_POSTINGS_SCHEMA)
         .parquet(f"{out_dir}/postings")
@@ -2168,7 +2206,11 @@ def delete_shingle_docs(
         .parquet(f"{out_dir}/tombstones")
     )
     (
-        spark.createDataFrame([(0, int(next_b))], _LEDGER_SCHEMA)
+        spark.range(1)
+        .select(
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(int(next_b)).cast("int").alias("batch_id"),
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -2426,16 +2468,7 @@ def bm25_from_postings(
     # bucket ids for the K query terms: one bounded K-row local job
     # (Spark's xxhash64 has no public driver-side twin, so evaluate
     # the SAME Catalyst expression the writer used)
-    buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "tok string"
-            )
-            .select(_tok_bucket_col(n_buckets).alias("b"))
-            .collect()
-        }
-    )
+    buckets = _term_buckets(spark, list(terms), n_buckets)
     p = (
         spark.read.schema(_POSTINGS_SCHEMA)
         .parquet(f"{out_dir}/postings")

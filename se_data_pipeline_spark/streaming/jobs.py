@@ -402,13 +402,11 @@ def maintain_ivf_index(
         # batches ledger row LAST — the micro-batch's commit point
         # (r11 ledger harmonization: readers of ledger-carrying
         # stores serve committed batches only)
-        from se_data_pipeline_spark.sources.layout import (
-            _LEDGER_SCHEMA,
-        )
-
         (
-            rows.sparkSession.createDataFrame(
-                [(0, int(batch_id))], _LEDGER_SCHEMA
+            rows.sparkSession.range(1)
+            .select(
+                F.lit(0).cast("long").alias("n_docs"),
+                F.lit(int(batch_id)).cast("int").alias("batch_id"),
             )
             .coalesce(1)
             .write.mode("overwrite")
