@@ -354,13 +354,12 @@ def _ghost_docs(spark: SparkSession) -> DataFrame:
     and DELETED during the lifecycle: their n_hits would dominate the
     top-10, so a tombstone that fails to kill them (or a delete that
     leaks through compaction) breaks the hash loudly rather than
-    perturbing a low rank."""
-    return spark.createDataFrame(
-        [
-            (1_000_000_000 + i, ("table hash " * 12).strip())
-            for i in range(4)
-        ],
-        "doc_id long, text string",
+    perturbing a low rank. Built range-based, not createDataFrame —
+    the layout.claim_offline_batch 1-row rule (a python-list local
+    relation taxes every job its plan participates in)."""
+    return spark.range(4).select(
+        (F.col("id") + 1_000_000_000).alias("doc_id"),
+        F.lit(("table hash " * 12).strip()).alias("text"),
     )
 
 
