@@ -59,6 +59,7 @@ def swap_compacted(
     live_path: str,
     write_fn: Callable[[str], None],
     what: str = "store",
+    pre_commit: Callable[[], None] | None = None,
 ) -> None:
     """Crash-safe store compaction (ADVICE r8): write the folded base
     to a temp SIBLING path, then swap it into place. The live store is
@@ -75,7 +76,19 @@ def swap_compacted(
 
     The rename is a single filesystem metadata op (atomic on HDFS and
     posix; on S3A it is object copies, still recoverable because the
-    sibling persists until the rename returns true)."""
+    sibling persists until the rename returns true).
+
+    ``pre_commit`` (optional) runs after ``write_fn`` has made the
+    folded copy fully durable at the sibling path and immediately
+    before the live delete — i.e. inside the swap's commit window.
+    Compactors whose offline fence lives OUTSIDE the swapped
+    directory drop it here (ADVICE r11): dropping it after the swap
+    leaves a crash window where stale claimed ids spuriously fence a
+    fresh-checkpoint stream. The trade is a narrowed contract, which
+    callers must document: once pre_commit runs, an INTERRUPTED
+    compaction must be re-run to completion before any maintenance
+    stream restarts — the claimed-id fence no longer guards the
+    unfolded live copy during that recovery window."""
     fs, live = _hadoop_path(spark, live_path)
     tmp_str = live_path.rstrip("/") + ".compacting"
     _, tmp = _hadoop_path(spark, tmp_str)
@@ -88,6 +101,8 @@ def swap_compacted(
     if fs.exists(tmp):
         fs.delete(tmp, True)  # stale leftover from a failed WRITE
     write_fn(tmp_str)
+    if pre_commit is not None:
+        pre_commit()
     fs.delete(live, True)
     if not fs.rename(tmp, live):
         raise IOError(
@@ -193,6 +208,93 @@ def drop_offline_fence(spark: SparkSession, fence_dir: str) -> None:
     fs, p = _hadoop_path(spark, fence_dir)
     if fs.exists(p):
         fs.delete(p, True)
+
+
+def _physical_batch_ids(
+    spark: SparkSession, path: str, nested: bool = False
+) -> set:
+    """Batch ids PHYSICALLY present in a store directory's partition
+    layout — a filesystem listing (one listStatus per directory
+    level), never a data read. ``nested=False`` for stores
+    partitioned by batch_id first (postings/doclens/tombstones);
+    ``nested=True`` for the IVF cells layout (cell=C/batch_id=N —
+    bounded by n_cells directories). Empty set when the path does
+    not exist."""
+    fs, p = _hadoop_path(spark, path)
+    if not fs.exists(p):
+        return set()
+
+    def _ids_in(dirpath) -> set:
+        out = set()
+        for st in fs.listStatus(dirpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                try:
+                    out.add(int(name.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        return out
+
+    if not nested:
+        return _ids_in(p)
+    out = set()
+    for st in fs.listStatus(p):
+        if st.isDirectory():
+            out |= _ids_in(st.getPath())
+    return out
+
+
+def _guard_uncommitted_partials(
+    spark: SparkSession,
+    what: str,
+    hw: int,
+    fence_dir: str,
+    flat_paths: list,
+    nested_paths: list = (),
+) -> None:
+    """Refuse an offline revision/delete when PHYSICAL rows exist at
+    or above the committed high-water mark that no offline operation
+    claimed (ADVICE r11, medium): those rows are a maintenance
+    stream's crashed micro-batch (rows written, ledger/totals commit
+    row not). Deriving next_b from the ledger alone would reuse that
+    id — the revision's dynamic overwrite replaces only ITS OWN
+    partitions, so the stream's leftover rows in other partitions
+    survive, and the revision's ledger commit makes them COMMITTED
+    without their tombstones: re-emitted documents then serve both
+    stale and fresh rows, and compaction bakes the stale rows into
+    the base. Ids the offline fence already claims are exempt — a
+    crashed OFFLINE revision legitimately re-runs with its own id
+    (same input → same partitions → full overwrite). The check is a
+    handful of directory listings; the fence is read only when
+    strays are found."""
+    stray = set()
+    for p in flat_paths:
+        stray |= {
+            b for b in _physical_batch_ids(spark, p) if b >= hw
+        }
+    for p in nested_paths:
+        stray |= {
+            b
+            for b in _physical_batch_ids(spark, p, nested=True)
+            if b >= hw
+        }
+    if not stray:
+        return
+    stray -= offline_claimed_ids(spark, fence_dir)
+    if stray:
+        raise RuntimeError(
+            f"{what}: uncommitted rows exist at batch id(s) "
+            f"{sorted(stray)}, at or above the committed high-water "
+            f"mark {hw}, and no offline operation claimed them — a "
+            "maintenance stream crashed mid-batch (rows written, "
+            "commit row not). An offline batch committed now would "
+            "make those partial rows serve WITHOUT their tombstones "
+            "(silent stale/duplicate documents). Remedy: restart the "
+            "maintenance stream from its checkpoint (its replay "
+            "overwrites and commits the partial batch), or compact "
+            "the store (folds committed state only and physically "
+            "drops the partials)."
+        )
 
 
 def write_bucketed_table(
@@ -392,7 +494,7 @@ def write_bq_index(
         codes.write.mode("overwrite").parquet(out_path)
 
 
-def _nearest_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str):
+def _nearest_cell_expr(centroids: list[tuple[int, list[float]]], vec_col):
     """Row-local argmin over the (bounded) centroid table as ONE
     Catalyst expression: the centroids are a literal
     array<struct<ctr, cell>>, transform() scores each against the
@@ -400,13 +502,17 @@ def _nearest_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str):
     (d2, cell)-lexicographic minimum. No UDF, no join, no shuffle:
     cell assignment is pure per-row codegen work, which is what lets
     streaming maintenance run shuffle-free per micro-batch.
+    ``vec_col`` is a column name or any array Column (the PQ encoder
+    passes per-subspace slices).
 
     Deliberately LINEAR-size: an earlier running-best WHEN-fold
     referenced the accumulated struct twice per centroid, doubling
     the analyzed expression tree per cell (2^n_cells blowup — the
     plan never finished analyzing at 10 cells)."""
+    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
+    vcol = F.col(vec_col) if not isinstance(vec_col, Column) else vec_col
     cells_lit = F.array(
         *[
             F.struct(
@@ -422,7 +528,7 @@ def _nearest_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str):
             F.aggregate(
                 F.zip_with(
                     s["ctr"],
-                    F.col(vec_col),
+                    vcol,
                     lambda c, x: (c - x.cast("double"))
                     * (c - x.cast("double")),
                 ),
@@ -435,12 +541,137 @@ def _nearest_cell_expr(centroids: list[tuple[int, list[float]]], vec_col: str):
     return F.array_min(scored)["cell"]
 
 
+# --------------------------------------------------------------------
+# Product-quantization side of the IVF store (r12, VERDICT r11 next
+# #1): PQ compresses each vector into M per-subspace codeword ids —
+# at the same byte budget as binary quantization it carries a
+# K-level (not 2-level) quantizer per subspace, so the ADC stage-1
+# scan ranks candidates with far less distortion (the FAISS IVF-PQ
+# shape). Conventions match queries/vectors.embedding_pq_codes so
+# the DuckDB oracle can replay training exactly: the codebook is the
+# DETERMINISTIC seed — full-dim subvectors of the store input's
+# first `k` vectors by id — and encoding argmin ties break to the
+# lowest codeword id.
+_PQ_META_SCHEMA = "m int, sub int, k int"
+_PQ_CODEBOOK_SCHEMA = "k int, e array<double>"
+
+
+def _pq_store_meta(
+    spark: SparkSession, index_path: str
+) -> tuple | None:
+    """(m, sub, k) from the store's pq meta table, or None when the
+    store carries no PQ codes (one fs.exists probe on the fast
+    path). Recorded in the store — write and read must agree on the
+    subspace split or ADC reads garbage (the postings bucket-modulus
+    rationale)."""
+    fs, p = _hadoop_path(spark, f"{index_path}/pq")
+    if not fs.exists(p):
+        return None
+    rows = (
+        spark.read.schema(_PQ_META_SCHEMA)
+        .parquet(f"{index_path}/pq/meta")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"{index_path}/pq/meta is empty")
+    r = rows[0]
+    return int(r["m"]), int(r["sub"]), int(r["k"])
+
+
+def _pq_codebook(spark: SparkSession, index_path: str) -> list:
+    """The store's K seed vectors ordered by codeword id — a bounded
+    K-row collect (K x dims doubles, the centroid-table precedent)."""
+    rows = (
+        spark.read.schema(_PQ_CODEBOOK_SCHEMA)
+        .parquet(f"{index_path}/pq/codebook")
+        .collect()
+    )
+    return [
+        [float(x) for x in r["e"]]
+        for r in sorted(rows, key=lambda r: r["k"])
+    ]
+
+
+def _pq_code_expr(cb: list, m: int, sub: int, vec_col: str):
+    """array<int> of the row vector's M per-subspace codeword ids
+    under the frozen codebook — pure Catalyst (the _nearest_cell_expr
+    argmin applied to each subspace slice), no UDF, so the streaming
+    maintainer's encode stays shuffle-free per micro-batch. Distance
+    folds are sequential over the `sub` dims, matching the oracle's
+    list_sum order bit-for-bit; ties break to the lowest codeword id
+    (the array_min lexicographic tie-break)."""
+    from pyspark.sql import functions as F
+
+    codes = []
+    for mi in range(m):
+        cents = [
+            (ki, vec[mi * sub : (mi + 1) * sub])
+            for ki, vec in enumerate(cb)
+        ]
+        codes.append(
+            _nearest_cell_expr(
+                cents, F.slice(F.col(vec_col), mi * sub + 1, sub)
+            )
+        )
+    return F.array(*codes)
+
+
+def _write_pq_tables(
+    spark: SparkSession, index_path: str, cb: list, m: int, sub: int
+) -> None:
+    """Persist the frozen codebook + its meta — JVM-literal frames
+    (the claim_offline_batch 1-row rule: a python-list local relation
+    pays a multi-second RDD round-trip per write on this runtime)."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(i)).cast("int").alias("k"),
+                            F.array(
+                                *[F.lit(float(x)) for x in vec]
+                            )
+                            .cast("array<double>")
+                            .alias("e"),
+                        )
+                        for i, vec in enumerate(cb)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.k", "s.e")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/pq/codebook")
+    )
+    (
+        spark.range(1)
+        .select(
+            F.lit(int(m)).cast("int").alias("m"),
+            F.lit(int(sub)).cast("int").alias("sub"),
+            F.lit(len(cb)).cast("int").alias("k"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/pq/meta")
+    )
+
+
 def write_ivf_index(
     df: DataFrame,
     out_path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "label",
+    attr_cols: tuple = (),
+    pq: bool = False,
+    pq_m: int = 8,
+    pq_sub: int = 8,
+    pq_k: int = 16,
 ) -> None:
     """Materialize an IVF (inverted-file) ANN index: a coarse-
     quantizer centroid table (per-cell mean vectors — the same
@@ -457,7 +688,20 @@ def write_ivf_index(
     bytes/row inside the probed cells and never touches the float
     column, r11 ivf_bq_funnel). NULL vectors are excluded
     (unsearchable). One grouped pass for the centroids + one
-    cell-partitioned write."""
+    cell-partitioned write.
+
+    ``attr_cols`` carries metadata columns (label, source, date, …)
+    into the cells rows for filtered ANN (ivf_filtered_topk): the
+    predicate then cuts inside the probed cells as a pushed parquet
+    data filter. ``pq=True`` additionally trains the deterministic
+    seed PQ codebook (full-dim subvectors of the input's first
+    `pq_k` vectors by id — the queries/vectors.embedding_pq_codes
+    convention, SQL-replayable) and writes a ``pq_code array<int>``
+    column plus ``out_path/pq/{codebook,meta}`` for the
+    ivf_pq_funnel ADC path; vectors must have exactly pq_m x pq_sub
+    dims and the input at least pq_k non-null vectors. Every later
+    writer (revise_ivf_vectors, maintain_ivf_index,
+    compact_ivf_index) encodes under this FROZEN codebook."""
     from pyspark.sql import functions as F
 
     from se_data_pipeline_spark.functions.vectors import pack_sign_bits
@@ -467,7 +711,32 @@ def write_ivf_index(
         F.col(vec_col).alias("embedding"),
         pack_sign_bits(F.col(vec_col)).alias("code"),
         F.col(cell_col).cast("int").alias("cell"),
+        *[F.col(a) for a in attr_cols],
     )
+    cb = None
+    if pq:
+        seeds = (
+            df.filter(F.col(vec_col).isNotNull())
+            .orderBy(id_col)
+            .limit(pq_k)
+            .select(F.col(vec_col).alias("e"))
+            .collect()  # bounded: pq_k rows (the codebook itself)
+        )
+        if len(seeds) < pq_k:
+            raise ValueError(
+                f"PQ codebook needs at least {pq_k} non-null "
+                f"vectors; got {len(seeds)} — build without pq or "
+                "lower pq_k"
+            )
+        cb = [[float(x) for x in r["e"]] for r in seeds]
+        if any(len(v) != pq_m * pq_sub for v in cb):
+            raise ValueError(
+                f"PQ split {pq_m}x{pq_sub} does not match the "
+                f"vector dimensionality {len(cb[0])}"
+            )
+        rows = rows.withColumn(
+            "pq_code", _pq_code_expr(cb, pq_m, pq_sub, "embedding")
+        )
     centroids = (
         rows.select("cell", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cell", "pos")
@@ -484,6 +753,8 @@ def write_ivf_index(
     centroids.coalesce(1).write.mode("overwrite").parquet(
         f"{out_path}/centroids"
     )
+    if cb is not None:
+        _write_pq_tables(df.sparkSession, out_path, cb, pq_m, pq_sub)
     (
         rows.withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
@@ -547,12 +818,80 @@ def _ivf_tombstones(
     return t.groupBy("vec_id").agg(F.max("batch_id").alias("tomb_b"))
 
 
+def _ivf_live(
+    spark: SparkSession, index_path: str, cells: list | None = None
+) -> DataFrame:
+    """The IVF store's committed, tombstone-live cells rows — the
+    ONE serve-side live view every probe/funnel/compaction path reads
+    (r12 factoring: the hw + tombstone-kill block was previously
+    repeated per reader and could drift). ``cells`` (when given)
+    becomes the cell-IN partition filter — parquet partition pruning,
+    nprobe/n_cells of the store touched."""
+    from pyspark.sql import functions as F
+
+    probed = spark.read.parquet(f"{index_path}/cells")
+    if cells is not None:
+        probed = probed.filter(
+            F.col("cell").isin([int(c) for c in cells])
+        )
+    # committed batches only (ledger-carrying stores, r11): a crashed
+    # revision's partial replacement rows must not serve alongside
+    # the old rows its never-written tombstones would have killed
+    hw = _ivf_committed_hw(spark, index_path)
+    if hw is not None:
+        probed = probed.filter(F.col("batch_id") < hw)
+    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
+    if tomb is not None:
+        probed = (
+            probed.join(tomb, "vec_id", "left")
+            .filter(
+                F.col("tomb_b").isNull()
+                | (F.col("batch_id") >= F.col("tomb_b"))
+            )
+            .drop("tomb_b")
+        )
+    return probed
+
+
+def _cos_sim_expr(q_vec: list):
+    """Exact cosine of the row's `embedding` against the literal
+    query vector, NULL for a zero-norm stored vector (the ANSI
+    divide-by-zero guard the degenerate-corpus sweep demands) —
+    shared by every IVF/BQ serve path's rerank stage."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    qlit = F.array(*[F.lit(float(x)) for x in q_vec])
+    qn = math.sqrt(sum(x * x for x in q_vec)) or 1.0
+    dot = F.aggregate(
+        F.zip_with(
+            qlit, F.col("embedding"), lambda a, b: a * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    denom = vnorm * F.lit(qn)
+    return F.when(denom != 0, dot / denom)
+
+
 def revise_ivf_vectors(
     spark: SparkSession,
     vecs_v2: DataFrame,
     index_path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    attr_cols: tuple = (),
 ) -> int:
     """UPSERT re-emitted vectors into an IVF index — the operation
     maintain_ivf_index's new-ids-only HARD precondition forbids on
@@ -600,6 +939,19 @@ def revise_ivf_vectors(
     hw = _ivf_committed_hw(spark, index_path)
     if hw is not None:
         next_b = hw
+        # a crashed STREAM micro-batch's rows at/above the committed
+        # mark would become committed WITHOUT tombstones once this
+        # revision's ledger row lands — refuse before claiming
+        # (ADVICE r11 medium). The legacy (no-ledger) branch below is
+        # immune: its fresh id comes from the PHYSICAL max already.
+        _guard_uncommitted_partials(
+            spark,
+            f"revise_ivf_vectors at {index_path}",
+            next_b,
+            f"{index_path}/offline_fence",
+            [f"{index_path}/tombstones"],
+            nested_paths=[f"{index_path}/cells"],
+        )
     else:
         # legacy store (no ledger): the r10 fresh-id rule
         mx_cells = (
@@ -632,7 +984,18 @@ def revise_ivf_vectors(
         pack_sign_bits(F.col(vec_col)).alias("code"),
         _nearest_cell_expr(cents, vec_col).alias("cell"),
         F.lit(next_b).alias("batch_id"),
+        *[F.col(a) for a in attr_cols],
     )
+    # PQ-carrying store: encode the replacement rows under the FROZEN
+    # codebook (same frozen-epoch rule as the coarse quantizer) so
+    # ivf_pq_funnel's ADC scan stays valid across revisions
+    pq_meta = _pq_store_meta(spark, index_path)
+    if pq_meta is not None:
+        m, sub, _k = pq_meta
+        cb = _pq_codebook(spark, index_path)
+        rows = rows.withColumn(
+            "pq_code", _pq_code_expr(cb, m, sub, "embedding")
+        )
     (
         rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -701,60 +1064,16 @@ def ivf_candidates(
     (TakeOrderedAndProject). Revised/deleted vectors (tombstones,
     revise_ivf_vectors) are dropped from the probed rows; an
     append-only index has no tombstones table and skips the join."""
-    import math
-
     from pyspark.sql import functions as F
 
     recover_compacting(spark, index_path)
     cells = _probe_cells(spark, index_path, q_vec, nprobe)
-
-    qn = math.sqrt(sum(x * x for x in q_vec)) or 1.0
-    qlit = F.array(*[F.lit(float(x)) for x in q_vec])
-    dot = F.aggregate(
-        F.zip_with(
-            qlit, F.col("embedding"), lambda a, b: a * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    vnorm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.col("embedding"),
-                lambda x: x.cast("double") * x.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    probed = spark.read.parquet(f"{index_path}/cells").filter(
-        F.col("cell").isin([int(c) for c in cells])
-    )
-    # committed batches only (ledger-carrying stores, r11): a crashed
-    # revision's partial replacement rows must not serve alongside
-    # the old rows its never-written tombstones would have killed
-    hw = _ivf_committed_hw(spark, index_path)
-    if hw is not None:
-        probed = probed.filter(F.col("batch_id") < hw)
-    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
-    if tomb is not None:
-        probed = (
-            probed.join(tomb, "vec_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
-    # ANSI guard: an all-zero stored vector has vnorm 0 — score NULL
-    # (unrankable; desc sort puts NULLS LAST) instead of the ANSI
-    # divide-by-zero throw the degenerate-corpus sweep catches
-    denom = vnorm * F.lit(qn)
     return (
-        probed.select(
+        _ivf_live(spark, index_path, cells)
+        .select(
             "vec_id",
             "cell",
-            F.when(denom != 0, dot / denom).alias("cos_sim"),
+            _cos_sim_expr(q_vec).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(n)
@@ -787,8 +1106,6 @@ def ivf_bq_funnel(
     The query's code is evaluated with the SAME Catalyst expression
     the writers use (a 1-row local job — the _tok_bucket_col
     precedent: pack_sign_bits has no public driver-side twin)."""
-    import math
-
     from pyspark.sql import functions as F
 
     from se_data_pipeline_spark.functions.vectors import (
@@ -805,22 +1122,7 @@ def ivf_bq_funnel(
         .collect()[0]["c"]
     )
 
-    probed = spark.read.parquet(f"{index_path}/cells").filter(
-        F.col("cell").isin([int(c) for c in cells])
-    )
-    hw = _ivf_committed_hw(spark, index_path)
-    if hw is not None:
-        probed = probed.filter(F.col("batch_id") < hw)
-    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
-    if tomb is not None:
-        probed = (
-            probed.join(tomb, "vec_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
+    probed = _ivf_live(spark, index_path, cells)
     # stage 1: the 8-byte cut — vec_id + code only (column pruning
     # keeps the embedding bytes on disk for every non-candidate)
     cand = (
@@ -834,38 +1136,182 @@ def ivf_bq_funnel(
         .limit(n_candidates)
     )
     # stage 2: exact rerank of the candidates' float vectors
-    qn = math.sqrt(sum(x * x for x in q_vec)) or 1.0
-    dot = F.aggregate(
-        F.zip_with(
-            qlit, F.col("embedding"), lambda a, b: a * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    vnorm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.col("embedding"),
-                lambda x: x.cast("double") * x.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    denom = vnorm * F.lit(qn)
     return (
         probed.select("vec_id", "embedding")
         .join(F.broadcast(cand), "vec_id")
         .select(
             "vec_id",
             F.col("hamming").cast("int").alias("hamming"),
-            F.when(denom != 0, dot / denom).alias("cos_sim"),
+            _cos_sim_expr(q_vec).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(n)
         .select(
             "vec_id", "hamming", F.round("cos_sim", 6).alias("cos_sim")
         )
+    )
+
+
+def ivf_pq_funnel(
+    spark: SparkSession,
+    index_path: str,
+    q_vec: list,
+    nprobe: int = 1,
+    n_candidates: int = 100,
+    n: int = 10,
+) -> DataFrame:
+    """The IVF-PQ (ADC) funnel over one materialized store (r12,
+    VERDICT r11 next #1) — the higher-recall sibling of ivf_bq_funnel
+    at the same byte budget: stage 0 picks the nprobe nearest cells
+    driver-side (bounded centroid table); stage 1 scans ONLY
+    (vec_id, pq_code) inside the probed cell partitions — M small
+    ints per vector, the float column never leaves disk — and ranks
+    by ASYMMETRIC distance: the UNQUANTIZED query builds an M x K
+    lookup table of per-subspace squared distances once, and each
+    row's estimated distance is M table lookups summed (a literal
+    2-D array + one zip_with/aggregate fold — pure Catalyst, no
+    UDF), kept to the n_candidates best via TakeOrderedAndProject;
+    stage 2 joins the candidates back and exact-cosine-reranks just
+    those rows. This is how FAISS-style IVFPQ deployments serve:
+    nprobe/n_cells of M-byte codes + n_candidates float vectors per
+    query. Committed batches only; the tombstone kill rule applies
+    to both stages (the shared _ivf_live view).
+
+    All double math mirrors queries/vectors.embedding_pq_adc_topk's
+    fold order (sequential over sub dims and over m), so the DuckDB
+    oracle can replay codebook, codes, LUT, candidate boundary, and
+    rerank bit-for-bit. Requires a pq-carrying store
+    (write_ivf_index(pq=True))."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, index_path)
+    meta = _pq_store_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(
+            f"IVF index at {index_path} carries no PQ codes — build "
+            "it with write_ivf_index(pq=True) for the ADC funnel"
+        )
+    m, sub, _k = meta
+    cb = _pq_codebook(spark, index_path)
+    cells = _probe_cells(spark, index_path, q_vec, nprobe)
+    # LUT[mi][ki] = ||q_sub[mi] - codeword[ki, mi]||^2, driver-side
+    # over the bounded codebook; sequential fold over the sub dims —
+    # the oracle's list_sum order
+    lut = [
+        [
+            sum(
+                (float(q_vec[mi * sub + i]) - ck[mi * sub + i]) ** 2
+                for i in range(sub)
+            )
+            for ck in cb
+        ]
+        for mi in range(m)
+    ]
+    lut_lit = F.array(
+        *[
+            F.array(*[F.lit(float(d)) for d in row])
+            for row in lut
+        ]
+    )
+    probed = _ivf_live(spark, index_path, cells)
+    # stage 1: the ADC cut — vec_id + pq_code only (column pruning
+    # keeps embedding AND the 8-byte sign code on disk)
+    est = F.aggregate(
+        F.zip_with(
+            lut_lit,
+            F.col("pq_code"),
+            lambda l, c: F.element_at(l, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        probed.select("vec_id", est.alias("est_dist"))
+        .orderBy(F.asc("est_dist"), F.asc("vec_id"))
+        .limit(n_candidates)
+    )
+    # stage 2: exact rerank of the candidates' float vectors
+    return (
+        probed.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.round("est_dist", 6).alias("est_dist"),
+            _cos_sim_expr(q_vec).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(n)
+        .select(
+            "vec_id",
+            "est_dist",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
+def ivf_filtered_topk(
+    spark: SparkSession,
+    index_path: str,
+    q_vec: list,
+    where: str,
+    nprobe: int = 1,
+    n: int = 10,
+    mode: str = "prefilter",
+    overfetch: int = 4,
+) -> DataFrame:
+    """Top-n ANN under a metadata predicate served from the IVF store
+    (r12, VERDICT r11 next #2) — the dial every production vector
+    store exposes. `where` is a SQL boolean expression over the cells
+    rows' attribute columns (write_ivf_index(attr_cols=...)).
+
+    ``mode='prefilter'``: the predicate cuts INSIDE the probed cells
+    BEFORE ranking — a pushed parquet data filter on the pruned
+    partition read, so the exact cosine top-n always returns the n
+    best matching rows within the probed cells regardless of
+    selectivity. The right shape when the attribute is stored in the
+    index.
+
+    ``mode='postfilter'``: rank n x overfetch candidates WITHOUT the
+    predicate, then filter and keep n — the only shape available
+    when the predicate cannot be pushed to the index (a joined or
+    computed attribute). Under selective predicates the candidate
+    set may contain fewer than n matches; recall vs the filtered
+    truth degrades with selectivity, which is exactly what the
+    over-fetch factor trades (measured per selectivity in
+    tests/test_layout.py and monitored by ivf_filtered_recall)."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("prefilter", "postfilter"):
+        raise ValueError("mode must be 'prefilter' or 'postfilter'")
+    recover_compacting(spark, index_path)
+    cells = _probe_cells(spark, index_path, q_vec, nprobe)
+    probed = _ivf_live(spark, index_path, cells)
+    if mode == "prefilter":
+        return (
+            probed.filter(F.expr(where))
+            .select(
+                "vec_id",
+                "cell",
+                _cos_sim_expr(q_vec).alias("cos_sim"),
+            )
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(n)
+        )
+    cand = (
+        probed.select(
+            "vec_id",
+            "cell",
+            _cos_sim_expr(q_vec).alias("cos_sim"),
+            F.expr(where).alias("_keep"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(int(n) * int(overfetch))
+    )
+    return (
+        cand.filter(F.col("_keep"))
+        .drop("_keep")
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(n)
     )
 
 
@@ -922,32 +1368,38 @@ def refresh_ivf_index(
     if not cents:
         raise ValueError(f"{index_path}/centroids is empty")
 
-    live = spark.read.parquet(f"{index_path}/cells").filter(
+    # revised/deleted ids are dropped by the shared live view BEFORE
+    # the latest-wins fold, so a deleted vector does not resurrect
+    # through its surviving old row
+    live = _ivf_live(spark, index_path).filter(
         F.col("embedding").isNotNull()
     )
-    hw = _ivf_committed_hw(spark, index_path)
-    if hw is not None:
-        live = live.filter(F.col("batch_id") < hw)
-    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
-    if tomb is not None:
-        # revised/deleted ids: drop rows a newer tombstone kills
-        # BEFORE the latest-wins fold, so a deleted vector does not
-        # resurrect through its surviving old row
-        live = (
-            live.join(tomb, "vec_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
+    # attrs ride the fold; code/pq_code/cell are re-derived by the
+    # rebuild (write_ivf_index) below
+    attr_cols = [
+        c
+        for c in live.columns
+        if c
+        not in ("vec_id", "embedding", "code", "pq_code", "cell",
+                "batch_id")
+    ]
     vecs = (
         live.groupBy("vec_id")
-        .agg(F.max_by("embedding", "batch_id").alias("embedding"))
+        .agg(
+            F.max_by(
+                F.struct("embedding", *attr_cols), "batch_id"
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            F.col("s.embedding").alias("embedding"),
+            *[F.col(f"s.{c}").alias(c) for c in attr_cols],
+        )
         # iterated n_iters+1 times below — cache the deduped working
         # set instead of re-reading + re-shuffling the store per step
         .cache()
     )
+    pq_meta = _pq_store_meta(spark, index_path)
     try:
         for _ in range(max(0, n_iters)):
             new = (
@@ -979,10 +1431,29 @@ def refresh_ivf_index(
             "vec_id",
             "embedding",
             _nearest_cell_expr(cents, "embedding").alias("label"),
+            *attr_cols,
         )
 
         def _write(tmp: str) -> None:
-            write_ivf_index(final, tmp)
+            # a pq-carrying store re-seeds its codebook from the
+            # refreshed contents (refresh IS the full re-index —
+            # retraining PQ alongside the coarse quantizer is the
+            # standard offline epoch roll); attrs carry through
+            if pq_meta is not None:
+                m, sub, k = pq_meta
+                write_ivf_index(
+                    final,
+                    tmp,
+                    attr_cols=tuple(attr_cols),
+                    pq=True,
+                    pq_m=m,
+                    pq_sub=sub,
+                    pq_k=k,
+                )
+            else:
+                write_ivf_index(
+                    final, tmp, attr_cols=tuple(attr_cols)
+                )
 
         swap_compacted(spark, index_path, _write, "IVF index")
     finally:
@@ -1027,41 +1498,30 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
             "compact (a maintenance stream whose first batches were "
             "all filtered out never creates the store)"
         )
-    cells = spark.read.parquet(f"{index_path}/cells")
-    hw = _ivf_committed_hw(spark, index_path)
-    if hw is not None:
-        cells = cells.filter(F.col("batch_id") < hw)
-    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
-    if tomb is not None:
-        cells = (
-            cells.join(tomb, "vec_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
+    cells = _ivf_live(spark, index_path)
     from se_data_pipeline_spark.functions.vectors import pack_sign_bits
 
+    # latest-wins fold over ALL data columns (attrs and pq_code ride
+    # the same struct — a store with filtered-ANN attributes compacts
+    # without losing them); `code` is recomputed rather than carried
+    # so a pre-code legacy store compacts into a code-carrying one
+    data_cols = [
+        c for c in cells.columns
+        if c not in ("vec_id", "batch_id", "code")
+    ]
     folded = (
         cells.groupBy("vec_id")
-        .agg(
-            F.max_by(F.struct("embedding", "cell"), "batch_id").alias(
-                "s"
-            )
-        )
+        .agg(F.max_by(F.struct(*data_cols), "batch_id").alias("s"))
         .select(
             "vec_id",
-            F.col("s.embedding").alias("embedding"),
-            # recomputed (deterministic from the embedding) rather
-            # than carried through the fold: a pre-code legacy store
-            # compacts into a code-carrying one
-            pack_sign_bits(F.col("s.embedding")).alias("code"),
-            F.col("s.cell").alias("cell"),
+            *[F.col(f"s.{c}").alias(c) for c in data_cols],
         )
+        .withColumn("code", pack_sign_bits(F.col("embedding")))
         .withColumn("batch_id", F.lit(-1))
     )
     centroids = spark.read.parquet(f"{index_path}/centroids")
+    pq_meta = _pq_store_meta(spark, index_path)
+    pq_cb = _pq_codebook(spark, index_path) if pq_meta else None
 
     def _write(tmp: str) -> None:
         folded.write.mode("overwrite").partitionBy(
@@ -1070,6 +1530,12 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         centroids.coalesce(1).write.mode("overwrite").parquet(
             f"{tmp}/centroids"
         )
+        if pq_meta is not None:
+            # the frozen codebook survives compaction verbatim —
+            # folded pq_codes were encoded under it
+            _write_pq_tables(
+                spark, tmp, pq_cb, pq_meta[0], pq_meta[1]
+            )
         (
             folded.agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs")
@@ -1176,11 +1642,24 @@ def compact_bq_index(spark: SparkSession, index_path: str) -> None:
             .parquet(tmp)
         )
 
-    swap_compacted(spark, index_path, _write, "BQ index")
-    # every claimed batch is folded into the base now; a fresh
-    # checkpoint legitimately restarts at id 0 (the fence is a
-    # sibling, so the whole-dir swap cannot drop it for us)
-    drop_offline_fence(spark, _bq_fence_dir(index_path))
+    # the fence (a SIBLING dir the whole-dir swap cannot drop for us)
+    # is removed inside the swap's commit window — after the fold is
+    # durable at the sibling, before the live delete (ADVICE r11:
+    # dropping it after the swap left a crash window whose stale
+    # claimed ids spuriously fence a fresh-checkpoint stream at those
+    # ids with a misleading 'compact the store' remedy). Narrowed
+    # contract: an interrupted compaction must be re-run before any
+    # stream restarts (the next compact/recover call completes the
+    # swap; every claimed batch is in the durable fold).
+    swap_compacted(
+        spark,
+        index_path,
+        _write,
+        "BQ index",
+        pre_commit=lambda: drop_offline_fence(
+            spark, _bq_fence_dir(index_path)
+        ),
+    )
 
 
 def bq_candidates(
@@ -1591,6 +2070,20 @@ def revise_posting_lists(
     recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
     next_b = _next_postings_batch(spark, out_dir)
+    # a crashed STREAM micro-batch's rows at/above the committed mark
+    # would be committed WITHOUT tombstones by this revision's totals
+    # row — refuse before claiming (ADVICE r11 medium)
+    _guard_uncommitted_partials(
+        spark,
+        f"revise_posting_lists at {out_dir}",
+        next_b,
+        f"{out_dir}/offline_fence",
+        [
+            f"{out_dir}/postings",
+            f"{out_dir}/doclens",
+            f"{out_dir}/tombstones",
+        ],
+    )
     # fence the id against a resumed maintenance stream BEFORE any
     # store write — even a crashed revision's id must stay claimed
     claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
@@ -1637,6 +2130,17 @@ def delete_posting_docs(
 
     recover_compacting(spark, out_dir)
     next_b = _next_postings_batch(spark, out_dir)
+    _guard_uncommitted_partials(
+        spark,
+        f"delete_posting_docs at {out_dir}",
+        next_b,
+        f"{out_dir}/offline_fence",
+        [
+            f"{out_dir}/postings",
+            f"{out_dir}/doclens",
+            f"{out_dir}/tombstones",
+        ],
+    )
     claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
     ids = doc_ids.select("doc_id").distinct()
     totals_delta = _corrected_totals(spark, out_dir, ids, next_b, None)
@@ -1729,14 +2233,18 @@ def write_positional_postings(
     ).parquet(f"{out_dir}/batches")
 
 
-def _next_ledger_batch(spark: SparkSession, out_dir: str) -> int:
+def _ledger_hw(spark: SparkSession, out_dir: str) -> int | None:
     """One past the newest COMMITTED batch (max over the batches
-    ledger — every writer's LAST write): crashed partials at the
-    uncommitted id are excluded from reads and overwritten when the
-    operation re-runs with the same id (the _next_postings_batch
-    contract, verbatim)."""
+    ledger — every writer's LAST write), or None for a store built
+    before the ledger existed (ADVICE r11: the pre-ledger legacy
+    store keeps its original read semantics — no commit-point filter
+    — instead of raising path-not-found at serve time; the
+    _ivf_committed_hw fallback, mirrored)."""
     from pyspark.sql import functions as F
 
+    fs, p = _hadoop_path(spark, f"{out_dir}/batches")
+    if not fs.exists(p):
+        return None
     mx = (
         spark.read.schema(_LEDGER_SCHEMA)
         .parquet(f"{out_dir}/batches")
@@ -1744,6 +2252,27 @@ def _next_ledger_batch(spark: SparkSession, out_dir: str) -> int:
         .collect()[0]["b"]
     )
     return max(0, (mx if mx is not None else -1) + 1)
+
+
+def _next_ledger_batch(spark: SparkSession, out_dir: str) -> int:
+    """The batch id an offline WRITER claims next: the committed
+    high-water mark (crashed partials at the uncommitted id are
+    excluded from reads and overwritten when the operation re-runs
+    with the same id — the _next_postings_batch contract, verbatim).
+    A legacy pre-ledger store (no batches dir) falls back to one past
+    the PHYSICAL max batch id across its row/tombstone dirs — those
+    stores are batch-built (batch_id=-1 only; the positional/shingle
+    maintainers have always written a ledger), so the fallback yields
+    0 and the store gains a ledger from this revision onward."""
+    hw = _ledger_hw(spark, out_dir)
+    if hw is not None:
+        return hw
+    mx = -1
+    for sub in ("postings", "tombstones"):
+        ids = _physical_batch_ids(spark, f"{out_dir}/{sub}")
+        if ids:
+            mx = max(mx, max(ids))
+    return max(0, mx + 1)
 
 
 def revise_positional_postings(
@@ -1768,6 +2297,13 @@ def revise_positional_postings(
     recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
     next_b = _next_ledger_batch(spark, out_dir)
+    _guard_uncommitted_partials(
+        spark,
+        f"revise_positional_postings at {out_dir}",
+        next_b,
+        f"{out_dir}/offline_fence",
+        [f"{out_dir}/postings", f"{out_dir}/tombstones"],
+    )
     claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
 
     rows, batches = _positional_frames(docs_v2, next_b, nb)
@@ -1803,6 +2339,13 @@ def delete_positional_docs(
 
     recover_compacting(spark, out_dir)
     next_b = _next_ledger_batch(spark, out_dir)
+    _guard_uncommitted_partials(
+        spark,
+        f"delete_positional_docs at {out_dir}",
+        next_b,
+        f"{out_dir}/offline_fence",
+        [f"{out_dir}/postings", f"{out_dir}/tombstones"],
+    )
     claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
     (
         doc_ids.select("doc_id")
@@ -1845,15 +2388,19 @@ def _positional_live(
 
     recover_compacting(spark, out_dir)
     n_buckets = _postings_meta_buckets(spark, out_dir)
-    hw = _next_ledger_batch(spark, out_dir)
+    # None for a legacy pre-ledger store: serve append-only, no
+    # commit-point filter (ADVICE r11 — raising path-not-found here
+    # bricked stores persisted by the previous release)
+    hw = _ledger_hw(spark, out_dir)
     buckets = _term_buckets(spark, sorted(set(terms)), n_buckets)
     p = (
         spark.read.schema(_POS_POSTINGS_SCHEMA)
         .parquet(f"{out_dir}/postings")
-        .filter(F.col("batch_id") < hw)  # committed batches only
         .filter(F.col("tok_bucket").isin(buckets))
         .filter(F.col("tok").isin(sorted(set(terms))))
     )
+    if hw is not None:
+        p = p.filter(F.col("batch_id") < hw)  # committed only
     tomb = _max_tombstones(spark, out_dir, before_batch=hw)
     if tomb is not None:
         p = (
@@ -2043,13 +2590,13 @@ def compact_positional_postings(
 
     recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
-    hw = _next_ledger_batch(spark, out_dir)
+    hw = _ledger_hw(spark, out_dir)  # None: legacy store, fold all
     tomb = _max_tombstones(spark, out_dir, before_batch=hw)
-    p = (
-        spark.read.schema(_POS_POSTINGS_SCHEMA)
-        .parquet(f"{out_dir}/postings")
-        .filter(F.col("batch_id") < hw)
+    p = spark.read.schema(_POS_POSTINGS_SCHEMA).parquet(
+        f"{out_dir}/postings"
     )
+    if hw is not None:
+        p = p.filter(F.col("batch_id") < hw)
     if tomb is not None:
         p = (
             p.join(tomb, "doc_id", "left")
@@ -2163,6 +2710,13 @@ def revise_shingle_docs(
 
     recover_compacting(spark, out_dir)
     next_b = _next_ledger_batch(spark, out_dir)
+    _guard_uncommitted_partials(
+        spark,
+        f"revise_shingle_docs at {out_dir}",
+        next_b,
+        f"{out_dir}/offline_fence",
+        [f"{out_dir}/postings", f"{out_dir}/tombstones"],
+    )
     claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
     rows, ledger = _shingle_frames(docs_v2, next_b)
 
@@ -2195,6 +2749,13 @@ def delete_shingle_docs(
 
     recover_compacting(spark, out_dir)
     next_b = _next_ledger_batch(spark, out_dir)
+    _guard_uncommitted_partials(
+        spark,
+        f"delete_shingle_docs at {out_dir}",
+        next_b,
+        f"{out_dir}/offline_fence",
+        [f"{out_dir}/postings", f"{out_dir}/tombstones"],
+    )
     claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
     (
         doc_ids.select("doc_id")
@@ -2243,12 +2804,12 @@ def near_dups_from_index(
     from pyspark.sql import functions as F
 
     recover_compacting(spark, out_dir)
-    hw = _next_ledger_batch(spark, out_dir)
-    idx = (
-        spark.read.schema(_SHINGLE_INDEX_SCHEMA)
-        .parquet(f"{out_dir}/postings")
-        .filter(F.col("batch_id") < hw)  # committed batches only
+    hw = _ledger_hw(spark, out_dir)  # None: legacy, no commit filter
+    idx = spark.read.schema(_SHINGLE_INDEX_SCHEMA).parquet(
+        f"{out_dir}/postings"
     )
+    if hw is not None:
+        idx = idx.filter(F.col("batch_id") < hw)  # committed only
     tomb = _max_tombstones(spark, out_dir, before_batch=hw)
     if tomb is not None:
         idx = (
@@ -2301,13 +2862,13 @@ def compact_shingle_index(spark: SparkSession, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
     recover_compacting(spark, out_dir)
-    hw = _next_ledger_batch(spark, out_dir)
+    hw = _ledger_hw(spark, out_dir)  # None: legacy store, fold all
     tomb = _max_tombstones(spark, out_dir, before_batch=hw)
-    rows = (
-        spark.read.schema(_SHINGLE_INDEX_SCHEMA)
-        .parquet(f"{out_dir}/postings")
-        .filter(F.col("batch_id") < hw)
+    rows = spark.read.schema(_SHINGLE_INDEX_SCHEMA).parquet(
+        f"{out_dir}/postings"
     )
+    if hw is not None:
+        rows = rows.filter(F.col("batch_id") < hw)
     if tomb is not None:
         rows = (
             rows.join(tomb, "doc_id", "left")
@@ -2500,6 +3061,14 @@ def bm25_from_postings(
     totals = (
         spark.read.schema(_POSTINGS_TOTALS_SCHEMA)
         .parquet(f"{out_dir}/totals")
+        # the SAME committed prefix as the postings read (r12,
+        # VERDICT r11 next #3): this aggregate runs as a separate
+        # job, so a micro-batch committing mid-serve would otherwise
+        # pair batch-N totals with batch-<N postings — a mixed-state
+        # avgdl/n_docs no committed prefix ever had. With the filter,
+        # every serve is a consistent snapshot at the hw it read
+        # first, even while a maintenance stream is appending.
+        .filter(F.col("batch_id") < hw)
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),

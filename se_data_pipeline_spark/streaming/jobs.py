@@ -319,6 +319,7 @@ def maintain_ivf_index(
     checkpoint_dir: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    attr_cols: tuple = (),
 ):
     """Streaming maintenance of the IVF ANN index (r8; the IVF twin
     of maintain_bq_index, r7 VERDICT optional #8): new vectors are
@@ -348,8 +349,20 @@ def maintain_ivf_index(
     refresh_ivf_index — never a streamed re-emit. The quantizer is
     likewise frozen at job start: re-training centroids invalidates
     the cell layout and is a rebuild, not maintenance (standard IVF
-    practice: retrain + reindex offline, serve the frozen epoch)."""
-    from se_data_pipeline_spark.sources.layout import _nearest_cell_expr
+    practice: retrain + reindex offline, serve the frozen epoch).
+    A pq-carrying store (write_ivf_index(pq=True)) likewise freezes
+    its PQ codebook: each micro-batch's rows are ADC-encoded with
+    the same row-local Catalyst argmin as the batch writers, so the
+    ivf_pq_funnel serves stream-appended vectors unchanged.
+    ``attr_cols`` carries the stream's metadata columns into the
+    cells rows (the filtered-ANN attributes, write_ivf_index's
+    contract — pass the SAME columns the store was built with)."""
+    from se_data_pipeline_spark.sources.layout import (
+        _nearest_cell_expr,
+        _pq_code_expr,
+        _pq_codebook,
+        _pq_store_meta,
+    )
 
     spark = vec_stream.sparkSession
     cents = [
@@ -363,6 +376,10 @@ def maintain_ivf_index(
             "it does not train one)"
         )
     cell_of = _nearest_cell_expr(cents, vec_col)
+    pq_meta = _pq_store_meta(spark, index_path)
+    pq_cb = (
+        _pq_codebook(spark, index_path) if pq_meta is not None else None
+    )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         from se_data_pipeline_spark.functions.vectors import (
@@ -375,7 +392,15 @@ def maintain_ivf_index(
             pack_sign_bits(F.col(vec_col)).alias("code"),
             cell_of.alias("cell"),
             F.lit(batch_id).alias("batch_id"),
+            *[F.col(a) for a in attr_cols],
         )
+        if pq_meta is not None:
+            rows = rows.withColumn(
+                "pq_code",
+                _pq_code_expr(
+                    pq_cb, pq_meta[0], pq_meta[1], "embedding"
+                ),
+            )
         # same all-NULL-first-batch guard as maintain_bq_index: never
         # write a zero-row partitioned store
         if rows.isEmpty():
@@ -1724,15 +1749,22 @@ def compact_term_stats(
         _write_terms,
         "term-stats store",
     )
+    # this store swaps SUBDIRS, so the fence must be dropped
+    # explicitly — inside the LAST swap's commit window (after both
+    # folds are durable, before the final live delete; ADVICE r11:
+    # dropping it after the swap left a crash window whose stale
+    # claimed ids spuriously fence a fresh-checkpoint stream). It
+    # must not drop any earlier: between the two swaps the claimed
+    # revision deltas still live unfolded in corpus_totals, where a
+    # resumed old-checkpoint stream would clobber them. Narrowed
+    # contract: an interrupted compaction must be re-run before any
+    # stream restarts.
     swap_compacted(
         spark,
         os.path.join(out_dir, "corpus_totals"),
         _write_totals,
         "corpus-totals store",
-    )
-    # every claimed revision batch is folded into the base now; this
-    # store swaps SUBDIRS, so the fence must be dropped explicitly
-    # (a fresh-checkpoint stream then legitimately restarts at id 0)
-    drop_offline_fence(
-        spark, os.path.join(out_dir, "offline_fence")
+        pre_commit=lambda: drop_offline_fence(
+            spark, os.path.join(out_dir, "offline_fence")
+        ),
     )

@@ -5,6 +5,7 @@ scale."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from se_data_pipeline_spark.catalog import load_table
@@ -632,3 +633,192 @@ def test_ivf_bq_funnel_prunes_and_matches_brute(spark, sf_dir, tmp_path):
         "expected a (vec_id, code)-only scan for the Hamming stage:\n"
         + plan
     )
+
+
+def test_ivf_pq_funnel_matches_brute_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    """r12 IVF-PQ (ADC) funnel: stage 1's executed scan must read
+    ONLY (vec_id, pq_code) from the probed cells (neither the float
+    column nor the 8-byte sign code leaves disk), and at nprobe=all
+    with a candidate pool covering the corpus the exact rerank makes
+    the funnel equal the brute-force top-10. A revision under the
+    FROZEN codebook (a genuine cell move) must serve exactly once
+    with its new embedding; compaction must preserve codebook and
+    codes."""
+    from se_data_pipeline_spark.queries.vectors import (
+        embedding_knn_brute,
+    )
+    from se_data_pipeline_spark.sources.layout import (
+        compact_ivf_index,
+        ivf_pq_funnel,
+        revise_ivf_vectors,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out = str(tmp_path / "ivfpq")
+    write_ivf_index(emb, out, cell_col="label", pq=True)
+    q_vec = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0][
+            "embedding"
+        ]
+    ]
+    n_all = emb.count()
+
+    funnel = ivf_pq_funnel(
+        spark, out, q_vec, nprobe=1_000_000, n_candidates=n_all, n=10
+    )
+    got = [(r["vec_id"], r["cos_sim"]) for r in funnel.collect()]
+    brute = [
+        (r["vec_id"], r["cos_sim"])
+        for r in embedding_knn_brute(spark, sf_dir)
+        .select("vec_id", "cos_sim")
+        .collect()
+    ][:10]
+    assert got == brute
+
+    # stage-1 column pruning: some scan reads pq_code WITHOUT the
+    # embedding or sign-code columns
+    plan = funnel._jdf.queryExecution().executedPlan().toString()
+    stage1 = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln
+        and "pq_code" in ln
+        and "embedding" not in ln
+    ]
+    assert stage1, (
+        "expected a (vec_id, pq_code)-only scan for the ADC stage:\n"
+        + plan
+    )
+
+    # revision under the frozen codebook: flip the top-2 result's
+    # vector far away — it must leave the top-10 (tombstone kills the
+    # stale row; the replacement encodes + reranks correctly)
+    moved = got[1][0]
+    revise_ivf_vectors(
+        spark,
+        emb.filter(F.col("vec_id") == moved).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ),
+        out,
+    )
+    got2 = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_pq_funnel(
+            spark, out, q_vec, nprobe=1_000_000,
+            n_candidates=n_all, n=10,
+        ).collect()
+    ]
+    assert moved not in [v for v, _ in got2]
+    # the 9 surviving brute winners keep their order; slot 10 is
+    # promoted from below brute's horizon
+    survivors = [v for v, _ in brute if v != moved]
+    assert len(got2) == 10
+    assert [v for v, _ in got2][: len(survivors)] == survivors
+
+    # compaction preserves the frozen codebook + folded codes
+    compact_ivf_index(spark, out)
+    got3 = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_pq_funnel(
+            spark, out, q_vec, nprobe=1_000_000,
+            n_candidates=n_all, n=10,
+        ).collect()
+    ]
+    assert got3 == got2
+
+
+def test_ivf_pq_funnel_requires_pq_store(spark, tmp_path):
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_pq_funnel,
+        write_ivf_index,
+    )
+
+    vecs = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 2).cast("float"), F.lit(1.0).cast("float")
+        ).alias("embedding"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    out = str(tmp_path / "plain_ivf")
+    write_ivf_index(vecs, out)
+    with pytest.raises(ValueError, match="no PQ codes"):
+        ivf_pq_funnel(spark, out, [1.0, 0.0])
+
+
+def test_ivf_filtered_topk_modes(spark, sf_dir, tmp_path):
+    """r12 filtered ANN: prefilter at nprobe=all equals the brute
+    filtered truth exactly; postfilter recall degrades with
+    selectivity exactly as the over-fetch bound predicts (candidates
+    are the global top n*overfetch, so matches beyond that horizon
+    are lost)."""
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_filtered_topk,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    tagged = emb.join(docs, "vec_id", "left").withColumn(
+        "source", F.coalesce("source", F.lit("none"))
+    )
+    out = str(tmp_path / "ivf_attr")
+    write_ivf_index(
+        tagged, out, cell_col="label", attr_cols=("source",)
+    )
+    head = tagged.orderBy("vec_id").limit(1).collect()[0]
+    q_vec = [float(x) for x in head["embedding"]]
+    src = head["source"]
+    where = f"source = '{src}'"
+
+    # brute filtered truth: exact cosine over the tagged corpus
+    from se_data_pipeline_spark.sources.layout import _cos_sim_expr
+
+    truth = [
+        r["vec_id"]
+        for r in tagged.filter(F.expr(where))
+        .select("vec_id", _cos_sim_expr(q_vec).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    pre = [
+        r["vec_id"]
+        for r in ivf_filtered_topk(
+            spark, out, q_vec, where, nprobe=1_000_000, n=10
+        ).collect()
+    ]
+    assert pre == truth
+
+    # postfilter: candidates are the global top n*overfetch rows —
+    # recall vs truth is bounded by how many matches fall inside
+    # that horizon, and grows monotonically with overfetch
+    recalls = {}
+    for ov in (1, 4, 1_000_000):
+        post = {
+            r["vec_id"]
+            for r in ivf_filtered_topk(
+                spark,
+                out,
+                q_vec,
+                where,
+                nprobe=1_000_000,
+                n=10,
+                mode="postfilter",
+                overfetch=ov,
+            ).collect()
+        }
+        recalls[ov] = len(post & set(truth)) / max(1, len(truth))
+    assert recalls[1] <= recalls[4] <= recalls[1_000_000]
+    assert recalls[1_000_000] == 1.0

@@ -678,7 +678,16 @@ def test_delete_positional_docs_and_uncommitted_invisibility(
     assert before, "fixture phrase must hit"
     victims = [d for d, _ in before[:2]]
 
-    # crash window: tombstones at batch 0, NO ledger row
+    # crash window, simulated faithfully to the real write order:
+    # the fence claim lands FIRST (claim_offline_batch is every
+    # offline writer's first write; since r12 it also marks the
+    # partials as offline-owned for the partial-batch guard), then
+    # tombstones at batch 0, NO ledger row
+    from se_data_pipeline_spark.sources.layout import (
+        claim_offline_batch,
+    )
+
+    claim_offline_batch(spark, os.path.join(out, "offline_fence"), 0)
     (
         spark.createDataFrame(
             [(v, 0) for v in victims], "doc_id long, batch_id int"
@@ -1017,8 +1026,16 @@ def test_ivf_uncommitted_revision_invisible(spark, tmp_path):
 
     before = probe()
 
-    # crash window: replacement row for vec 1 (moved near cell 1)
-    # lands at batch 0, tombstones + ledger never do
+    # crash window, simulated faithfully to the real write order:
+    # the fence claim lands FIRST (the r12 partial-batch guard
+    # exempts offline-claimed ids so the re-run can converge), then
+    # the replacement row for vec 1 (moved near cell 1) lands at
+    # batch 0; tombstones + ledger never do
+    from se_data_pipeline_spark.sources.layout import (
+        claim_offline_batch,
+    )
+
+    claim_offline_batch(spark, f"{idx}/offline_fence", 0)
     (
         spark.createDataFrame(
             [(1, [0.0, 1.0], 1, 0)],

@@ -192,8 +192,19 @@ def test_uncommitted_revision_invisible_to_serve(
         ).collect()
     ]
 
-    # simulate the crash window: tombstones (and partial postings)
-    # land at batch 0, totals never does
+    # simulate the crash window FAITHFULLY to the revision's write
+    # order: the fence claim lands first (claim_offline_batch is
+    # every offline writer's first write — and since r12 it also
+    # marks these partials as offline-owned so the re-run's
+    # partial-batch guard lets it converge), then tombstones (and
+    # partial postings) at batch 0; totals never lands
+    from se_data_pipeline_spark.sources.layout import (
+        claim_offline_batch,
+    )
+
+    claim_offline_batch(
+        spark, os.path.join(out, "offline_fence"), 0
+    )
     ids = docs.filter("doc_id % 3 = 0").select("doc_id")
     (
         ids.withColumn("batch_id", F.lit(0))
@@ -406,3 +417,189 @@ def test_bq_and_term_stats_fences_claimed(spark, tmp_path):
     assert offline_claimed_ids(
         spark, os.path.join(ts, "offline_fence")
     ) == frozenset()
+
+
+def _tiny_docs(spark):
+    return spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta alpha beta gamma doc"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+
+
+def test_offline_revision_refuses_stream_partials(spark, tmp_path):
+    """ADVICE r11 medium: rows a crashed STREAM left at/above the
+    committed high-water mark (postings written, ledger row not) must
+    make the next offline revision REFUSE — committing a new offline
+    batch would make those partials serve without their tombstones.
+    A crashed OFFLINE revision's own partials (fence-claimed id) stay
+    exempt: its re-run converges by overwriting its own partitions.
+    Compaction (committed fold + whole-dir swap) drops the partials
+    and unblocks the revision."""
+    from se_data_pipeline_spark.sources.layout import (
+        _positional_frames,
+        claim_offline_batch,
+        compact_positional_postings,
+        phrase_from_postings,
+        revise_positional_postings,
+        write_positional_postings,
+    )
+
+    docs = _tiny_docs(spark)
+    out = str(tmp_path / "pos_store")
+    write_positional_postings(docs, out, n_buckets=8)
+
+    # simulate the crashed stream micro-batch: rows at id 0, NO ledger
+    stray_rows, _ = _positional_frames(
+        docs.filter("doc_id = 0").withColumn(
+            "text", F.lit("alpha beta stray")
+        ),
+        0,
+        8,
+    )
+    (
+        stray_rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "tok_bucket")
+        .parquet(os.path.join(out, "postings"))
+    )
+    revised = docs.filter("doc_id = 1").withColumn(
+        "text", F.lit("alpha beta revised")
+    )
+    with pytest.raises(RuntimeError, match="uncommitted rows"):
+        revise_positional_postings(spark, revised, out)
+
+    # compaction folds committed state only and physically drops the
+    # stray batch — the revision then proceeds at a fresh id
+    compact_positional_postings(spark, out)
+    b = revise_positional_postings(spark, revised, out)
+    served = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_from_postings(
+            spark, out, ("alpha", "beta"), limit=10
+        ).collect()
+    }
+    assert served[1] == 1  # revised doc: one adjacency
+    assert served[0] == 2  # stray batch dropped: original text serves
+    assert b == 0
+
+    # a crashed OFFLINE revision's partials are exempt: claim the id
+    # first, leave partial rows, re-run with the same input
+    stray2, _ = _positional_frames(revised, 1, 8)
+    claim_offline_batch(spark, os.path.join(out, "offline_fence"), 1)
+    (
+        stray2.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "tok_bucket")
+        .parquet(os.path.join(out, "postings"))
+    )
+    assert revise_positional_postings(spark, revised, out) == 1
+
+
+def test_postings_revision_refuses_stream_partials(spark, tmp_path):
+    """The same partial-batch guard on the frequency store (totals is
+    the commit point): stray doclens rows at the high-water mark make
+    revise_posting_lists refuse."""
+    from se_data_pipeline_spark.sources.layout import (
+        _doclens_frame,
+        revise_posting_lists,
+        write_posting_lists,
+    )
+
+    docs = _tiny_docs(spark)
+    out = str(tmp_path / "bm25_store")
+    write_posting_lists(docs, out, n_buckets=8)
+    (
+        _doclens_frame(docs.filter("doc_id = 0"), 0)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out, "doclens"))
+    )
+    with pytest.raises(RuntimeError, match="uncommitted rows"):
+        revise_posting_lists(spark, docs.filter("doc_id = 1"), out)
+
+
+def test_ivf_revision_refuses_stream_partials(spark, tmp_path):
+    """The guard on the IVF store's NESTED cells layout
+    (cell=C/batch_id=N): a stray cells partition at the committed
+    high-water mark makes revise_ivf_vectors refuse."""
+    from se_data_pipeline_spark.sources.layout import (
+        revise_ivf_vectors,
+        write_ivf_index,
+    )
+
+    vecs = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 2).cast("float"), F.lit(1.0).cast("float")
+        ).alias("embedding"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(vecs, idx, cell_col="label")
+    # stray stream rows at the hw id (0), no ledger row
+    (
+        vecs.filter("vec_id = 0")
+        .select(
+            "vec_id",
+            "embedding",
+            F.lit(0).cast("long").alias("code"),
+            F.lit(0).alias("cell"),
+            F.lit(0).alias("batch_id"),
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "batch_id")
+        .parquet(os.path.join(idx, "cells"))
+    )
+    with pytest.raises(RuntimeError, match="uncommitted rows"):
+        revise_ivf_vectors(
+            spark, vecs.filter("vec_id = 1"), idx
+        )
+
+
+def test_legacy_positional_store_serves_without_ledger(
+    spark, tmp_path
+):
+    """ADVICE r11 low: a positional store persisted before the
+    batches ledger existed must serve append-only (no commit-point
+    filter) instead of raising path-not-found — and an offline
+    revision on it falls back to the physical max id and writes the
+    store's first ledger row."""
+    import shutil
+
+    from se_data_pipeline_spark.sources.layout import (
+        phrase_from_postings,
+        revise_positional_postings,
+        write_positional_postings,
+    )
+
+    docs = _tiny_docs(spark)
+    out = str(tmp_path / "legacy_pos")
+    write_positional_postings(docs, out, n_buckets=8)
+    shutil.rmtree(os.path.join(out, "batches"))  # pre-ledger layout
+
+    served = phrase_from_postings(
+        spark, out, ("alpha", "beta"), limit=10
+    )
+    assert served.count() == 6  # every doc has the bigram twice
+
+    b = revise_positional_postings(
+        spark,
+        docs.filter("doc_id = 0").withColumn(
+            "text", F.lit("alpha beta only")
+        ),
+        out,
+    )
+    assert b == 0  # physical max is the -1 base -> first free id
+    assert os.path.isdir(os.path.join(out, "batches"))
+    served2 = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_from_postings(
+            spark, out, ("alpha", "beta"), limit=10
+        ).collect()
+    }
+    assert served2[0] == 1 and served2[1] == 2

@@ -12,7 +12,7 @@ Procedure (the documented re-baseline criteria):
 
 1. REFUSE to run while any other Spark JVM is alive on the host
    (the no-concurrent-JVM timing rule).
-2. Run N independent calibration repetitions (default 5), each in a
+2. Run N independent calibration repetitions (default 7), each in a
    FRESH JVM (subprocess) so JIT/cache state cannot carry between
    reps; each rep runs bench.py's exact `_calibrations` suite
    (throughput / latency / shuffle, themselves min-of-k internally).
@@ -40,8 +40,8 @@ Procedure (the documented re-baseline criteria):
    provenance (per-rep samples, spreads, date, criteria) so a later
    reader can audit the window.
 
-Usage:  python tools/rebaseline_calib.py [--reps 5] [--max-spread 1.2]
-        [--dry-run]
+Usage:  python tools/rebaseline_calib.py [--reps 7] [--max-spread 1.2]
+        [--refused-windows N] [--dry-run]
 """
 
 from __future__ import annotations
@@ -106,6 +106,13 @@ def main() -> int:
                     "before the spread test (median unaffected)")
     ap.add_argument("--cpus", type=int, default=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--refused-windows", type=int, default=None,
+                    help="how many windows this procedure refused "
+                    "before the accepting run, recorded verbatim in "
+                    "the provenance block (omit to record null — "
+                    "the field was hardcoded to 3 before r12, which "
+                    "made every later re-baseline write a false "
+                    "provenance claim)")
     ap.add_argument("--dry-run", action="store_true",
                     help="measure + report, never touch the reference")
     args = ap.parse_args()
@@ -169,7 +176,7 @@ def main() -> int:
             "spreads": spreads,
             "max_spread_criterion": args.max_spread,
             "max_spread_shuffle_criterion": args.max_spread_shuffle,
-            "prior_refused_windows": 3,
+            "prior_refused_windows": args.refused_windows,
             "trim_per_end": max(0, args.trim),
             "cpus": args.cpus,
         },
