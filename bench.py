@@ -44,7 +44,6 @@ calibration alone could not see):
 from __future__ import annotations
 
 import glob
-import hashlib
 import json
 import os
 import subprocess
@@ -311,6 +310,9 @@ HEADLINE = [
     "hybrid_served_recall",
     "dedup_index_served",
     "ivf_bq_funnel_served",
+    "ivf_pq_funnel_served",
+    "ivf_filtered_recall",
+    "ivf_funnel_stream_maintained",
 ]
 
 
@@ -574,20 +576,24 @@ def main() -> None:
             len(glob.glob(os.path.join(HERE, "BENCH_r*.json"))) + 1
         )
 
-    # Rotating spot-bench of the non-HEADLINE tail (r7 #5): 5
-    # per-round-rotating names so "the unbenched rest are trivially
-    # small" stays MEASURED, without benching all 60+ (2x 590 s
-    # timeouts when tried in r7).
+    # FULL-REGISTRY sweep (r12, VERDICT r11 #5): the registry tail
+    # outside the curated HEADLINE used to ride only a 5-query
+    # rotating spot sample — a perf regression there surfaced slowly.
+    # Since r12 every registered query is timed every round under the
+    # same fresh-JVM chunk protocol (the tail is ~60 sub-second
+    # queries, ~2 extra chunks; r7's all-in attempt timed out because
+    # it ran ONE long-lived session, which the chunk protocol fixed).
+    # The rotating spot mechanism is retired; `spot_queries` stays in
+    # the artifact (empty) so older readers keep parsing.
     tail = sorted(set(all_queries()) - set(HEADLINE))
-    spot_names = sorted(
-        tail, key=lambda n: hashlib.md5(f"{n}:{rnd}".encode()).hexdigest()
-    )[:5]
+    bench_names = HEADLINE + tail
+    spot_names: list[str] = []
 
     hist = _history(HERE, sf)  # read BEFORE this run overwrites the files
 
     chunks = [
-        HEADLINE[i : i + chunk_size]
-        for i in range(0, len(HEADLINE), chunk_size)
+        bench_names[i : i + chunk_size]
+        for i in range(0, len(bench_names), chunk_size)
     ]
     per_query: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -653,30 +659,70 @@ def main() -> None:
                 samples.setdefault(n, []).extend(s)
 
     # ---- host_band vs the committed quiet-box reference ----
-    host_band = "unknown"
-    worst_vs_ref = None
-    worst_drift = None
-    ref_path = os.path.join(HERE, "BENCH_CALIB_REF.json")
-    if os.path.exists(ref_path) and calib_pre and calib_post:
-        with open(ref_path) as fh:
-            ref = json.load(fh)
-        ratios = []
-        drifts = []
-        for k in ("calib_sec", "calib_latency_sec", "calib_shuffle_sec"):
-            r, p, q = ref.get(k), calib_pre.get(k), calib_post.get(k)
-            if not (r and p and q):
-                continue
-            ratios += [p / r, q / r]
-            drifts.append(max(p / q, q / p))
-        if ratios:
-            worst_vs_ref = round(max(ratios), 3)
-            worst_drift = round(max(drifts), 3)
-            band = float(ref.get("band_vs_ref", 1.5))
-            drift_band = float(ref.get("band_drift", 1.4))
-            host_band = (
-                "ok"
-                if worst_vs_ref <= band and worst_drift <= drift_band
-                else "degraded"
+    def _band(pre: dict, post: dict):
+        host_band = "unknown"
+        worst_vs_ref = None
+        worst_drift = None
+        ref_path = os.path.join(HERE, "BENCH_CALIB_REF.json")
+        if os.path.exists(ref_path) and pre and post:
+            with open(ref_path) as fh:
+                ref = json.load(fh)
+            ratios = []
+            drifts = []
+            for k in (
+                "calib_sec",
+                "calib_latency_sec",
+                "calib_shuffle_sec",
+            ):
+                r, p, q = ref.get(k), pre.get(k), post.get(k)
+                if not (r and p and q):
+                    continue
+                ratios += [p / r, q / r]
+                drifts.append(max(p / q, q / p))
+            if ratios:
+                worst_vs_ref = round(max(ratios), 3)
+                worst_drift = round(max(drifts), 3)
+                band = float(ref.get("band_vs_ref", 1.5))
+                drift_band = float(ref.get("band_drift", 1.4))
+                host_band = (
+                    "ok"
+                    if worst_vs_ref <= band
+                    and worst_drift <= drift_band
+                    else "degraded"
+                )
+        return host_band, worst_vs_ref, worst_drift
+
+    host_band, worst_vs_ref, worst_drift = _band(calib_pre, calib_post)
+    calib_retry: dict = {}
+    if host_band == "degraded" and time.time() <= deadline_ts:
+        # One-burst tolerance (r12, VERDICT r11 #6): the r11 degraded
+        # stamp came from a single CPU-steal burst covering one whole
+        # calibration phase (its min-of-3 could not shed it). Re-probe
+        # ONCE in a fresh JVM and fold the retry into each phase by
+        # elementwise min: a transient burst washes out (the retry
+        # reads quiet, both phases drop to quiet values, the stamp
+        # flips to ok), while genuine sustained degradation keeps the
+        # retry slow too and the stamp STANDS. The retry is recorded
+        # in the artifact so a reader can audit the adjudication.
+        with tempfile.TemporaryDirectory(
+            prefix="bench_calib_retry_"
+        ) as rtmp:
+            res = _run_chunk(
+                {"names": [], "sf_dir": sf_dir, "calib": "pre",
+                 "deadline_ts": deadline_ts},
+                rtmp,
+                999,
+            )
+        calib_retry = res.get("calib_pre", {})
+        if calib_retry:
+            fold = lambda d: {
+                k: min(v, calib_retry[k])
+                if calib_retry.get(k) and v
+                else v
+                for k, v in d.items()
+            }
+            host_band, worst_vs_ref, worst_drift = _band(
+                fold(calib_pre), fold(calib_post)
             )
 
     total = round(sum(per_query.values()), 3)
@@ -693,18 +739,22 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
-        "n_queries": len(HEADLINE),
+        "n_queries": len(bench_names),
         "calib_sec": calib_min.get("calib_sec"),
         "calib_latency_sec": calib_min.get("calib_latency_sec"),
         "calib_shuffle_sec": calib_min.get("calib_shuffle_sec"),
-        "host_calib": {"pre": calib_pre, "post": calib_post},
+        "host_calib": {
+            "pre": calib_pre,
+            "post": calib_post,
+            "retry": calib_retry,
+        },
         "host_band": host_band,
         "host_worst_vs_ref": worst_vs_ref,
         "host_worst_drift": worst_drift,
         "retimed": retimed,
         "deadline_hit": deadline_hit,
         "samples": samples,
-        "positions": {n: i for i, n in enumerate(HEADLINE)},
+        "positions": {n: i for i, n in enumerate(bench_names)},
         "n_chunks": len(chunks),
         "chunk_size": chunk_size,
         "spot_round": int(rnd),
@@ -732,7 +782,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": slowest,
-        "n_queries": len(HEADLINE),
+        "n_queries": len(bench_names),
         "n_timed": len(per_query),
         "queries_file": "BENCH_LOCAL.json",
         "calib_sec": calib_min.get("calib_sec"),

@@ -1232,3 +1232,504 @@ def ivf_bq_funnel_served(
         n_candidates=_FUNNEL_CANDS,
         n=10,
     )
+
+
+# PQ conventions for the materialized funnel — literals here (not
+# imports from queries.vectors: this module's body can run while
+# other query modules are only partially initialized, the
+# _defer_copy_of rationale). Must match layout.write_ivf_index's
+# defaults AND the SQL replays below.
+_FPQ_M = 8
+_FPQ_SUB = 8
+_FPQ_K = 16
+
+
+def _ivf_pq_funnel_oracle() -> str:
+    from se_data_pipeline_spark.queries.vectors import (
+        _SQL_COS,
+        _SQL_QVEC,
+    )
+
+    sub = _FPQ_SUB
+    return f"""
+    WITH q AS ({_SQL_QVEC}),
+    v1 AS (SELECT vec_id, label,
+                  CASE WHEN vec_id % 5 = 0
+                       THEN [CAST(-x AS FLOAT) for x in embedding]
+                       ELSE embedding END AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k,
+                  [CAST(x AS DOUBLE) for x in emb] AS e
+           FROM v1 ORDER BY vec_id LIMIT {_FPQ_K}),
+    flat AS (SELECT label, unnest(emb) AS x,
+                    generate_subscripts(emb, 1) AS pos
+             FROM v1),
+    c AS (SELECT label, pos, AVG(CAST(x AS DOUBLE)) AS ctr
+          FROM flat GROUP BY label, pos),
+    live AS (SELECT vec_id, label, embedding,
+                    [CAST(x AS DOUBLE) for x in embedding] AS e
+             FROM embeddings
+             WHERE vec_id % 7 <> 3 AND embedding IS NOT NULL),
+    cellof AS (
+      SELECT l.vec_id,
+             CASE WHEN l.vec_id % 5 = 0 THEN (
+               SELECT d.label FROM (
+                 SELECT c.label,
+                        SUM((c.ctr - l.e[CAST(c.pos AS INT)])
+                            * (c.ctr - l.e[CAST(c.pos AS INT)])) AS d2
+                 FROM c GROUP BY c.label) d
+               ORDER BY d.d2, d.label LIMIT 1)
+             ELSE l.label END AS cell
+      FROM live l),
+    dist AS (SELECT c.label,
+                    SUM((c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))
+                        * (c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))) AS d2
+             FROM c CROSS JOIN q GROUP BY c.label),
+    probed_cells AS (
+      SELECT label FROM (
+        SELECT label, row_number() OVER (ORDER BY d2, label) AS rk
+        FROM dist) WHERE rk <= {_FUNNEL_NPROBE}),
+    ms AS (SELECT unnest(range({_FPQ_M})) AS m),
+    d AS (SELECT l.vec_id, ms.m, cb.k,
+                 list_sum([(l.e[i] - cb.e[i]) * (l.e[i] - cb.e[i])
+                           for i in range(ms.m * {sub} + 1,
+                                          ms.m * {sub} + {sub} + 1)])
+                   AS dd
+          FROM live l
+          JOIN cellof co ON co.vec_id = l.vec_id
+          JOIN probed_cells pc ON pc.label = co.cell
+          CROSS JOIN ms CROSS JOIN cb),
+    best AS (SELECT vec_id, m, k FROM (
+               SELECT vec_id, m, k,
+                      row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY dd, k) AS rn
+               FROM d) WHERE rn = 1),
+    qd AS (SELECT [CAST(x AS DOUBLE) for x in q.q] AS e FROM q),
+    lut AS (SELECT ms.m, cb.k,
+                   list_sum([(qd.e[i] - cb.e[i]) * (qd.e[i] - cb.e[i])
+                             for i in range(ms.m * {sub} + 1,
+                                            ms.m * {sub} + {sub} + 1)])
+                     AS dd
+            FROM qd CROSS JOIN ms CROSS JOIN cb),
+    est AS (SELECT b.vec_id,
+                   list_sum(array_agg(l.dd ORDER BY b.m)) AS est_dist
+            FROM best b JOIN lut l ON l.m = b.m AND l.k = b.k
+            GROUP BY b.vec_id),
+    cand AS (SELECT * FROM est
+             ORDER BY est_dist, vec_id LIMIT {_FUNNEL_CANDS})
+    SELECT e.vec_id, ROUND(cand.est_dist, 6) AS est_dist,
+           ROUND({_SQL_COS}, 6) AS cos_sim
+    FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id CROSS JOIN q
+    ORDER BY {_SQL_COS} DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("ivf_pq_funnel_served", oracle=_ivf_pq_funnel_oracle())
+def ivf_pq_funnel_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IVF-PQ (ADC) funnel served from one materialized store
+    AFTER a full revision cycle (r12, VERDICT r11 next #1): build
+    the pq-carrying store from a PERTURBED corpus (a fifth of the
+    vectors sign-flipped — their v1 rows sit in wrong cells AND
+    their pq codes quantize the wrong subvectors), revise them back
+    to their true embeddings (cell moves + re-encode under the
+    FROZEN codebook), DELETE every vec_id % 7 == 3 via NULL
+    embeddings, then serve: cell prune at nprobe=2 → ADC scan of
+    (vec_id, pq_code) only, estimated distance = M lookup-table
+    entries summed → exact cosine rerank of the 50 survivors. The
+    oracle replays codebook seeding (over the perturbed v1 input,
+    sign-flips included), quantizer training, per-vector encode
+    argmin, the post-revision live state, cell re-assignment, the
+    ADC lookup sums, the candidate boundary, and the rerank — a
+    stale pq code, a wrong subspace split, or a resurrected deleted
+    vector changes the top-10 and fails the hash.
+
+    Scale: stage 1 reads M small ints per vector inside
+    nprobe/n_cells partitions (neither the 256-byte float vector nor
+    the 8-byte sign code leaves disk — plan-asserted in
+    tests/test_layout.py); the rerank touches exactly 50 vectors.
+    This is the FAISS IVFPQ serving shape at a higher recall per
+    byte than the BQ funnel's 1 bit/dim."""
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_pq_funnel,
+        revise_ivf_vectors,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.orderBy("vec_id").limit(1).collect()
+    empty_schema = "vec_id bigint, est_dist double, cos_sim double"
+    if not head:  # empty-corpus sweep
+        return spark.createDataFrame([], empty_schema)
+    nonnull = emb.filter(F.col("embedding").isNotNull())
+    if nonnull.count() < _FPQ_K:
+        # degenerate sweep: not enough vectors to seed a codebook —
+        # same empty-result convention as embedding_pq_codes
+        return spark.createDataFrame([], empty_schema)
+    v1 = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    store = _scratch("ivf_pq_funnel")
+    write_ivf_index(v1, store, cell_col="label", pq=True)
+    revision = emb.filter(
+        "(vec_id % 5 = 0 OR vec_id % 7 = 3) AND embedding IS NOT NULL"
+    ).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 3, F.lit(None))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    revise_ivf_vectors(spark, revision, store)
+    q_vec = [float(x) for x in head[0]["embedding"]]
+    return ivf_pq_funnel(
+        spark,
+        store,
+        q_vec,
+        nprobe=_FUNNEL_NPROBE,
+        n_candidates=_FUNNEL_CANDS,
+        n=10,
+    )
+
+
+_FILT_K = 10
+_FILT_OVERFETCH = 4
+
+
+def _ivf_filtered_oracle() -> str:
+    from se_data_pipeline_spark.queries.vectors import (
+        _SQL_COS,
+        _SQL_QVEC,
+    )
+
+    cos_t = _SQL_COS.replace("e.embedding", "t.embedding")
+    cos_z = _SQL_COS.replace("e.embedding", "t.embedding")
+    probes = ", ".join(f"({p})" for p in _IVF_PROBES)
+    return f"""
+    WITH q AS ({_SQL_QVEC}),
+    s AS (SELECT d.source AS src FROM documents d
+          WHERE d.doc_id = (SELECT vec_id FROM embeddings
+                            ORDER BY vec_id LIMIT 1)),
+    tagged AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             COALESCE(d.source, 'none') AS source
+      FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id
+      WHERE e.embedding IS NOT NULL),
+    flat AS (SELECT label, unnest(embedding) AS x,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM embeddings WHERE embedding IS NOT NULL),
+    c AS (SELECT label, pos, AVG(CAST(x AS DOUBLE)) AS ctr
+          FROM flat GROUP BY label, pos),
+    dist AS (SELECT c.label,
+                    SUM((c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))
+                        * (c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))) AS d2
+             FROM c CROSS JOIN q GROUP BY c.label),
+    ranked_cells AS (SELECT label,
+                            row_number() OVER (ORDER BY d2, label) AS rk
+                     FROM dist),
+    truth AS (
+      SELECT t.vec_id FROM tagged t CROSS JOIN q CROSS JOIN s
+      WHERE t.source = s.src
+      ORDER BY {cos_t} DESC, t.vec_id LIMIT {_FILT_K}),
+    probes(nprobe) AS (VALUES {probes}),
+    pre AS (
+      SELECT p.nprobe, 'prefilter' AS mode, x.vec_id
+      FROM probes p, LATERAL (
+        SELECT t.vec_id FROM tagged t
+        JOIN ranked_cells rc
+          ON rc.label = t.label AND rc.rk <= p.nprobe
+        CROSS JOIN q CROSS JOIN s
+        WHERE t.source = s.src
+        ORDER BY {cos_t} DESC, t.vec_id LIMIT {_FILT_K}) x),
+    post AS (
+      SELECT p.nprobe, 'postfilter' AS mode, y.vec_id
+      FROM probes p, LATERAL (
+        SELECT z.vec_id FROM (
+          SELECT t.vec_id, t.source, {cos_z} AS cs
+          FROM tagged t
+          JOIN ranked_cells rc
+            ON rc.label = t.label AND rc.rk <= p.nprobe
+          CROSS JOIN q
+          ORDER BY cs DESC, t.vec_id
+          LIMIT {_FILT_K * _FILT_OVERFETCH}) z
+        CROSS JOIN s
+        WHERE z.source = s.src
+        ORDER BY z.cs DESC, z.vec_id LIMIT {_FILT_K}) y),
+    served AS (SELECT * FROM pre UNION ALL SELECT * FROM post),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT served.nprobe, served.mode,
+           COUNT(t.vec_id) AS n_found,
+           nt.n_truth,
+           ROUND(COUNT(t.vec_id) * 1.0 / nt.n_truth, 6) AS recall
+    FROM served LEFT JOIN truth t USING (vec_id) CROSS JOIN nt
+    GROUP BY served.nprobe, served.mode, nt.n_truth
+    ORDER BY served.nprobe, served.mode
+    """
+
+
+@query("ivf_filtered_recall", oracle=_ivf_filtered_oracle())
+def ivf_filtered_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered ANN served from the IVF store, recall per (nprobe,
+    strategy) — the dial every production vector store exposes (r12,
+    VERDICT r11 next #2): the store carries the documents' `source`
+    as a metadata column (write_ivf_index attr_cols), the query asks
+    for top-10 among the query document's own source, and the report
+    compares the two serving strategies against the brute filtered
+    truth. PREFILTER cuts the predicate inside the probed cells (a
+    pushed parquet data filter) before ranking — it always returns
+    the best matching rows the probed cells hold, so its recall
+    measures only cell pruning. POSTFILTER ranks k x overfetch
+    candidates predicate-blind and filters after — the only shape
+    available when the attribute is not in the index; under a
+    selective predicate most candidates are discarded and recall
+    decays, which is exactly the over-fetch trade this report
+    monitors. The SQL replays quantizer, probe, both strategies
+    (with the same candidate horizon), truth, and the recall
+    arithmetic.
+
+    Scale: each serve is a pruned nprobe-cells read ending in
+    TakeOrderedAndProject; the predicate rides the parquet scan in
+    prefilter mode; the report joins <=k-row frames."""
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_filtered_topk,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    tagged = emb.join(docs, "vec_id", "left").withColumn(
+        "source", F.coalesce("source", F.lit("none"))
+    )
+    head = tagged.orderBy("vec_id").limit(1).collect()
+    if not head:  # empty-corpus sweep
+        return spark.createDataFrame(
+            [],
+            "nprobe int, mode string, n_found bigint, "
+            "n_truth bigint, recall double",
+        )
+    q_vec = [float(x) for x in head[0]["embedding"]]
+    src = str(head[0]["source"]).replace("'", "''")
+    where = f"source = '{src}'"
+    store = _scratch("ivf_filtered")
+    write_ivf_index(
+        tagged, store, cell_col="label", attr_cols=("source",)
+    )
+
+    truth = F.broadcast(
+        ivf_filtered_topk(
+            spark, store, q_vec, where, nprobe=1_000_000, n=_FILT_K
+        )
+        .select("vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    tagged_serves = None
+    for p in _IVF_PROBES:
+        for mode in ("prefilter", "postfilter"):
+            s = (
+                ivf_filtered_topk(
+                    spark,
+                    store,
+                    q_vec,
+                    where,
+                    nprobe=p,
+                    n=_FILT_K,
+                    mode=mode,
+                    overfetch=_FILT_OVERFETCH,
+                )
+                .select("vec_id")
+                .withColumn("nprobe", F.lit(p))
+                .withColumn("mode", F.lit(mode))
+            )
+            tagged_serves = (
+                s
+                if tagged_serves is None
+                else tagged_serves.unionByName(s)
+            )
+    return (
+        tagged_serves.join(truth, "vec_id", "left")
+        .groupBy("nprobe", "mode")
+        .agg(F.count("hit").alias("n_found"))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "nprobe",
+            "mode",
+            "n_found",
+            "n_truth",
+            F.round(F.col("n_found") / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("nprobe", "mode")
+    )
+
+
+def _ivf_stream_funnel_oracle() -> str:
+    from se_data_pipeline_spark.queries.vectors import (
+        _SQL_COS,
+        _SQL_HAMMING,
+        _SQL_QVEC,
+    )
+
+    cos_l = _SQL_COS.replace("e.embedding", "l.emb")
+    ham_l = _SQL_HAMMING.replace("e.embedding", "l.emb")
+    return f"""
+    WITH q AS ({_SQL_QVEC}),
+    build AS (SELECT vec_id, label, embedding FROM embeddings
+              WHERE vec_id % 4 <> 1 AND embedding IS NOT NULL),
+    flat AS (SELECT label, unnest(embedding) AS x,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM build),
+    c AS (SELECT label, pos, AVG(CAST(x AS DOUBLE)) AS ctr
+          FROM flat GROUP BY label, pos),
+    live AS (SELECT vec_id, label,
+                    CASE WHEN vec_id % 7 = 2 AND vec_id % 4 <> 1
+                         THEN [CAST(-x AS FLOAT) for x in embedding]
+                         ELSE embedding END AS emb
+             FROM embeddings WHERE embedding IS NOT NULL),
+    cellof AS (
+      SELECT l.vec_id,
+             CASE WHEN l.vec_id % 4 = 1
+                    OR (l.vec_id % 7 = 2 AND l.vec_id % 4 <> 1)
+             THEN (
+               SELECT d.label FROM (
+                 SELECT c.label,
+                        SUM((c.ctr - CAST(l.emb[CAST(c.pos AS INT)]
+                                          AS DOUBLE))
+                            * (c.ctr - CAST(l.emb[CAST(c.pos AS INT)]
+                                            AS DOUBLE))) AS d2
+                 FROM c GROUP BY c.label) d
+               ORDER BY d.d2, d.label LIMIT 1)
+             ELSE l.label END AS cell
+      FROM live l),
+    dist AS (SELECT c.label,
+                    SUM((c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))
+                        * (c.ctr - CAST(q.q[CAST(c.pos AS INT)] AS DOUBLE))) AS d2
+             FROM c CROSS JOIN q GROUP BY c.label),
+    probed_cells AS (
+      SELECT label FROM (
+        SELECT label, row_number() OVER (ORDER BY d2, label) AS rk
+        FROM dist) WHERE rk <= {_FUNNEL_NPROBE}),
+    h AS (
+      SELECT l.vec_id,
+             {ham_l} AS hamming,
+             {cos_l} AS cos
+      FROM live l
+      JOIN cellof co ON co.vec_id = l.vec_id
+      JOIN probed_cells pc ON pc.label = co.cell
+      CROSS JOIN q),
+    cand AS (
+      SELECT * FROM h
+      ORDER BY hamming, vec_id LIMIT {_FUNNEL_CANDS})
+    SELECT vec_id, CAST(hamming AS INT) AS hamming,
+           ROUND(cos, 6) AS cos_sim
+    FROM cand ORDER BY cos DESC, vec_id LIMIT 10
+    """
+
+
+@query(
+    "ivf_funnel_stream_maintained", oracle=_ivf_stream_funnel_oracle()
+)
+def ivf_funnel_stream_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two-stage IVF-BQ funnel served from a STREAM-maintained
+    store (r12, VERDICT r11 next #7 — the phrase_stream_maintained
+    pattern applied to the vector side): build the store from three
+    quarters of the corpus, stream the remaining quarter in as two
+    availableNow micro-batches (maintain_ivf_index packs each
+    batch's sign codes and assigns cells under the FROZEN quantizer,
+    shuffle-free), then — stream stopped — offline-REVISE a slice of
+    the build set to sign-flipped embeddings (genuine cell moves,
+    fence-claimed batch id), and serve the funnel at nprobe=2. The
+    oracle replays quantizer training over the build set only,
+    per-vector cell assignment for streamed and revised rows, the
+    post-revision live state, the in-cell Hamming cut, and the
+    rerank — a streamed row in the wrong cell, a stale pre-revision
+    code, or an uncommitted batch leaking past the ledger changes
+    the top-10 and fails the hash.
+
+    Scale: each micro-batch is scan -> project -> partitioned write
+    (no read-side work); the serve reads nprobe/n_cells of 8-byte
+    codes + 50 float vectors — identical whether the rows arrived by
+    batch build, stream, or revision."""
+    import glob as _glob
+    import time as _time
+
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_bq_funnel,
+        revise_ivf_vectors,
+        write_ivf_index,
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = emb.orderBy("vec_id").limit(1).collect()
+    empty_schema = "vec_id bigint, hamming int, cos_sim double"
+    if not head:  # empty-corpus sweep
+        return spark.createDataFrame([], empty_schema)
+    build = emb.filter("vec_id % 4 <> 1")
+    streamed = emb.filter("vec_id % 4 = 1").select(
+        "vec_id", "embedding"
+    )
+    root = _scratch("ivf_stream_funnel")
+    store = os.path.join(root, "store")
+    write_ivf_index(build, store, cell_col="label")
+
+    if not streamed.isEmpty():
+        src = os.path.join(root, "src")
+        chk = os.path.join(root, "chk")
+        streamed.filter("vec_id % 2 = 1").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        first = set(_glob.glob(os.path.join(src, "part-*.parquet")))
+        streamed.filter("vec_id % 2 = 0").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        now = _time.time()
+        for f in _glob.glob(os.path.join(src, "part-*.parquet")):
+            os.utime(
+                f,
+                (now - 100, now - 100) if f in first else (now, now),
+            )
+        stream = (
+            spark.readStream.schema(streamed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sq = maintain_ivf_index(stream, store, chk)
+        sq.awaitTermination(300)
+        if sq.exception() is not None:
+            raise RuntimeError(str(sq.exception()))
+
+    revision = build.filter(
+        "vec_id % 7 = 2 AND embedding IS NOT NULL"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    revise_ivf_vectors(spark, revision, store)
+    q_vec = [float(x) for x in head[0]["embedding"]]
+    return ivf_bq_funnel(
+        spark,
+        store,
+        q_vec,
+        nprobe=_FUNNEL_NPROBE,
+        n_candidates=_FUNNEL_CANDS,
+        n=10,
+    )

@@ -297,6 +297,143 @@ def _guard_uncommitted_partials(
         )
 
 
+# --------------------------------------------------------------------
+# Shared store-lifecycle machinery (r12, VERDICT r11 next #4): the
+# five materialized stores (frequency postings, positional postings,
+# shingle index, IVF, BQ) run the same protocol — recover a crashed
+# swap, derive the committed high-water mark, refuse unclaimed
+# partials, claim the fence, write rows -> tombstones -> commit row
+# LAST, serve committed tombstone-live rows, compact by whole-dir
+# swap. These helpers are that protocol in one place, parameterized
+# by id column and directory layout, so store #6 cannot fork the
+# semantics (and the next crash-ordering fix lands once).
+
+
+def _dyn_overwrite(df: DataFrame, cols: list, path: str) -> None:
+    """Dynamic partition overwrite: a re-run replaces only ITS OWN
+    partitions — the idempotence every batch writer relies on."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*cols)
+        .parquet(path)
+    )
+
+
+def _ledger_row(
+    spark: SparkSession, path: str, batch_id: int, n_docs: int = 0
+) -> None:
+    """One commit-ledger row (written LAST by every writer — the
+    commit point). JVM-literal frame per the claim_offline_batch
+    1-row rule."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(1)
+        .select(
+            F.lit(int(n_docs)).cast("long").alias("n_docs"),
+            F.lit(int(batch_id)).cast("int").alias("batch_id"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def _tombstone_write(
+    ids: DataFrame, id_col: str, batch_id: int, path: str
+) -> None:
+    """One tombstone partition: (id, batch_id) markers killing the
+    ids' rows from batches < batch_id (replacement rows written AT
+    batch_id survive — the shared kill rule)."""
+    from pyspark.sql import functions as F
+
+    _dyn_overwrite(
+        ids.select(id_col)
+        .distinct()
+        .withColumn("batch_id", F.lit(int(batch_id))),
+        ["batch_id"],
+        path,
+    )
+
+
+def _offline_begin(
+    spark: SparkSession,
+    out_dir: str,
+    what: str,
+    next_b: int,
+    flat_paths: list,
+    nested_paths: list = (),
+) -> None:
+    """The shared offline-writer prologue, AFTER the store-specific
+    high-water derivation: refuse unclaimed partial batches at/above
+    next_b (a crashed stream micro-batch — committing over it would
+    serve rows without their tombstones), then claim the fence
+    BEFORE any store write so even a crashed run's id stays fenced
+    against a resumed maintenance stream."""
+    _guard_uncommitted_partials(
+        spark,
+        what,
+        next_b,
+        f"{out_dir}/offline_fence",
+        flat_paths,
+        nested_paths,
+    )
+    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
+
+
+def _tombstones_view(
+    spark: SparkSession,
+    out_dir: str,
+    id_col: str,
+    before_batch: int | None = None,
+) -> DataFrame | None:
+    """(id, tomb_b) with tomb_b the id's newest tombstone, or None
+    when the store has never seen a revision/delete (the append-only
+    fast path — readers skip the join entirely). `before_batch`
+    excludes markers at/after that batch: a crashed revision's
+    partial writes must not count as prior state when it re-runs."""
+    from pyspark.sql import functions as F
+
+    fs, p = _hadoop_path(spark, f"{out_dir}/tombstones")
+    if not fs.exists(p):
+        return None
+    t = spark.read.schema(f"{id_col} bigint, batch_id int").parquet(
+        f"{out_dir}/tombstones"
+    )
+    if before_batch is not None:
+        t = t.filter(F.col("batch_id") < before_batch)
+    return t.groupBy(id_col).agg(F.max("batch_id").alias("tomb_b"))
+
+
+def _kill_tombstoned(
+    spark: SparkSession,
+    rows: DataFrame,
+    out_dir: str,
+    id_col: str,
+    hw: int | None,
+) -> DataFrame:
+    """Apply the tombstone kill rule to `rows` (which must carry
+    id_col + batch_id): drop rows a newer committed tombstone kills.
+    The join runs over the caller's already-PRUNED rows; a store
+    with no revisions skips it entirely."""
+    from pyspark.sql import functions as F
+
+    tomb = _tombstones_view(spark, out_dir, id_col, before_batch=hw)
+    if tomb is None:
+        return rows
+    return (
+        rows.join(tomb, id_col, "left")
+        .filter(
+            F.col("tomb_b").isNull()
+            | (F.col("batch_id") >= F.col("tomb_b"))
+        )
+        .drop("tomb_b")
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
@@ -805,17 +942,7 @@ def _ivf_tombstones(
     None when the index has never seen a revision (the append-only
     fast path). Same kill rule as the posting-list store: a
     tombstone at batch B kills that id's rows from batches < B."""
-    from pyspark.sql import functions as F
-
-    fs, p = _hadoop_path(spark, f"{index_path}/tombstones")
-    if not fs.exists(p):
-        return None
-    t = spark.read.schema(_IVF_TOMBSTONES_SCHEMA).parquet(
-        f"{index_path}/tombstones"
-    )
-    if before_batch is not None:
-        t = t.filter(F.col("batch_id") < before_batch)
-    return t.groupBy("vec_id").agg(F.max("batch_id").alias("tomb_b"))
+    return _tombstones_view(spark, index_path, "vec_id", before_batch)
 
 
 def _ivf_live(
@@ -840,17 +967,7 @@ def _ivf_live(
     hw = _ivf_committed_hw(spark, index_path)
     if hw is not None:
         probed = probed.filter(F.col("batch_id") < hw)
-    tomb = _ivf_tombstones(spark, index_path, before_batch=hw)
-    if tomb is not None:
-        probed = (
-            probed.join(tomb, "vec_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
-    return probed
+    return _kill_tombstoned(spark, probed, index_path, "vec_id", hw)
 
 
 def _cos_sim_expr(q_vec: list):
@@ -939,19 +1056,6 @@ def revise_ivf_vectors(
     hw = _ivf_committed_hw(spark, index_path)
     if hw is not None:
         next_b = hw
-        # a crashed STREAM micro-batch's rows at/above the committed
-        # mark would become committed WITHOUT tombstones once this
-        # revision's ledger row lands — refuse before claiming
-        # (ADVICE r11 medium). The legacy (no-ledger) branch below is
-        # immune: its fresh id comes from the PHYSICAL max already.
-        _guard_uncommitted_partials(
-            spark,
-            f"revise_ivf_vectors at {index_path}",
-            next_b,
-            f"{index_path}/offline_fence",
-            [f"{index_path}/tombstones"],
-            nested_paths=[f"{index_path}/cells"],
-        )
     else:
         # legacy store (no ledger): the r10 fresh-id rule
         mx_cells = (
@@ -973,8 +1077,16 @@ def revise_ivf_vectors(
             )
             + 1,
         )
-    claim_offline_batch(
-        spark, f"{index_path}/offline_fence", next_b
+    # guard + fence claim (the legacy branch's fresh id comes from
+    # the PHYSICAL max already, so its guard is a no-op by
+    # construction)
+    _offline_begin(
+        spark,
+        index_path,
+        f"revise_ivf_vectors at {index_path}",
+        next_b,
+        [f"{index_path}/tombstones"],
+        nested_paths=[f"{index_path}/cells"],
     )
     from se_data_pipeline_spark.functions.vectors import pack_sign_bits
 
@@ -1002,29 +1114,14 @@ def revise_ivf_vectors(
         .partitionBy("cell", "batch_id")
         .parquet(f"{index_path}/cells")
     )
-    (
-        vecs_v2.select(F.col(id_col).alias("vec_id"))
-        .distinct()
-        .withColumn("batch_id", F.lit(next_b))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{index_path}/tombstones")
+    _tombstone_write(
+        vecs_v2.select(F.col(id_col).alias("vec_id")),
+        "vec_id",
+        next_b,
+        f"{index_path}/tombstones",
     )
-    # ledger row LAST — the commit point (range+lit, never
-    # createDataFrame: the claim_offline_batch 1-row-write rule)
-    (
-        spark.range(1)
-        .select(
-            F.lit(0).cast("long").alias("n_docs"),
-            F.lit(int(next_b)).cast("int").alias("batch_id"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{index_path}/batches")
-    )
+    # ledger row LAST — the commit point
+    _ledger_row(spark, f"{index_path}/batches", next_b)
     return next_b
 
 
@@ -1876,23 +1973,9 @@ def _doclens_frame(docs: DataFrame, batch_id: int) -> DataFrame:
 def _max_tombstones(
     spark: SparkSession, out_dir: str, before_batch: int | None = None
 ) -> DataFrame | None:
-    """(doc_id, tomb_b) with tomb_b the doc's newest tombstone, or
-    None when the store has never seen a revision/delete (the
-    append-only fast path — readers skip the join entirely).
-    `before_batch` excludes markers written at or after that batch:
-    a crashed revision's partial writes must not count as prior
-    state when the revision re-runs."""
-    from pyspark.sql import functions as F
-
-    fs, p = _hadoop_path(spark, f"{out_dir}/tombstones")
-    if not fs.exists(p):
-        return None
-    t = spark.read.schema(_TOMBSTONES_SCHEMA).parquet(
-        f"{out_dir}/tombstones"
-    )
-    if before_batch is not None:
-        t = t.filter(F.col("batch_id") < before_batch)
-    return t.groupBy("doc_id").agg(F.max("batch_id").alias("tomb_b"))
+    """Document-store view of _tombstones_view (schema
+    _TOMBSTONES_SCHEMA)."""
+    return _tombstones_view(spark, out_dir, "doc_id", before_batch)
 
 
 def _live_doclens(
@@ -2070,50 +2153,35 @@ def revise_posting_lists(
     recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
     next_b = _next_postings_batch(spark, out_dir)
-    # a crashed STREAM micro-batch's rows at/above the committed mark
-    # would be committed WITHOUT tombstones by this revision's totals
-    # row — refuse before claiming (ADVICE r11 medium)
-    _guard_uncommitted_partials(
+    _offline_begin(
         spark,
+        out_dir,
         f"revise_posting_lists at {out_dir}",
         next_b,
-        f"{out_dir}/offline_fence",
         [
             f"{out_dir}/postings",
             f"{out_dir}/doclens",
             f"{out_dir}/tombstones",
         ],
     )
-    # fence the id against a resumed maintenance stream BEFORE any
-    # store write — even a crashed revision's id must stay claimed
-    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
-
     ids = docs_v2.select("doc_id").distinct()
     tf, totals_new = _posting_frames(docs_v2, next_b, nb)
     totals_delta = _corrected_totals(
         spark, out_dir, ids, next_b, totals_new
     )
-
-    def _dyn(df: DataFrame, cols: list[str], path: str) -> None:
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*cols)
-            .parquet(path)
-        )
-
-    _dyn(tf, ["batch_id", "tok_bucket"], f"{out_dir}/postings")
-    _dyn(
+    _dyn_overwrite(
+        tf, ["batch_id", "tok_bucket"], f"{out_dir}/postings"
+    )
+    _dyn_overwrite(
         _doclens_frame(docs_v2, next_b),
         ["batch_id"],
         f"{out_dir}/doclens",
     )
-    _dyn(
-        ids.withColumn("batch_id", F.lit(next_b)),
-        ["batch_id"],
-        f"{out_dir}/tombstones",
+    _tombstone_write(ids, "doc_id", next_b, f"{out_dir}/tombstones")
+    # totals LAST — the commit point
+    _dyn_overwrite(
+        totals_delta.coalesce(1), ["batch_id"], f"{out_dir}/totals"
     )
-    _dyn(totals_delta.coalesce(1), ["batch_id"], f"{out_dir}/totals")
     return next_b
 
 
@@ -2130,33 +2198,23 @@ def delete_posting_docs(
 
     recover_compacting(spark, out_dir)
     next_b = _next_postings_batch(spark, out_dir)
-    _guard_uncommitted_partials(
+    _offline_begin(
         spark,
+        out_dir,
         f"delete_posting_docs at {out_dir}",
         next_b,
-        f"{out_dir}/offline_fence",
         [
             f"{out_dir}/postings",
             f"{out_dir}/doclens",
             f"{out_dir}/tombstones",
         ],
     )
-    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
     ids = doc_ids.select("doc_id").distinct()
     totals_delta = _corrected_totals(spark, out_dir, ids, next_b, None)
-    (
-        ids.withColumn("batch_id", F.lit(next_b))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{out_dir}/tombstones")
-    )
-    (
-        totals_delta.coalesce(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{out_dir}/totals")
+    _tombstone_write(ids, "doc_id", next_b, f"{out_dir}/tombstones")
+    # totals LAST — the commit point
+    _dyn_overwrite(
+        totals_delta.coalesce(1), ["batch_id"], f"{out_dir}/totals"
     )
     return next_b
 
@@ -2297,34 +2355,24 @@ def revise_positional_postings(
     recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
     next_b = _next_ledger_batch(spark, out_dir)
-    _guard_uncommitted_partials(
+    _offline_begin(
         spark,
+        out_dir,
         f"revise_positional_postings at {out_dir}",
         next_b,
-        f"{out_dir}/offline_fence",
         [f"{out_dir}/postings", f"{out_dir}/tombstones"],
     )
-    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
-
     rows, batches = _positional_frames(docs_v2, next_b, nb)
-
-    def _dyn(df: DataFrame, cols: list[str], path: str) -> None:
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*cols)
-            .parquet(path)
-        )
-
-    _dyn(rows, ["batch_id", "tok_bucket"], f"{out_dir}/postings")
-    _dyn(
-        docs_v2.select("doc_id")
-        .distinct()
-        .withColumn("batch_id", F.lit(next_b)),
-        ["batch_id"],
-        f"{out_dir}/tombstones",
+    _dyn_overwrite(
+        rows, ["batch_id", "tok_bucket"], f"{out_dir}/postings"
     )
-    _dyn(batches.coalesce(1), ["batch_id"], f"{out_dir}/batches")
+    _tombstone_write(
+        docs_v2, "doc_id", next_b, f"{out_dir}/tombstones"
+    )
+    # ledger LAST — the commit point
+    _dyn_overwrite(
+        batches.coalesce(1), ["batch_id"], f"{out_dir}/batches"
+    )
     return next_b
 
 
@@ -2339,35 +2387,18 @@ def delete_positional_docs(
 
     recover_compacting(spark, out_dir)
     next_b = _next_ledger_batch(spark, out_dir)
-    _guard_uncommitted_partials(
+    _offline_begin(
         spark,
+        out_dir,
         f"delete_positional_docs at {out_dir}",
         next_b,
-        f"{out_dir}/offline_fence",
         [f"{out_dir}/postings", f"{out_dir}/tombstones"],
     )
-    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
-    (
-        doc_ids.select("doc_id")
-        .distinct()
-        .withColumn("batch_id", F.lit(next_b))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{out_dir}/tombstones")
+    _tombstone_write(
+        doc_ids, "doc_id", next_b, f"{out_dir}/tombstones"
     )
-    (
-        spark.range(1)
-        .select(
-            F.lit(0).cast("long").alias("n_docs"),
-            F.lit(int(next_b)).cast("int").alias("batch_id"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{out_dir}/batches")
-    )
+    # ledger LAST — the commit point
+    _ledger_row(spark, f"{out_dir}/batches", next_b)
     return next_b
 
 
@@ -2401,17 +2432,7 @@ def _positional_live(
     )
     if hw is not None:
         p = p.filter(F.col("batch_id") < hw)  # committed only
-    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
-    if tomb is not None:
-        p = (
-            p.join(tomb, "doc_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
-    return p
+    return _kill_tombstoned(spark, p, out_dir, "doc_id", hw)
 
 
 def _pivot_positions(p: DataFrame, terms: tuple[str, ...]) -> DataFrame:
@@ -2591,21 +2612,12 @@ def compact_positional_postings(
     recover_compacting(spark, out_dir)
     nb = _postings_meta_buckets(spark, out_dir)
     hw = _ledger_hw(spark, out_dir)  # None: legacy store, fold all
-    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
     p = spark.read.schema(_POS_POSTINGS_SCHEMA).parquet(
         f"{out_dir}/postings"
     )
     if hw is not None:
         p = p.filter(F.col("batch_id") < hw)
-    if tomb is not None:
-        p = (
-            p.join(tomb, "doc_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
+    p = _kill_tombstoned(spark, p, out_dir, "doc_id", hw)
     # informational live-document count for the folded ledger row —
     # one distinct over the rows the compactor is rewriting anyway
     live_docs = p.select("doc_id").distinct().agg(
@@ -2710,32 +2722,22 @@ def revise_shingle_docs(
 
     recover_compacting(spark, out_dir)
     next_b = _next_ledger_batch(spark, out_dir)
-    _guard_uncommitted_partials(
+    _offline_begin(
         spark,
+        out_dir,
         f"revise_shingle_docs at {out_dir}",
         next_b,
-        f"{out_dir}/offline_fence",
         [f"{out_dir}/postings", f"{out_dir}/tombstones"],
     )
-    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
     rows, ledger = _shingle_frames(docs_v2, next_b)
-
-    def _dyn(df: DataFrame, path: str) -> None:
-        (
-            df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(path)
-        )
-
-    _dyn(rows, f"{out_dir}/postings")
-    _dyn(
-        docs_v2.select("doc_id")
-        .distinct()
-        .withColumn("batch_id", F.lit(next_b)),
-        f"{out_dir}/tombstones",
+    _dyn_overwrite(rows, ["batch_id"], f"{out_dir}/postings")
+    _tombstone_write(
+        docs_v2, "doc_id", next_b, f"{out_dir}/tombstones"
     )
-    _dyn(ledger.coalesce(1), f"{out_dir}/batches")
+    # ledger LAST — the commit point
+    _dyn_overwrite(
+        ledger.coalesce(1), ["batch_id"], f"{out_dir}/batches"
+    )
     return next_b
 
 
@@ -2749,35 +2751,18 @@ def delete_shingle_docs(
 
     recover_compacting(spark, out_dir)
     next_b = _next_ledger_batch(spark, out_dir)
-    _guard_uncommitted_partials(
+    _offline_begin(
         spark,
+        out_dir,
         f"delete_shingle_docs at {out_dir}",
         next_b,
-        f"{out_dir}/offline_fence",
         [f"{out_dir}/postings", f"{out_dir}/tombstones"],
     )
-    claim_offline_batch(spark, f"{out_dir}/offline_fence", next_b)
-    (
-        doc_ids.select("doc_id")
-        .distinct()
-        .withColumn("batch_id", F.lit(next_b))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{out_dir}/tombstones")
+    _tombstone_write(
+        doc_ids, "doc_id", next_b, f"{out_dir}/tombstones"
     )
-    (
-        spark.range(1)
-        .select(
-            F.lit(0).cast("long").alias("n_docs"),
-            F.lit(int(next_b)).cast("int").alias("batch_id"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(f"{out_dir}/batches")
-    )
+    # ledger LAST — the commit point
+    _ledger_row(spark, f"{out_dir}/batches", next_b)
     return next_b
 
 
@@ -2810,16 +2795,7 @@ def near_dups_from_index(
     )
     if hw is not None:
         idx = idx.filter(F.col("batch_id") < hw)  # committed only
-    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
-    if tomb is not None:
-        idx = (
-            idx.join(tomb, "doc_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
+    idx = _kill_tombstoned(spark, idx, out_dir, "doc_id", hw)
     probe_rows, _ = _shingle_frames(new_docs, -1)
     probe = probe_rows.select(
         F.col("doc_id").alias("new_doc"),
@@ -2863,21 +2839,12 @@ def compact_shingle_index(spark: SparkSession, out_dir: str) -> None:
 
     recover_compacting(spark, out_dir)
     hw = _ledger_hw(spark, out_dir)  # None: legacy store, fold all
-    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
     rows = spark.read.schema(_SHINGLE_INDEX_SCHEMA).parquet(
         f"{out_dir}/postings"
     )
     if hw is not None:
         rows = rows.filter(F.col("batch_id") < hw)
-    if tomb is not None:
-        rows = (
-            rows.join(tomb, "doc_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
+    rows = _kill_tombstoned(spark, rows, out_dir, "doc_id", hw)
     live_docs = rows.select("doc_id").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
@@ -2932,21 +2899,12 @@ def compact_posting_lists(spark: SparkSession, out_dir: str) -> None:
     # postings/tombstones (its totals commit point never landed) must
     # not be folded into the base with their correction missing
     hw = _next_postings_batch(spark, out_dir)
-    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
     p = (
         spark.read.schema(_POSTINGS_SCHEMA)
         .parquet(f"{out_dir}/postings")
         .filter(F.col("batch_id") < hw)
     )
-    if tomb is not None:
-        p = (
-            p.join(tomb, "doc_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
+    p = _kill_tombstoned(spark, p, out_dir, "doc_id", hw)
     live_dl = _live_doclens(spark, out_dir, before_batch=hw)
     totals = (
         spark.read.schema(_POSTINGS_TOTALS_SCHEMA)
@@ -3043,16 +3001,7 @@ def bm25_from_postings(
     # kills. The join runs over the already-PRUNED postings, and a
     # store with no revisions has no tombstones table — zero cost on
     # the append-only fast path (compaction folds tombstones out).
-    tomb = _max_tombstones(spark, out_dir, before_batch=hw)
-    if tomb is not None:
-        p = (
-            p.join(tomb, "doc_id", "left")
-            .filter(
-                F.col("tomb_b").isNull()
-                | (F.col("batch_id") >= F.col("tomb_b"))
-            )
-            .drop("tomb_b")
-        )
+    p = _kill_tombstoned(spark, p, out_dir, "doc_id", hw)
     # postings rows are unique per (doc, term) by the store contract,
     # so df is a plain count — no countDistinct expand (r9 VERDICT)
     dfreq = p.groupBy("tok").agg(

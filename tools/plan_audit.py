@@ -147,6 +147,18 @@ EAGER_OK = {
     "q-code eval)",
     "semantic_dedup_canonical_corpus": "iterative Pregel loop "
     "(shared _min_label_components): localCheckpoint per round",
+    # r12 IVF-PQ / filtered-ANN / streamed-funnel lifecycle queries:
+    # same adjudication as the r10/r11 store lifecycles above
+    "ivf_pq_funnel_served": "store lifecycle under test: pq index "
+    "build + revise writes (batch-bounded) + bounded collects "
+    "(query vector, centroids, 16-vector codebook, count guard)",
+    "ivf_filtered_recall": "store lifecycle under test: attr-"
+    "carrying index build + bounded collects (query head row, "
+    "centroids); 4 probe rounds over the same store",
+    "ivf_funnel_stream_maintained": "store lifecycle under test: "
+    "index build + availableNow micro-batches + offline revision "
+    "(all batch-bounded) + bounded collects (query vector, "
+    "centroids, q-code eval)",
 }
 
 
