@@ -242,3 +242,130 @@ def test_phrase_serves_committed_prefixes_under_running_maintainer(
     assert final == expected[docs.count()]
     observed.add(docs.count())
     assert len(observed) >= 2
+
+
+def test_ivf_probe_serves_committed_prefixes_under_running_maintainer(
+    spark, sf_dir, tmp_path
+):
+    """The vector-side twin: ivf_candidates probes interleaved with
+    maintain_ivf_index micro-batches. The batches ledger is the
+    commit point (_ivf_live pins hw before reading cells and
+    tombstones), so every stable probe must equal the probe over an
+    offline store holding exactly that committed prefix."""
+    from se_data_pipeline_spark.sources.layout import (
+        ivf_candidates,
+        write_ivf_index,
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_ivf_index,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding", "label")
+    )
+    q_vec = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0][
+            "embedding"
+        ]
+    ]
+
+    # base store: first quarter (the maintainer needs a trained
+    # quantizer); streamed files: the other three quarters
+    base = emb.filter(f"vec_id % {_N_FILES} = 0")
+    store = str(tmp_path / "store")
+    write_ivf_index(base, store, cell_col="label")
+
+    def _probe(st: str) -> list:
+        return [
+            (r["vec_id"], r["cos_sim"])
+            for r in ivf_candidates(
+                spark, st, q_vec, nprobe=2, n=10
+            ).collect()
+        ]
+
+    expected: dict[int, list] = {}
+    for p in range(1, _N_FILES):
+        prefix = emb.filter(f"vec_id % {_N_FILES} <= {p}")
+        st = str(tmp_path / f"prefix_{p}")
+        # same quantizer: centroids from the base only, prefix rows
+        # assigned under it — replicate by building base then feeding
+        # the rest through the maintainer offline (drained stream)
+        write_ivf_index(base, st, cell_col="label")
+        extra = emb.filter(
+            f"vec_id % {_N_FILES} > 0 AND vec_id % {_N_FILES} <= {p}"
+        )
+        xsrc = str(tmp_path / f"xsrc_{p}")
+        extra.coalesce(1).write.mode("append").parquet(xsrc)
+        xs = (
+            spark.readStream.schema(extra.schema)
+            .parquet(xsrc)
+        )
+        xq = maintain_ivf_index(xs, st, str(tmp_path / f"xchk_{p}"))
+        xq.awaitTermination(120)
+        assert xq.exception() is None
+        expected[p] = _probe(st)
+
+    def _ledger_max(st: str) -> int:
+        p = os.path.join(st, "batches")
+        if not os.path.isdir(p):
+            return -1
+        rows = (
+            spark.read.schema("n_docs long, batch_id int")
+            .parquet(p)
+            .agg(F.max("batch_id").alias("b"))
+            .collect()
+        )
+        return int(rows[0]["b"] if rows[0]["b"] is not None else -1)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    batches = []
+    for i in range(1, _N_FILES):
+        before = set(glob.glob(os.path.join(src, "part-*.parquet")))
+        emb.filter(f"vec_id % {_N_FILES} = {i}").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        batches.append(
+            set(glob.glob(os.path.join(src, "part-*.parquet")))
+            - before
+        )
+    now = _time.time()
+    for i, files in enumerate(batches):
+        for f in files:
+            os.utime(f, (now - 100 + i, now - 100 + i))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_ivf_index(stream, store, str(tmp_path / "chk"))
+
+    observed: set[int] = set()
+    try:
+        while q.isActive:
+            b1 = _ledger_max(store)
+            if b1 < 0:
+                _time.sleep(0.2)
+                continue
+            served = _probe(store)
+            b2 = _ledger_max(store)
+            if b1 != b2:
+                continue
+            # committed micro-batches 0..b1 = streamed files 1..b1+1
+            want = expected.get(b1 + 1)
+            if want is None:
+                continue
+            assert served == want, (
+                f"probe at committed batch {b1} diverged from the "
+                "offline store for the same prefix"
+            )
+            observed.add(b1)
+    finally:
+        q.awaitTermination(300)
+    assert q.exception() is None
+    assert _probe(store) == expected[_N_FILES - 1]
+    observed.add(_N_FILES - 1)
+    assert len(observed) >= 2
