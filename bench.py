@@ -313,6 +313,7 @@ HEADLINE = [
     "ivf_pq_funnel_served",
     "ivf_filtered_recall",
     "ivf_funnel_stream_maintained",
+    "lsh_index_served",
 ]
 
 

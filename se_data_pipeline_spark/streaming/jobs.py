@@ -1519,6 +1519,71 @@ def maintain_shingle_index(
     )
 
 
+def maintain_minhash_index(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    allow_revisions: bool = False,
+):
+    """Incremental MinHash-band-index maintenance — the streaming
+    twin of sources/layout.write_minhash_index / revise_minhash_docs
+    through the SAME frame builder (layout._minhash_frames): each
+    micro-batch of ingested documents appends its 4 (band, sig) rows
+    per doc under ``batch_id=N`` plus the commit-ledger row (written
+    LAST). Store #6's maintainer is the shingle maintainer's shape
+    verbatim — the r12 shared-lifecycle helpers mean it carries no
+    protocol logic of its own. ``allow_revisions=True`` tombstones
+    re-emitted doc_ids at the batch id; micro-batch ids are guarded
+    against offline-claimed fence ids."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from se_data_pipeline_spark.sources.layout import (
+        _minhash_frames,
+        guard_stream_batch,
+    )
+
+    def _dyn(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()  # decouple from the stream
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        guard_stream_batch(
+            spark,
+            os.path.join(out_dir, "offline_fence"),
+            batch_id,
+            f"minhash band index at {out_dir}",
+        )
+        rows, ledger = _minhash_frames(batch, batch_id)
+        _dyn(rows, os.path.join(out_dir, "postings"))
+        if allow_revisions:
+            _dyn(
+                batch.select("doc_id")
+                .distinct()
+                .withColumn("batch_id", F.lit(batch_id)),
+                os.path.join(out_dir, "tombstones"),
+            )
+        # ledger row LAST — the batch's commit point
+        _dyn(ledger.coalesce(1), os.path.join(out_dir, "batches"))
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_term_stats(spark: SparkSession, out_dir: str):
     """Fold the maintain_term_stats delta partitions into current
     statistics: returns (term_stats_df with one row per term, totals

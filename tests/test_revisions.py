@@ -1063,3 +1063,97 @@ def test_ivf_uncommitted_revision_invisible(spark, tmp_path):
     after = probe()
     assert len([v for v, _ in after if v == 1]) == 1
     assert after != before
+
+
+def test_minhash_index_lifecycle_and_stream_parity(
+    spark, sf_dir, tmp_path
+):
+    """Store #6 (r12): the MinHash band index's batch build, stream
+    maintenance, revision, delete, and compaction must all converge
+    to the same candidate screen as a fresh rebuild — the store is
+    pure composition of the shared lifecycle helpers, so this test
+    is really pinning THEM on a sixth layout."""
+    import glob as _glob
+    import time as _time
+
+    from se_data_pipeline_spark.sources.layout import (
+        compact_minhash_index,
+        delete_minhash_docs,
+        lsh_candidates_from_index,
+        revise_minhash_docs,
+        write_minhash_index,
+    )
+    from se_data_pipeline_spark.streaming.jobs import (
+        maintain_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    probe = docs.filter("doc_id % 10 = 7")
+    corpus = docs.filter("doc_id % 10 <> 7")
+
+    def _pairs(store: str) -> list:
+        return [
+            (r["new_doc"], r["corpus_doc"])
+            for r in lsh_candidates_from_index(
+                spark, store, probe
+            ).collect()
+        ]
+
+    # truth: batch-built store over the final corpus state
+    final = corpus.filter("doc_id % 9 <> 4")  # post-delete
+    truth_store = str(tmp_path / "truth")
+    write_minhash_index(final, truth_store)
+    want = _pairs(truth_store)
+
+    # lifecycle store: perturbed build -> stream 2nd half -> revise
+    # -> delete -> screen
+    half1 = corpus.filter("doc_id % 2 = 0")
+    half2 = corpus.filter("doc_id % 2 = 1")
+    v1 = half1.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" zzmh zzmh2 zzmh3")),
+        ).otherwise(F.col("text")),
+    )
+    store = str(tmp_path / "store")
+    write_minhash_index(v1, store)
+
+    src = str(tmp_path / "src")
+    half2.filter("doc_id % 4 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    first = set(_glob.glob(os.path.join(src, "part-*.parquet")))
+    half2.filter("doc_id % 4 = 3").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = _time.time()
+    for f in _glob.glob(os.path.join(src, "part-*.parquet")):
+        os.utime(
+            f, (now - 100, now - 100) if f in first else (now, now)
+        )
+    stream = (
+        spark.readStream.schema(half2.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_minhash_index(stream, store, str(tmp_path / "chk"))
+    q.awaitTermination(180)
+    assert q.exception() is None
+
+    revise_minhash_docs(
+        spark, half1.filter("doc_id % 3 = 0"), store
+    )
+    delete_minhash_docs(
+        spark, corpus.filter("doc_id % 9 = 4").select("doc_id"), store
+    )
+    assert _pairs(store) == want
+
+    # compaction folds to one base and preserves the screen
+    compact_minhash_index(spark, store)
+    batch_dirs = _glob.glob(os.path.join(store, "postings", "batch_id=*"))
+    assert [os.path.basename(d) for d in batch_dirs] == ["batch_id=-1"]
+    assert not os.path.isdir(os.path.join(store, "tombstones"))
+    assert _pairs(store) == want

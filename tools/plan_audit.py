@@ -155,6 +155,9 @@ EAGER_OK = {
     "ivf_filtered_recall": "store lifecycle under test: attr-"
     "carrying index build + bounded collects (query head row, "
     "centroids); 4 probe rounds over the same store",
+    "lsh_index_served": "store lifecycle under test: minhash band "
+    "index build + revise + delete writes (batch-bounded), then one "
+    "asymmetric band-bucket probe join",
     "ivf_funnel_stream_maintained": "store lifecycle under test: "
     "index build + availableNow micro-batches + offline revision "
     "(all batch-bounded) + bounded collects (query vector, "
