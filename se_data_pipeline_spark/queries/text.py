@@ -4747,3 +4747,188 @@ def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Late-interaction (multi-vector) retrieval — ColBERT-style MaxSim
+# (r12): score(doc) = sum over query tokens q of max over doc tokens
+# t of cos(e_q, e_t). Production late-interaction runs over learned
+# per-token embeddings; the deterministic twin here derives each
+# token's vector from the portable rolling hash (the
+# doc_hash_classifier_score stand-in convention), so every cosine is
+# exact integer arithmetic + one double divide and the oracle can
+# replay it bit-for-bit. The SCORING ALGEBRA — per-query-token max
+# over the document's token vectors, summed — is exactly the
+# production operator; swap the hash embedding for a model's token
+# vectors (a mapInPandas encode) and nothing else changes.
+# --------------------------------------------------------------------------
+_LI_D = 8  # embedding dims
+_LI_P = 1_000_003  # the shared rolling-hash modulus
+_LI_OFF = 501_001  # re-centers hash values on ~0
+
+
+def _li_embed_py(term: str) -> list:
+    """Driver-side twin of the per-token embedding: pure integer
+    arithmetic over OUR OWN rolling hash, so no engine-specific
+    hash function is involved (the reason xxhash64 is unusable
+    here: DuckDB cannot replay it)."""
+    h = 0
+    for ch in term:
+        h = (h * 31 + ord(ch)) % _LI_P
+    return [
+        (h * (2 * d + 3) + 11 * d + 5) % _LI_P - _LI_OFF
+        for d in range(_LI_D)
+    ]
+
+
+def _li_oracle() -> str:
+    import math
+
+    from se_data_pipeline_spark.functions.text import SEARCH_TERMS
+
+    def e_sql(d: int) -> str:
+        return (
+            f"((hh * {2 * d + 3} + {11 * d + 5}) % {_LI_P})"
+            f" - {_LI_OFF}"
+        )
+
+    nsq = " + ".join(f"({e_sql(d)}) * ({e_sql(d)})" for d in range(_LI_D))
+    qs = [_li_embed_py(t) for t in SEARCH_TERMS]
+    qnorms = [math.sqrt(sum(x * x for x in q)) for q in qs]
+    dots = [
+        " + ".join(
+            f"({e_sql(d)}) * ({q[d]})" for d in range(_LI_D)
+        )
+        for q in qs
+    ]
+    m_cols = ",\n             ".join(
+        f"list_max([CAST(x.d{k} AS DOUBLE)"
+        f" / (sqrt(CAST(x.nsq AS DOUBLE)) * {qnorms[k]!r})"
+        f" for x in ss if x.nsq > 0]) AS m{k}"
+        for k in range(len(qs))
+    )
+    total = " + ".join(f"m{k}" for k in range(len(qs)))
+    struct = (
+        "{'nsq': " + nsq + ", "
+        + ", ".join(f"'d{k}': {dots[k]}" for k in range(len(qs)))
+        + "}"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             [x for x in string_split(text, ' ') if x <> ''] AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             [CAST(list_reduce(
+                list_prepend(0, [ascii(c) for c in string_split(tk, '')]),
+                (acc, c) -> (acc * 31 + c) % {_LI_P}) AS BIGINT)
+              for tk in toks] AS hs
+      FROM t),
+    s AS (
+      SELECT doc_id, [{struct} for hh in hs] AS ss FROM h),
+    m AS (
+      SELECT doc_id,
+             {m_cols}
+      FROM s)
+    SELECT doc_id, ROUND({total}, 6) AS maxsim
+    FROM m WHERE m0 IS NOT NULL
+    ORDER BY ({total}) DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("doc_late_interaction_topk", oracle=_li_oracle())
+def doc_late_interaction_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: each document is a
+    BAG OF TOKEN VECTORS, and the score is the sum over query tokens
+    of the maximum cosine against any document token (MaxSim) — the
+    query class between single-vector ANN (one dot product, loses
+    token identity) and cross-encoders (quadratic attention, cannot
+    pre-compute). Token vectors here are deterministic hash
+    embeddings (integer arithmetic end-to-end; cos = exact long dot
+    / one double divide), so the DuckDB oracle replays every pair
+    bit-for-bit — swap in a model's token vectors and only the
+    embedding changes.
+
+    Scale: the whole score is ONE row-local Catalyst pass — token
+    hashes via a HOF fold, per-token (nsq, q-dots) structs, a filter
+    + array_max per query token, a fixed-order sum — no UDF, no
+    shuffle, no join; top-20 is TakeOrderedAndProject. At 100 TB
+    this is a map-only scan whose cost is O(tokens x K x D) integer
+    ops per document; the 2^53-exactness of the long dot products is
+    what keeps partition order out of the result."""
+    import math
+
+    from se_data_pipeline_spark.functions.text import (
+        SEARCH_TERMS,
+        token_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = [_li_embed_py(t) for t in SEARCH_TERMS]
+    qnorms = [math.sqrt(sum(x * x for x in q)) for q in qs]
+
+    def _es(h):
+        return [
+            (h * (2 * d + 3) + 11 * d + 5) % _LI_P - _LI_OFF
+            for d in range(_LI_D)
+        ]
+
+    def _tok_struct(h):
+        es = _es(h)
+        nsq = es[0] * es[0]
+        for e in es[1:]:
+            nsq = nsq + e * e
+        fields = [nsq.alias("nsq")]
+        for k, q in enumerate(qs):
+            dot = es[0] * int(q[0])
+            for d in range(1, _LI_D):
+                dot = dot + es[d] * int(q[d])
+            fields.append(dot.alias(f"d{k}"))
+        return F.struct(*fields)
+
+    # hs: one rolling-hash fold per non-empty token (HOF, row-local)
+    hs = F.transform(
+        F.filter(
+            F.split(F.col("text"), " "), lambda t: F.length(t) > 0
+        ),
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % _LI_P,
+        ),
+    )
+    ss = F.filter(
+        F.transform(hs, _tok_struct), lambda s: s["nsq"] > 0
+    )
+    scored = docs.select("doc_id", ss.alias("ss"))
+    def _m_col(k: int):
+        # factory keeps the transform lambda SINGLE-argument — a
+        # second parameter (even defaulted) becomes the ARRAY INDEX
+        # (the phrase_from_postings _shifted gotcha)
+        return F.array_max(
+            F.transform(
+                F.col("ss"),
+                lambda s: s[f"d{k}"].cast("double")
+                / (
+                    F.sqrt(s["nsq"].cast("double"))
+                    * F.lit(float(qnorms[k]))
+                ),
+            )
+        ).alias(f"m{k}")
+
+    m_cols = [_m_col(k) for k in range(len(qs))]
+    m = scored.select("doc_id", *m_cols)
+    total = F.col("m0")
+    for k in range(1, len(qs)):
+        total = total + F.col(f"m{k}")
+    return (
+        m.filter(F.col("m0").isNotNull())
+        .select("doc_id", total.alias("_raw"))
+        .orderBy(F.desc("_raw"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("_raw", 6).alias("maxsim"))
+    )
