@@ -314,6 +314,8 @@ HEADLINE = [
     "ivf_filtered_recall",
     "ivf_funnel_stream_maintained",
     "lsh_index_served",
+    "ordered_near_served_topk",
+    "index_screen_recall_report",
 ]
 
 

@@ -1851,3 +1851,192 @@ def lsh_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text"
         ),
     )
+
+
+def _ordered_near_oracle() -> str:
+    t1, t2 = _PROX_TERMS
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    p AS (
+      SELECT doc_id,
+             [i for i in range(1, len(ts) + 1)
+              if ts[i] = '{t1}'] AS p1,
+             [i for i in range(1, len(ts) + 1)
+              if ts[i] = '{t2}'] AS p2
+      FROM t),
+    m AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(
+               [len([y for y in p2
+                     if y > x AND y - x <= {_PROX_K}])
+                for x in p1]), 0) AS INTEGER) AS n_hits
+      FROM p)
+    SELECT doc_id, n_hits FROM m
+    WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("ordered_near_served_topk", oracle=_ordered_near_oracle())
+def ordered_near_served_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORDERED within-k proximity served from the positional store
+    (r12): docs ranked by pairs with t1 strictly BEFORE t2 and
+    y − x <= k — Lucene's ordered SpanNear, the directional
+    retrieval operator unordered proximity cannot express ("table
+    hash" within 3, in that order). The oracle recounts the
+    one-sided windows from raw text; the serve reads the two terms'
+    bucket directories, pivots, and folds pairs row-locally — same
+    bounded story as proximity_served_topk, only the window
+    predicate differs."""
+    from se_data_pipeline_spark.sources.layout import (
+        ordered_near_from_postings,
+        write_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    store = _scratch("ordered_near_store")
+    write_positional_postings(docs, store)
+    return ordered_near_from_postings(
+        spark, store, *_PROX_TERMS, k=_PROX_K, limit=10
+    )
+
+
+def _index_screen_recall_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    srcs AS (SELECT doc_id, source FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         toks[i+3] || ' ' || toks[i+4]
+         for i in range(1, len(toks) - 3)]) AS s
+      FROM t),
+    se AS (
+      SELECT s.doc_id, len(s.s) AS m, unnest(s.s) AS g, d.source
+      FROM sh s JOIN srcs d USING (doc_id)
+      WHERE len(s.s) > 0),
+    sa AS (SELECT * FROM se WHERE source = '{_IDX_SHARD}'),
+    sb AS (SELECT * FROM se WHERE source <> '{_IDX_SHARD}'),
+    pairs AS (
+      SELECT sa.doc_id AS new_doc, sb.doc_id AS corpus_doc,
+             sa.m AS ma, sb.m AS mb, COUNT(*) AS n_common
+      FROM sa JOIN sb ON sa.g = sb.g
+      GROUP BY new_doc, corpus_doc, ma, mb),
+    truth AS (
+      SELECT new_doc, corpus_doc FROM pairs
+      WHERE n_common * 1.0 / (ma + mb - n_common)
+            >= {_IDX_THRESHOLD}),
+    eh AS (
+      SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(0, [ascii(c) for c in string_split(x.g, '')]),
+               (acc, c) -> (acc * 31 + c) % {_LSH_P}) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(s) AS g FROM sh) x),
+    perms AS (SELECT unnest(range({_LSH_K})) AS perm),
+    mins AS (
+      SELECT eh.doc_id, p.perm,
+             MIN((CAST(2 * p.perm + 1 AS BIGINT) * eh.h
+                  + 31 * p.perm + 7) % {_LSH_P}) AS mh
+      FROM eh CROSS JOIN perms p
+      GROUP BY eh.doc_id, p.perm),
+    bands AS (
+      SELECT doc_id,
+             CAST(perm // {_LSH_BAND_ROWS} AS BIGINT) AS band,
+             string_agg(CAST(mh AS VARCHAR), '-' ORDER BY perm) AS sig
+      FROM mins GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+      FROM bands a
+      JOIN srcs xa ON xa.doc_id = a.doc_id
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      JOIN srcs xb ON xb.doc_id = b.doc_id
+      WHERE xa.source = '{_IDX_SHARD}'
+        AND xb.source <> '{_IDX_SHARD}'),
+    nt AS (SELECT COUNT(*) AS c FROM truth),
+    nc AS (SELECT COUNT(*) AS c FROM cand),
+    nh AS (SELECT COUNT(*) AS c
+           FROM truth JOIN cand USING (new_doc, corpus_doc))
+    SELECT nt.c AS n_truth, nc.c AS n_cands, nh.c AS n_hit,
+           ROUND(nh.c * 1.0 / NULLIF(nt.c, 0), 6) AS recall,
+           ROUND(nh.c * 1.0 / NULLIF(nc.c, 0), 6)
+             AS candidate_precision
+    FROM nt, nc, nh
+    """
+
+
+@query(
+    "index_screen_recall_report",
+    oracle=_index_screen_recall_oracle(),
+)
+def index_screen_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The operational dial between the two materialized dedup
+    indexes (r12): screen the held-out shard against BOTH stores —
+    the shingle index's exact-Jaccard pairs (threshold 0.8) as
+    truth, the MinHash band index's bucket-collision candidates as
+    the cheap front-end — and report candidate recall/precision.
+    This is the monitoring query a continuous-ingest deployment runs
+    to decide whether the ~100x cheaper LSH screen may replace (or
+    must pre-filter for) the exact shingle screen at its current
+    k/band configuration; both sides are served FROM THE STORES, so
+    a store-side bug shifts the counts and fails the hash.
+
+    Scale: the shard is banded/shingled once (batch-sized text
+    passes); the joins are 8-byte hash resp. ~40-byte band-row
+    shuffles; the report compares two pair sets of shard size."""
+    from se_data_pipeline_spark.sources.layout import (
+        lsh_candidates_from_index,
+        near_dups_from_index,
+        write_minhash_index,
+        write_shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = docs.filter(F.col("source") != _IDX_SHARD).select(
+        "doc_id", "text"
+    )
+    shard = docs.filter(F.col("source") == _IDX_SHARD).select(
+        "doc_id", "text"
+    )
+    sh_store = _scratch("screen_shingle")
+    mh_store = _scratch("screen_minhash")
+    write_shingle_index(corpus, sh_store)
+    write_minhash_index(corpus, mh_store)
+    truth = near_dups_from_index(
+        spark, sh_store, shard, threshold=_IDX_THRESHOLD
+    ).select("new_doc", "corpus_doc")
+    cand = lsh_candidates_from_index(spark, mh_store, shard)
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cands"))
+    nh = truth.join(cand, ["new_doc", "corpus_doc"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_cands",
+            "n_hit",
+            F.round(
+                F.col("n_hit")
+                / F.when(F.col("n_truth") > 0, F.col("n_truth")),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit")
+                / F.when(F.col("n_cands") > 0, F.col("n_cands")),
+                6,
+            ).alias("candidate_precision"),
+        )
+    )

@@ -2554,6 +2554,56 @@ def proximity_from_postings(
     )
 
 
+def ordered_near_from_postings(
+    spark: SparkSession,
+    out_dir: str,
+    t1: str,
+    t2: str,
+    k: int,
+    limit: int = 10,
+) -> DataFrame:
+    """ORDERED within-k proximity from a positional store: docs
+    ranked by the number of position pairs with t1 BEFORE t2 and
+    0 < y − x <= k — the directional operator between exact-phrase
+    (y − x == i exactly) and unordered proximity (|y − x| <= k,
+    proximity_from_postings). This is Lucene's ordered SpanNear /
+    the IIR positional-intersect with a one-sided window; "new york"
+    style queries where order carries meaning but adjacency is too
+    strict. Identical pruned-read + pivot machinery; only the
+    row-local window predicate differs."""
+    from pyspark.sql import functions as F
+
+    if t1 == t2:
+        raise ValueError(
+            "ordered proximity needs two distinct terms"
+        )
+    if k < 1:
+        raise ValueError("window k must be >= 1")
+    byd = _pivot_positions(
+        _positional_live(spark, out_dir, [t1, t2]), (t1, t2)
+    )
+    n_hits = F.aggregate(
+        F.col("p0"),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.size(
+            F.filter(
+                F.col("p1"),
+                lambda y: (y > x) & (y - x <= F.lit(int(k))),
+            )
+        ),
+    )
+    return (
+        byd.select(
+            "doc_id",
+            F.coalesce(n_hits, F.lit(0)).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
 def and_ranked_from_postings(
     spark: SparkSession,
     out_dir: str,

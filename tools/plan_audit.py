@@ -155,6 +155,12 @@ EAGER_OK = {
     "ivf_filtered_recall": "store lifecycle under test: attr-"
     "carrying index build + bounded collects (query head row, "
     "centroids); 4 probe rounds over the same store",
+    "ordered_near_served_topk": "store lifecycle under test: "
+    "positional store build (batch-bounded write) + 2-row "
+    "term-bucket collect",
+    "index_screen_recall_report": "store lifecycle under test: "
+    "shingle + minhash index builds (batch-bounded writes), then "
+    "two asymmetric probe joins",
     "lsh_index_served": "store lifecycle under test: minhash band "
     "index build + revise + delete writes (batch-bounded), then one "
     "asymmetric band-bucket probe join",
