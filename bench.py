@@ -316,6 +316,8 @@ HEADLINE = [
     "lsh_index_served",
     "ordered_near_served_topk",
     "index_screen_recall_report",
+    "phrase_snippets_served",
+    "bm25_phrase_boost_served",
 ]
 
 

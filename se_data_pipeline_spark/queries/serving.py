@@ -2040,3 +2040,189 @@ def index_screen_recall_report(
             ).alias("candidate_precision"),
         )
     )
+
+
+_SNIP_W = 3  # context tokens on each side of the phrase
+
+
+def _phrase_snippets_oracle() -> str:
+    cond = " AND ".join(
+        f"ts[i+{k}] = '{t}'" for k, t in enumerate(_PHRASE)
+    )
+    plen = len(_PHRASE)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    m AS (
+      SELECT doc_id, ts,
+             [i for i in range(1, len(ts) - {plen - 2})
+              if {cond}] AS starts
+      FROM t),
+    top AS (
+      SELECT doc_id, ts,
+             CAST(len(starts) AS INTEGER) AS n_hits,
+             starts[1] - 1 AS fp
+      FROM m WHERE len(starts) > 0
+      ORDER BY len(starts) DESC, doc_id
+      LIMIT 10)
+    SELECT doc_id, n_hits, CAST(fp AS INTEGER) AS first_pos,
+           array_to_string(
+             ts[GREATEST(fp - {_SNIP_W}, 0) + 1 :
+                fp + {plen + _SNIP_W}], ' ') AS snippet
+    FROM top
+    ORDER BY n_hits DESC, doc_id
+    """
+
+
+@query("phrase_snippets_served", oracle=_phrase_snippets_oracle())
+def phrase_snippets_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snippet/highlight generation from the positional store (r12):
+    rank the phrase top-10 ENTIRELY from the store's position arrays
+    (phrase_matches_from_postings — corpus text untouched at ranking
+    time), then fetch the ±{w}-token window around each winner's
+    FIRST occurrence with one broadcast 10-row join back to the
+    documents table. This is the serving split every search engine
+    runs: the index answers WHICH documents and WHERE, the row store
+    is consulted only for the handful of winners' display text. The
+    oracle recounts positions and slices the same windows from raw
+    text in SQL.
+
+    Scale: ranking reads <=K bucket dirs of the positional store;
+    the text fetch is a broadcast join against 10 doc_ids — at
+    100 TB the documents scan prunes on the id predicate and
+    touches 10 rows' pages, never the corpus."""
+    from se_data_pipeline_spark.sources.layout import (
+        phrase_matches_from_postings,
+        write_positional_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    store = _scratch("phrase_snippets")
+    write_positional_postings(docs, store)
+    top = phrase_matches_from_postings(
+        spark, store, _PHRASE, limit=10
+    )
+    w = _SNIP_W
+    plen = len(_PHRASE)
+    start = F.greatest(F.col("first_pos") - w, F.lit(0))
+    length = F.col("first_pos") + plen + w - start
+    return (
+        docs.join(F.broadcast(top), "doc_id")
+        .select(
+            "doc_id",
+            "n_hits",
+            "first_pos",
+            F.array_join(
+                F.slice(
+                    F.split("text", " "), start + 1, length
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+    )
+
+
+_BOOST_POOL = 50  # rescoring window (the Lucene rescorer shape)
+_BOOST_W = 0.5
+
+
+def _bm25_phrase_boost_oracle() -> str:
+    from se_data_pipeline_spark.queries.vectors import _sql_bm25_top
+
+    cond = " AND ".join(
+        f"ts[i+{k}] = '{t}'" for k, t in enumerate(_PHRASE)
+    )
+    plen = len(_PHRASE)
+    return f"""
+    WITH {_sql_bm25_top(_BOOST_POOL)},
+    ph AS (
+      SELECT doc_id,
+             CAST(len([i for i in range(1, len(ts) - {plen - 2})
+                       if {cond}]) AS INTEGER) AS phrase_hits
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents)),
+    rescored AS (
+      SELECT sp0.doc_id, sp0.bm25,
+             COALESCE(ph.phrase_hits, 0) AS phrase_hits,
+             sp0.bm25 + {_BOOST_W} * ln(1 + COALESCE(ph.phrase_hits, 0))
+               AS boosted
+      FROM sp0 LEFT JOIN ph USING (doc_id))
+    SELECT doc_id, bm25, phrase_hits,
+           ROUND(boosted, 6) AS boosted
+    FROM rescored
+    ORDER BY boosted DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query(
+    "bm25_phrase_boost_served", oracle=_bm25_phrase_boost_oracle()
+)
+def bm25_phrase_boost_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage lexical rescoring served from BOTH posting stores
+    (r12, the Lucene QueryRescorer shape): the frequency store ranks
+    a BM25 top-{pool} candidate pool, the positional store counts
+    exact-phrase occurrences for those candidates only, and the
+    final top-20 orders by bm25 + w·ln(1 + phrase_hits). This is how
+    production lexical search layers phrase evidence over
+    bag-of-words relevance without paying positional costs for the
+    whole corpus — the rescoring window bounds the expensive
+    operator. The oracle replays the BM25 pool, the phrase recount,
+    and the boosted ordering.
+
+    Scale: leg 1 reads <=K bucket dirs of the frequency store; leg 2
+    reads two bucket dirs of the positional store and joins against
+    a broadcast {pool}-row pool; the boost math is row-local."""
+    from se_data_pipeline_spark.functions.text import SEARCH_TERMS
+    from se_data_pipeline_spark.sources.layout import (
+        bm25_from_postings,
+        phrase_from_postings,
+        write_positional_postings,
+        write_posting_lists,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    f_store = _scratch("boost_freq")
+    p_store = _scratch("boost_pos")
+    write_posting_lists(docs, f_store)
+    write_positional_postings(docs, p_store)
+    pool = bm25_from_postings(
+        spark, f_store, SEARCH_TERMS, limit=_BOOST_POOL
+    )
+    # phrase counts for every doc that has the phrase at all (the
+    # store serves them in one pruned read); the join keeps pool docs
+    phrase = phrase_from_postings(
+        spark, p_store, _PHRASE, limit=1_000_000_000
+    ).select("doc_id", F.col("n_hits").alias("phrase_hits"))
+    boosted = F.col("bm25") + _BOOST_W * F.log(
+        1 + F.col("phrase_hits")
+    )
+    return (
+        pool.join(F.broadcast(phrase), "doc_id", "left")
+        .withColumn(
+            "phrase_hits", F.coalesce("phrase_hits", F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "bm25",
+            "phrase_hits",
+            boosted.alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "bm25",
+            "phrase_hits",
+            F.round("_raw", 6).alias("boosted"),
+        )
+    )

@@ -2502,6 +2502,44 @@ def phrase_from_postings(
     )
 
 
+def phrase_matches_from_postings(
+    spark: SparkSession,
+    out_dir: str,
+    phrase: tuple,
+    limit: int = 10,
+) -> DataFrame:
+    """phrase_from_postings returning the FIRST match position too:
+    (doc_id, n_hits, first_pos) — what snippet/highlight generation
+    needs (the store's position arrays already hold the answer, so
+    no text is touched at ranking time). first_pos is the 0-based
+    token index of the phrase's first occurrence."""
+    from pyspark.sql import functions as F
+
+    if len(phrase) < 2:
+        raise ValueError("a phrase needs at least two terms")
+    byd = _pivot_positions(
+        _positional_live(spark, out_dir, list(phrase)), phrase
+    )
+
+    def _shifted(col_name: str, k: int):
+        # single-argument lambda (the F.transform arity rule)
+        return F.transform(F.col(col_name), lambda x: x - F.lit(k))
+
+    starts = F.col("p0")
+    for i in range(1, len(phrase)):
+        starts = F.array_intersect(starts, _shifted(f"p{i}", i))
+    return (
+        byd.select(
+            "doc_id",
+            F.coalesce(F.size(starts), F.lit(0)).alias("n_hits"),
+            F.array_min(starts).alias("first_pos"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
+        .limit(limit)
+    )
+
+
 def proximity_from_postings(
     spark: SparkSession,
     out_dir: str,

@@ -155,6 +155,12 @@ EAGER_OK = {
     "ivf_filtered_recall": "store lifecycle under test: attr-"
     "carrying index build + bounded collects (query head row, "
     "centroids); 4 probe rounds over the same store",
+    "phrase_snippets_served": "store lifecycle under test: "
+    "positional store build (batch-bounded write) + K-row bucket "
+    "collect; the snippet fetch joins a broadcast 10-row pool",
+    "bm25_phrase_boost_served": "store lifecycle under test: "
+    "frequency + positional store builds (batch-bounded writes) + "
+    "K-row bucket collects; rescoring joins a broadcast pool",
     "ordered_near_served_topk": "store lifecycle under test: "
     "positional store build (batch-bounded write) + 2-row "
     "term-bucket collect",
