@@ -2201,7 +2201,7 @@ def bm25_phrase_boost_served(
     # phrase counts for every doc that has the phrase at all (the
     # store serves them in one pruned read); the join keeps pool docs
     phrase = phrase_from_postings(
-        spark, p_store, _PHRASE, limit=1_000_000_000
+        spark, p_store, _PHRASE, limit=None
     ).select("doc_id", F.col("n_hits").alias("phrase_hits"))
     boosted = F.col("bm25") + _BOOST_W * F.log(
         1 + F.col("phrase_hits")

@@ -2460,7 +2460,7 @@ def phrase_from_postings(
     spark: SparkSession,
     out_dir: str,
     phrase: tuple[str, ...],
-    limit: int = 10,
+    limit: int | None = 10,
 ) -> DataFrame:
     """Exact-phrase search served from a write_positional_postings
     store: prune to the phrase terms' <=K bucket dirs (committed,
@@ -2491,14 +2491,19 @@ def phrase_from_postings(
     starts = F.col("p0")
     for i in range(1, len(phrase)):
         starts = F.array_intersect(starts, _shifted(f"p{i}", i))
-    return (
-        byd.select(
-            "doc_id",
-            F.coalesce(F.size(starts), F.lit(0)).alias("n_hits"),
-        )
-        .filter(F.col("n_hits") > 0)
-        .orderBy(F.desc("n_hits"), F.asc("doc_id"))
-        .limit(limit)
+    hits = byd.select(
+        "doc_id",
+        F.coalesce(F.size(starts), F.lit(0)).alias("n_hits"),
+    ).filter(F.col("n_hits") > 0)
+    if limit is None:
+        # ALL matching docs, UNRANKED — for join consumers (e.g. the
+        # bm25_phrase_boost rescorer). Callers must pass None here,
+        # never a huge sentinel limit: orderBy().limit(K) sizes its
+        # top-k machinery by K, and a 1e9 sentinel OOMed the plain
+        # 1 GB driver session in the r12 gate on a 3k-doc corpus.
+        return hits
+    return hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(
+        limit
     )
 
 
