@@ -1459,24 +1459,40 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: never run unblocked edit-distance joins — the blocking
     key bounds the quadratic term by the largest block. For skewed
     blocks, sub-block on a cheap signature (first char, length band)
-    exactly like LSH banding bounds the shingle join."""
+    exactly like LSH banding bounds the shingle join.
+
+    Per-pair cost (guide §1.2 step 2): dist<=2 implies
+    |len(a)-len(b)|<=2, so a precomputed-length compare (ints carried
+    on the rows, ordered FIRST in the join condition so codegen
+    short-circuits) rejects most pairs before any edit-distance work,
+    and the survivors pay the bounded levenshtein(a, b, 2) — the
+    banded O(len*k) algorithm, exact for every emitted row — instead
+    of the full O(len^2) matrix."""
     part = load_table(spark, sf_dir, "part")
     a = part.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_brand").alias("brand"),
         F.col("p_name").alias("name_a"),
+        F.length("p_name").alias("len_a"),
     )
     b = part.select(
         F.col("p_partkey").alias("key_b"),
-        F.col("p_brand").alias("brand"),
+        F.col("p_brand").alias("brand_b"),
         F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("len_b"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    dist = F.levenshtein("name_a", "name_b", 2)
+    # The whole predicate lives in the join condition (not a post-join
+    # .filter, which Catalyst PREPENDS to the condition, putting the
+    # edit distance ahead of the cheap guards), and isin() evaluates
+    # the levenshtein once where between() would evaluate it twice.
     return (
-        a.join(b, "brand")
-        .filter(
-            (F.col("key_a") < F.col("key_b"))
-            & dist.between(1, 2)
+        a.join(
+            b,
+            (F.col("brand") == F.col("brand_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+            & dist.isin(1, 2),
         )
         .select(
             "key_a", "key_b", "name_a", "name_b", dist.alias("dist")
