@@ -4389,11 +4389,18 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by term and this query becomes a posting-list lookup.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("dl"),
-        F.explode(F.split("text", " ")).alias("tok"),
-    ).filter(F.col("tok").isin(*_SEARCH_TERMS))
+    # split once into a carried array (size(split)+explode(split) in
+    # one projection re-runs the split per exploded row — the same
+    # CollapseProject trap documented for UDF arrays above)
+    toks = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("tok"),
+        )
+        .filter(F.col("tok").isin(*_SEARCH_TERMS))
+    )
     tf = toks.groupBy("doc_id", "dl", "tok").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -4515,11 +4522,16 @@ def bm25_from_term_stats(
         (F.col("n_tokens") / F.col("n_docs")).alias("avgdl"),
     )
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("dl"),
-        F.explode(F.split("text", " ")).alias("tok"),
-    ).filter(F.col("tok").isin(*terms))
+    # split once into a carried array (see doc_bm25_search)
+    toks = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("tok"),
+        )
+        .filter(F.col("tok").isin(*terms))
+    )
     tf = toks.groupBy("doc_id", "dl", "tok").agg(
         F.count(F.lit(1)).alias("c")
     )
