@@ -123,7 +123,15 @@ def bloom_prune(probe: DataFrame, key: str | Column, words: list[int],
     map-side, before any shuffle the caller adds."""
     key_col = F.col(key) if isinstance(key, str) else key
     spark = probe.sparkSession
-    wdf = spark.createDataFrame([(words,)], f"{_BLOOM_WORDS}: array<bigint>")
+    # Arrow-backed pandas local relation: the python-list relation
+    # paid a multi-second RDD round-trip for the 2^11-word bitset
+    # (measured r12; same values either way)
+    import pandas as pd
+
+    wdf = spark.createDataFrame(
+        pd.DataFrame({_BLOOM_WORDS: [words]}),
+        f"{_BLOOM_WORDS}: array<bigint>",
+    )
     word_of = F.col(_BLOOM_WORDS)
     cond = None
     for p in _bloom_positions(key_col, n_bits, k):

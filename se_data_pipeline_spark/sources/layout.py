@@ -756,31 +756,26 @@ def _pq_code_expr(cb: list, m: int, sub: int, vec_col: str):
 def _write_pq_tables(
     spark: SparkSession, index_path: str, cb: list, m: int, sub: int
 ) -> None:
-    """Persist the frozen codebook + its meta — JVM-literal frames
-    (the claim_offline_batch 1-row rule: a python-list local relation
-    pays a multi-second RDD round-trip per write on this runtime)."""
+    """Persist the frozen codebook + its meta. The codebook frame is
+    an ARROW-backed pandas local relation (~0.2 s): the previous
+    literal-expression frame paid ~1-2 s of Catalyst analysis on its
+    k x dims literal tree per write, and a python-list relation pays
+    a 6-7 s RDD round-trip (measured r12 — the claim_offline_batch
+    rule is about LIST relations; pandas+Arrow local relations are
+    the fast path and carry bit-identical float64 values). The 1-row
+    meta stays a JVM-literal frame (three scalars, no analysis
+    tax)."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
+    pdf = pd.DataFrame(
+        {
+            "k": list(range(len(cb))),
+            "e": [[float(x) for x in vec] for vec in cb],
+        }
+    )
     (
-        spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(i)).cast("int").alias("k"),
-                            F.array(
-                                *[F.lit(float(x)) for x in vec]
-                            )
-                            .cast("array<double>")
-                            .alias("e"),
-                        )
-                        for i, vec in enumerate(cb)
-                    ]
-                )
-            ).alias("s")
-        )
-        .select("s.k", "s.e")
+        spark.createDataFrame(pdf, "k int, e array<double>")
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{index_path}/pq/codebook")
@@ -871,7 +866,16 @@ def write_ivf_index(
                 f"PQ split {pq_m}x{pq_sub} does not match the "
                 f"vector dimensionality {len(cb[0])}"
             )
-        rows = rows.withColumn(
+        # Encode ABOVE a cell-keyed exchange: the input is typically
+        # one scan split, so the m x k argmin expression would
+        # otherwise run single-task. Hash on cell keeps one file per
+        # cell dir in the partitioned write; the explicit partition
+        # count (scale-adaptive, not a constant) stops AQE from
+        # coalescing the tiny exchange back to one task at small sf.
+        rows = rows.repartition(
+            max(rows.sparkSession.sparkContext.defaultParallelism, 8),
+            "cell",
+        ).withColumn(
             "pq_code", _pq_code_expr(cb, pq_m, pq_sub, "embedding")
         )
     centroids = (
