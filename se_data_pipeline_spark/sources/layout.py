@@ -2259,16 +2259,25 @@ def _positional_frames(
     streaming maintainer so the three cannot drift."""
     from pyspark.sql import functions as F
 
+    # ONE exchange where the groupBy→repartition form cost two (r12):
+    # hash-partitioning on tok_bucket already satisfies the
+    # clustered distribution of a groupBy whose keys INCLUDE
+    # tok_bucket (partition keys ⊆ group keys), so the aggregate
+    # runs in the repartitioned tasks with no second shuffle —
+    # collect_list has no byte-reducing map-side combine (every
+    # position travels either way), so nothing is lost by shuffling
+    # the raw occurrence rows. File layout unchanged: each bucket
+    # still lands whole in one task → one file per bucket dir.
     rows = (
         docs.select(
             "doc_id",
             F.posexplode(F.split("text", " ")).alias("pos", "tok"),
         )
-        .groupBy("tok", "doc_id")
+        .withColumn("tok_bucket", _tok_bucket_col(n_buckets))
+        .repartition(F.col("tok_bucket"))
+        .groupBy("tok_bucket", "tok", "doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("pos"))
         .withColumn("batch_id", F.lit(batch_id))
-        .withColumn("tok_bucket", _tok_bucket_col(n_buckets))
-        .repartition(F.col("tok_bucket"))  # one file per bucket dir
     )
     batches = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
