@@ -183,6 +183,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(RELATIONAL_SCHEMAS[name]).parquet(path)
 
 
+def parallelize_scan(df: DataFrame, min_file_factor: int = 2) -> DataFrame:
+    """Round-robin repartition a scan-rooted frame to the session's
+    default parallelism WHEN the file layout cannot provide it — the
+    guide §2.5 "one huge unsplittable file" remedy, made
+    scale-adaptive instead of unconditional. The driver testdata
+    tables are single-file single-row-group parquet, so every scan
+    is ONE task and heavy narrow compute (per-char HOF folds, exact
+    percentile buffers) serializes on one core of local[32]. A
+    production 100 TB table has thousands of splits, where the extra
+    exchange would be pure overhead — so the repartition fires only
+    when the scan's file count is well below the core count
+    (inputFiles() is a driver-side listing, no job). Use ONLY ahead
+    of row-local compute whose per-row results are
+    partitioning-invariant (the caller's proof obligation)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed frames: leave untouched
+        return df
+    if n_files and n_files * min_file_factor <= par:
+        return df.repartition(par)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in RELATIONAL_TABLES}
 

@@ -296,7 +296,14 @@ def price_quartiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on the group key, sort within partition. For
     monitoring at 100 TB prefer the sketch; exact is for low-
     cardinality audits like this 3-group frame."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from se_data_pipeline_spark.catalog import parallelize_scan
+
+    # the partial percentile buffers are the cost (every value is
+    # collected into the ObjectHashAggregate buffer); on a one-split
+    # scan that build serializes on one core — parallelize_scan
+    # spreads it, and exact percentile merge order cannot change the
+    # result (the buffer is sorted before interpolation)
+    li = parallelize_scan(load_table(spark, sf_dir, "lineitem"))
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),

@@ -1995,7 +1995,11 @@ def doc_hash_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats appear only in the final per-row sigmoid, and the
     keep/drop label thresholds on the exact integer sum. Everything
     is one Catalyst HOF pass per row: no UDF, no shuffle, no join."""
-    docs = load_table(spark, sf_dir, "documents")
+    from se_data_pipeline_spark.catalog import parallelize_scan
+
+    # row-local integer scoring: partition-invariant, so a one-split
+    # scan may fan out to every core (catalog.parallelize_scan)
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks_nz = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
 
     def w(t):
@@ -2220,7 +2224,12 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIN per shingle, and the verdict join is key-partitioned on the
     same hash — no pair materialization at all here, so this is the
     CHEAPEST of the cross-doc text signals."""
-    docs = load_table(spark, sf_dir, "documents")
+    from se_data_pipeline_spark.catalog import parallelize_scan
+
+    # the Arrow shingle kernel is the cost; its per-row output is
+    # partition-invariant and the aggregates are exact integers, so
+    # a one-split scan may fan out (catalog.parallelize_scan)
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     e = docs.select(
         "doc_id",
         F.explode(word_shingles_udf(5)(F.col("text"))).alias("g"),
@@ -4161,18 +4170,30 @@ def doc_source_semantic_dispersion(
             F.explode("ds").alias("dim"),
         )
     )
-    doc_vec = base.groupBy("doc_id", "dim").agg(
+    # ONE (doc_id, dim) aggregate feeds every downstream view: the
+    # previous three direct consumers of `base` (doc_vec, src_tot,
+    # src_vec) each re-evaluated the scan + Arrow featurizer — six
+    # ArrowEvalPython nodes in the plan. Deriving the source rollups
+    # from doc_dim makes all consumers share ONE identical exchange,
+    # which Spark dedups via ReusedExchange: the UDF now runs once.
+    # Same values: c/n ≡ the old per-row count ratios, Σc ≡ the old
+    # per-source row counts.
+    doc_dim = base.groupBy("doc_id", "dim").agg(
         F.any_value(F.col("source")).alias("source"),
-        (F.count(F.lit(1)) * 1.0 / F.any_value(F.col("n"))).alias("pd"),
+        F.count(F.lit(1)).alias("c"),
+        F.any_value(F.col("n")).alias("n"),
     )
-    src_tot = base.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("sn")
+    doc_vec = doc_dim.select(
+        "doc_id", "dim", "source", (F.col("c") * 1.0 / F.col("n")).alias("pd")
+    )
+    src_tot = doc_dim.groupBy("source").agg(
+        F.sum("c").cast("long").alias("sn")
     )
     src_vec = (
-        base.join(F.broadcast(src_tot), "source")
+        doc_dim.join(F.broadcast(src_tot), "source")
         .groupBy("source", "dim")
         .agg(
-            (F.count(F.lit(1)) * 1.0 / F.any_value(F.col("sn"))).alias(
+            (F.sum("c") * 1.0 / F.any_value(F.col("sn"))).alias(
                 "ps"
             )
         )
@@ -4684,7 +4705,12 @@ def doc_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract doc_unigram_perplexity has run green since r4."""
     import math
 
-    docs = load_table(spark, sf_dir, "documents")
+    from se_data_pipeline_spark.catalog import parallelize_scan
+
+    # both passes are row-local HOF folds over exact integer bucket
+    # ids (floats only in the rounded per-doc output), so the
+    # one-split scan may fan out (catalog.parallelize_scan)
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks_nz = F.filter(tokens(F.col("text")), lambda t: F.length(t) > 0)
     bks = F.transform(toks_nz, _dsir_bucket)
 
@@ -4879,7 +4905,12 @@ def doc_late_interaction_topk(
         token_hashes,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    from se_data_pipeline_spark.catalog import parallelize_scan
+
+    # per-char HOF folds × per-token dot products are the cost; the
+    # scoring is row-local integer math (partition-invariant), so
+    # engaging every core on a one-split scan is free of result risk
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"))
     qs = [_li_embed_py(t) for t in SEARCH_TERMS]
     qnorms = [math.sqrt(sum(x * x for x in q)) for q in qs]
 
