@@ -266,24 +266,40 @@ def hybrid_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_posting_lists,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
+    emb = load_table(spark, sf_dir, "embeddings")
     p_store = _scratch("hybrid_postings")
-    write_posting_lists(docs, p_store)
+
+    # the two store builds are fully independent (distinct scratch
+    # dirs, distinct inputs) — submit them from two driver threads so
+    # the second build's jobs back-fill the first's stragglers
+    # (guide §2.6 overlap; Spark schedules concurrent jobs FIFO)
+    def _build_dense():
+        head = emb.orderBy("vec_id").limit(1).collect()
+        if not head:  # empty-corpus sweep: no dense leg
+            return None
+        v_store = _scratch("hybrid_ivf")
+        write_ivf_index(emb, v_store, cell_col="label")
+        return head, v_store
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dense = pool.submit(_build_dense)
+        write_posting_lists(docs, p_store)
+        built = f_dense.result()
+
     sparse = bm25_from_postings(
         spark, p_store, SEARCH_TERMS, limit=_HYBRID_K
     )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    head = emb.orderBy("vec_id").limit(1).collect()
-    if not head:  # empty-corpus sweep: dense leg contributes nothing
+    if built is None:  # empty-corpus sweep: dense contributes nothing
         dense = spark.createDataFrame(
             [], "doc_id bigint, cos_sim double"
         )
     else:
-        v_store = _scratch("hybrid_ivf")
-        write_ivf_index(emb, v_store, cell_col="label")
+        head, v_store = built
         q_vec = [float(x) for x in head[0]["embedding"]]
         dense = ivf_candidates(
             spark, v_store, q_vec, nprobe=1_000_000, n=_HYBRID_K
@@ -995,17 +1011,32 @@ def hybrid_served_recall(
         write_posting_lists,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
+    emb = load_table(spark, sf_dir, "embeddings")
     p_store = _scratch("hybrid_recall_postings")
-    write_posting_lists(docs, p_store)
+
+    # independent store builds overlapped from two driver threads
+    # (guide §2.6) — the hybrid_served pattern
+    def _build_dense():
+        head = emb.orderBy("vec_id").limit(1).collect()
+        if head:
+            store = _scratch("hybrid_recall_ivf")
+            write_ivf_index(emb, store, cell_col="label")
+            return head, store
+        return None
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dense = pool.submit(_build_dense)
+        write_posting_lists(docs, p_store)
+        built = f_dense.result()
+    head = built[0] if built else []
     sparse = bm25_from_postings(
         spark, p_store, SEARCH_TERMS, limit=_HYBRID_K
     )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    head = emb.orderBy("vec_id").limit(1).collect()
 
     def _dense(nprobe: int) -> DataFrame:
         if not head:  # empty-corpus sweep: no dense leg
@@ -1020,9 +1051,8 @@ def hybrid_served_recall(
             F.round("cos_sim", 6).alias("cos_sim"),
         )
 
-    if head:
-        v_store = _scratch("hybrid_recall_ivf")
-        write_ivf_index(emb, v_store, cell_col="label")
+    if built:
+        v_store = built[1]
     full = F.broadcast(
         _rrf_head(sparse, _dense(1_000_000))
         .select("doc_id")
