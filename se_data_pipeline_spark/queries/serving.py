@@ -192,6 +192,7 @@ def ivf_served_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query a serving deployment runs per index epoch."""
     from se_data_pipeline_spark.sources.layout import (
         ivf_candidates,
+        ivf_serve_state,
         write_ivf_index,
     )
 
@@ -204,9 +205,13 @@ def ivf_served_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _scratch("ivf_served")
     write_ivf_index(emb, store, cell_col="label")
     q_vec = [float(x) for x in head[0]["embedding"]]
+    # one serve-state snapshot shared by all three probes of the
+    # (now static) store — centroids + hw read once, not per probe
+    st = ivf_serve_state(spark, store)
     brute = F.broadcast(
         ivf_candidates(
-            spark, store, q_vec, nprobe=1_000_000, n=_IVF_RECALL_K
+            spark, store, q_vec, nprobe=1_000_000, n=_IVF_RECALL_K,
+            state=st,
         )
         .select("vec_id")
         .withColumn("hit", F.lit(1))
@@ -215,7 +220,8 @@ def ivf_served_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in _IVF_PROBES:
         s = (
             ivf_candidates(
-                spark, store, q_vec, nprobe=p, n=_IVF_RECALL_K
+                spark, store, q_vec, nprobe=p, n=_IVF_RECALL_K,
+                state=st,
             )
             .select("vec_id")
             .withColumn("nprobe", F.lit(p))
@@ -731,6 +737,7 @@ def ivf_revised_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads with the tombstone join over probed rows only."""
     from se_data_pipeline_spark.sources.layout import (
         ivf_candidates,
+        ivf_serve_state,
         revise_ivf_vectors,
         write_ivf_index,
     )
@@ -761,9 +768,12 @@ def ivf_revised_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     revise_ivf_vectors(spark, revision, store)
 
     q_vec = [float(x) for x in head[0]["embedding"]]
+    # snapshot AFTER the last write — shared by all three probes
+    st = ivf_serve_state(spark, store)
     brute = F.broadcast(
         ivf_candidates(
-            spark, store, q_vec, nprobe=1_000_000, n=_IVF_RECALL_K
+            spark, store, q_vec, nprobe=1_000_000, n=_IVF_RECALL_K,
+            state=st,
         )
         .select("vec_id")
         .withColumn("hit", F.lit(1))
@@ -772,7 +782,8 @@ def ivf_revised_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in _IVF_PROBES:
         s = (
             ivf_candidates(
-                spark, store, q_vec, nprobe=p, n=_IVF_RECALL_K
+                spark, store, q_vec, nprobe=p, n=_IVF_RECALL_K,
+                state=st,
             )
             .select("vec_id")
             .withColumn("nprobe", F.lit(p))
@@ -1007,6 +1018,7 @@ def hybrid_served_recall(
     from se_data_pipeline_spark.sources.layout import (
         bm25_from_postings,
         ivf_candidates,
+        ivf_serve_state,
         write_ivf_index,
         write_posting_lists,
     )
@@ -1045,7 +1057,8 @@ def hybrid_served_recall(
             )
         q_vec = [float(x) for x in head[0]["embedding"]]
         return ivf_candidates(
-            spark, v_store, q_vec, nprobe=nprobe, n=_HYBRID_K
+            spark, v_store, q_vec, nprobe=nprobe, n=_HYBRID_K,
+            state=v_state,
         ).select(
             F.col("vec_id").alias("doc_id"),
             F.round("cos_sim", 6).alias("cos_sim"),
@@ -1053,6 +1066,8 @@ def hybrid_served_recall(
 
     if built:
         v_store = built[1]
+        # one serve-state snapshot for the three dense probes
+        v_state = ivf_serve_state(spark, v_store)
     full = F.broadcast(
         _rrf_head(sparse, _dense(1_000_000))
         .select("doc_id")
@@ -1529,6 +1544,7 @@ def ivf_filtered_recall(
     prefilter mode; the report joins <=k-row frames."""
     from se_data_pipeline_spark.sources.layout import (
         ivf_filtered_topk,
+        ivf_serve_state,
         write_ivf_index,
     )
 
@@ -1556,9 +1572,12 @@ def ivf_filtered_recall(
         tagged, store, cell_col="label", attr_cols=("source",)
     )
 
+    # one serve-state snapshot shared by the truth + 4 probe serves
+    st = ivf_serve_state(spark, store)
     truth = F.broadcast(
         ivf_filtered_topk(
-            spark, store, q_vec, where, nprobe=1_000_000, n=_FILT_K
+            spark, store, q_vec, where, nprobe=1_000_000, n=_FILT_K,
+            state=st,
         )
         .select("vec_id")
         .withColumn("hit", F.lit(1))
@@ -1579,6 +1598,7 @@ def ivf_filtered_recall(
                     n=_FILT_K,
                     mode=mode,
                     overfetch=_FILT_OVERFETCH,
+                    state=st,
                 )
                 .select("vec_id")
                 .withColumn("nprobe", F.lit(p))

@@ -949,15 +949,37 @@ def _ivf_tombstones(
     return _tombstones_view(spark, index_path, "vec_id", before_batch)
 
 
+_UNREAD = object()  # "not supplied — read it" sentinel (None is a
+# legitimate high-water value for legacy ledgerless stores)
+
+
+def ivf_serve_state(spark: SparkSession, index_path: str) -> dict:
+    """Pre-read serve-time state for SEVERAL probes of the same
+    committed store inside one query body: crash-swap recovery, the
+    bounded centroid table, and the committed high-water mark. A
+    recall report probes the same store three times (brute +
+    nprobe=1,2); without this each ivf_candidates call re-ran the
+    recovery probe, the centroid collect, and the ledger read. The
+    state is a SNAPSHOT — never reuse it across writes to the
+    store."""
+    recover_compacting(spark, index_path)
+    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    return {"cents": cents, "hw": _ivf_committed_hw(spark, index_path)}
+
+
 def _ivf_live(
-    spark: SparkSession, index_path: str, cells: list | None = None
+    spark: SparkSession,
+    index_path: str,
+    cells: list | None = None,
+    hw=_UNREAD,
 ) -> DataFrame:
     """The IVF store's committed, tombstone-live cells rows — the
     ONE serve-side live view every probe/funnel/compaction path reads
     (r12 factoring: the hw + tombstone-kill block was previously
     repeated per reader and could drift). ``cells`` (when given)
     becomes the cell-IN partition filter — parquet partition pruning,
-    nprobe/n_cells of the store touched."""
+    nprobe/n_cells of the store touched. ``hw`` may be passed from a
+    pre-read ivf_serve_state snapshot."""
     from pyspark.sql import functions as F
 
     probed = spark.read.parquet(f"{index_path}/cells")
@@ -968,7 +990,8 @@ def _ivf_live(
     # committed batches only (ledger-carrying stores, r11): a crashed
     # revision's partial replacement rows must not serve alongside
     # the old rows its never-written tombstones would have killed
-    hw = _ivf_committed_hw(spark, index_path)
+    if hw is _UNREAD:
+        hw = _ivf_committed_hw(spark, index_path)
     if hw is not None:
         probed = probed.filter(F.col("batch_id") < hw)
     return _kill_tombstoned(spark, probed, index_path, "vec_id", hw)
@@ -1134,12 +1157,15 @@ def _probe_cells(
     index_path: str,
     q_vec: list[float],
     nprobe: int,
+    cents: list | None = None,
 ) -> list[int]:
     """The nprobe nearest cells to the query, picked DRIVER-SIDE from
     the bounded (n_cells x dims) centroid table — (d2, cell)
     lexicographic order, the _nearest_cell_expr tie-break. Shared by
-    ivf_candidates and ivf_bq_funnel."""
-    cents = spark.read.parquet(f"{index_path}/centroids").collect()
+    ivf_candidates and ivf_bq_funnel; ``cents`` may come from a
+    pre-read ivf_serve_state snapshot."""
+    if cents is None:
+        cents = spark.read.parquet(f"{index_path}/centroids").collect()
     by_d2 = sorted(
         (
             sum((c - q) ** 2 for c, q in zip(r["centroid"], q_vec)),
@@ -1156,6 +1182,7 @@ def ivf_candidates(
     q_vec: list[float],
     nprobe: int = 1,
     n: int = 10,
+    state: dict | None = None,
 ) -> DataFrame:
     """Probe an IVF index: nearest nprobe cells to the query are
     picked DRIVER-SIDE from the (bounded, n_cells-row) centroid
@@ -1167,10 +1194,13 @@ def ivf_candidates(
     append-only index has no tombstones table and skips the join."""
     from pyspark.sql import functions as F
 
-    recover_compacting(spark, index_path)
-    cells = _probe_cells(spark, index_path, q_vec, nprobe)
+    if state is None:
+        state = ivf_serve_state(spark, index_path)
+    cells = _probe_cells(
+        spark, index_path, q_vec, nprobe, cents=state["cents"]
+    )
     return (
-        _ivf_live(spark, index_path, cells)
+        _ivf_live(spark, index_path, cells, hw=state["hw"])
         .select(
             "vec_id",
             "cell",
@@ -1359,6 +1389,7 @@ def ivf_filtered_topk(
     n: int = 10,
     mode: str = "prefilter",
     overfetch: int = 4,
+    state: dict | None = None,
 ) -> DataFrame:
     """Top-n ANN under a metadata predicate served from the IVF store
     (r12, VERDICT r11 next #2) — the dial every production vector
@@ -1384,9 +1415,12 @@ def ivf_filtered_topk(
 
     if mode not in ("prefilter", "postfilter"):
         raise ValueError("mode must be 'prefilter' or 'postfilter'")
-    recover_compacting(spark, index_path)
-    cells = _probe_cells(spark, index_path, q_vec, nprobe)
-    probed = _ivf_live(spark, index_path, cells)
+    if state is None:
+        state = ivf_serve_state(spark, index_path)
+    cells = _probe_cells(
+        spark, index_path, q_vec, nprobe, cents=state["cents"]
+    )
+    probed = _ivf_live(spark, index_path, cells, hw=state["hw"])
     if mode == "prefilter":
         return (
             probed.filter(F.expr(where))
