@@ -2238,13 +2238,19 @@ def bm25_phrase_boost_served(
         write_posting_lists,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
     f_store = _scratch("boost_freq")
     p_store = _scratch("boost_pos")
-    write_posting_lists(docs, f_store)
-    write_positional_postings(docs, p_store)
+    # the two store builds are independent (distinct dirs) —
+    # overlapped from two driver threads, the hybrid_served pattern
+    with ThreadPoolExecutor(max_workers=2) as pool_:
+        f_pos = pool_.submit(write_positional_postings, docs, p_store)
+        write_posting_lists(docs, f_store)
+        f_pos.result()
     pool = bm25_from_postings(
         spark, f_store, SEARCH_TERMS, limit=_BOOST_POOL
     )
