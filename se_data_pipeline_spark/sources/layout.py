@@ -1671,10 +1671,12 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
             _write_pq_tables(
                 spark, tmp, pq_cb, pq_meta[0], pq_meta[1]
             )
+        # ledger count from the COMPACTED cells just written (one
+        # column-pruned read) instead of re-running the whole
+        # latest-wins fold a second time — same value
         (
-            folded.agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs")
-            )
+            spark.read.parquet(f"{tmp}/cells")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
             .withColumn("batch_id", F.lit(-1))
             .coalesce(1)
             .write.mode("overwrite")
@@ -2766,11 +2768,6 @@ def compact_positional_postings(
     if hw is not None:
         p = p.filter(F.col("batch_id") < hw)
     p = _kill_tombstoned(spark, p, out_dir, "doc_id", hw)
-    # informational live-document count for the folded ledger row —
-    # one distinct over the rows the compactor is rewriting anyway
-    live_docs = p.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
 
     def _write(tmp: str) -> None:
         (
@@ -2779,6 +2776,17 @@ def compact_positional_postings(
             .write.mode("overwrite")
             .partitionBy("batch_id", "tok_bucket")
             .parquet(f"{tmp}/postings")
+        )
+        # informational live-document count for the folded ledger
+        # row, counted from the COMPACTED rows just written: the
+        # previous form re-evaluated the whole live view (pruned
+        # read + tombstone join) a second time; this is one
+        # column-pruned read of the smaller folded store, same value
+        live_docs = (
+            spark.read.parquet(f"{tmp}/postings")
+            .select("doc_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         )
         (
             live_docs.withColumn("batch_id", F.lit(-1))
@@ -2993,9 +3001,6 @@ def compact_shingle_index(spark: SparkSession, out_dir: str) -> None:
     if hw is not None:
         rows = rows.filter(F.col("batch_id") < hw)
     rows = _kill_tombstoned(spark, rows, out_dir, "doc_id", hw)
-    live_docs = rows.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
 
     def _write(tmp: str) -> None:
         (
@@ -3003,6 +3008,15 @@ def compact_shingle_index(spark: SparkSession, out_dir: str) -> None:
             .write.mode("overwrite")
             .partitionBy("batch_id")
             .parquet(f"{tmp}/postings")
+        )
+        # ledger doc count from the COMPACTED rows just written (one
+        # column-pruned read) instead of a second evaluation of the
+        # live view's pruned read + tombstone join — same value
+        live_docs = (
+            spark.read.parquet(f"{tmp}/postings")
+            .select("doc_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         )
         (
             live_docs.withColumn("batch_id", F.lit(-1))
