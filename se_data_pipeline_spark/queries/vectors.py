@@ -933,8 +933,13 @@ def semantic_dedup_canonical_corpus(
     return (
         docs.join(dropped, "doc_id", "left_anti")
         .join(
-            sizes.select(
-                F.col("cluster_id").alias("doc_id"), "n_merged"
+            # cluster-count-bounded side — the docstring's promised
+            # broadcast; without the hint the checkpoint-backed frame
+            # has no size estimate and planned as a sort-merge join
+            F.broadcast(
+                sizes.select(
+                    F.col("cluster_id").alias("doc_id"), "n_merged"
+                )
             ),
             "doc_id",
             "left",

@@ -1675,7 +1675,8 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         # column-pruned read) instead of re-running the whole
         # latest-wins fold a second time — same value
         (
-            spark.read.parquet(f"{tmp}/cells")
+            spark.read.schema("vec_id bigint")
+            .parquet(f"{tmp}/cells")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
             .withColumn("batch_id", F.lit(-1))
             .coalesce(1)
@@ -2783,7 +2784,8 @@ def compact_positional_postings(
         # read + tombstone join) a second time; this is one
         # column-pruned read of the smaller folded store, same value
         live_docs = (
-            spark.read.parquet(f"{tmp}/postings")
+            spark.read.schema("doc_id bigint")
+            .parquet(f"{tmp}/postings")
             .select("doc_id")
             .distinct()
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -3010,10 +3012,13 @@ def compact_shingle_index(spark: SparkSession, out_dir: str) -> None:
             .parquet(f"{tmp}/postings")
         )
         # ledger doc count from the COMPACTED rows just written (one
+        # explicit read schema: a zero-row fold writes no files and
+        # schema inference would raise on the empty dir
         # column-pruned read) instead of a second evaluation of the
         # live view's pruned read + tombstone join — same value
         live_docs = (
-            spark.read.parquet(f"{tmp}/postings")
+            spark.read.schema("doc_id bigint")
+            .parquet(f"{tmp}/postings")
             .select("doc_id")
             .distinct()
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
