@@ -1922,6 +1922,81 @@ def _term_buckets(
     return sorted({r["b"] for r in rows})
 
 
+def _serve_prologue(
+    spark: SparkSession,
+    out_dir: str,
+    terms: list,
+    hw_table: str,
+    hw_schema: str,
+    legacy_ok: bool,
+) -> tuple[int, int | None, list]:
+    """The per-serve prologue reads — bucket modulus (meta),
+    committed high-water mark (the store's commit-point table), and
+    the query terms' bucket ids — fused into ONE bounded Spark job
+    (r12 "protocol floor": the three separate collects cost a driver
+    job round-trip each, several times per lifecycle query). The
+    K-row term frame cross-joins the 1-row meta read and the 1-row
+    high-water aggregate, so one collect returns all three answers;
+    no state is cached across calls — every serve still reads the
+    store's live commit point. The term rows carry RAW xxhash64
+    values and the pmod lands driver-side: for int64 h and positive
+    modulus n, Python's ``h % n`` equals Spark's ``pmod(h, n)``
+    (both are the floored/positive remainder), so the bucket ids are
+    bit-identical to the writer's _tok_bucket_col.
+
+    ``hw_table``/``hw_schema``: "totals" for the frequency store
+    (every writer's LAST write), "batches" for the ledger stores.
+    ``legacy_ok=True`` mirrors _ledger_hw: a pre-ledger store (no
+    commit-point dir) serves append-only (hw None) instead of
+    raising; False preserves the frequency store's strict contract
+    (totals must exist — the read raises as _next_postings_batch
+    did). Returns (n_buckets, hw, sorted bucket ids)."""
+    from pyspark.sql import functions as F
+
+    fs, meta_p = _hadoop_path(spark, f"{out_dir}/meta")
+    if not fs.exists(meta_p):
+        raise ValueError(
+            f"posting-list store at {out_dir} has no meta table — "
+            "build it with write_posting_lists / "
+            "maintain_posting_lists"
+        )
+    uniq = sorted({str(t) for t in terms})
+    probe = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(t) for t in uniq])).alias(
+                "tok"
+            )
+        )
+        .select(F.xxhash64("tok").alias("h"))
+        .crossJoin(
+            spark.read.schema(_POSTINGS_META_SCHEMA).parquet(
+                f"{out_dir}/meta"
+            )
+        )
+    )
+    has_hw = True
+    if legacy_ok:
+        fs, hw_p = _hadoop_path(spark, f"{out_dir}/{hw_table}")
+        has_hw = fs.exists(hw_p)
+    if has_hw:
+        probe = probe.crossJoin(
+            spark.read.schema(hw_schema)
+            .parquet(f"{out_dir}/{hw_table}")
+            .agg(F.max("batch_id").alias("mx"))
+        )
+    rows = probe.collect()
+    if not rows:
+        raise ValueError(f"{out_dir}/meta is empty")
+    n_buckets = int(rows[0]["n_buckets"])
+    hw = None
+    if has_hw:
+        mx = rows[0]["mx"]
+        hw = max(0, (mx if mx is not None else -1) + 1)
+    buckets = sorted({int(r["h"]) % n_buckets for r in rows})
+    return n_buckets, hw, buckets
+
+
 def _posting_frames(docs: DataFrame, batch_id: int, n_buckets: int):
     """(postings, totals) delta frames for one document set — shared
     by the batch builder and the streaming maintainer so the two
@@ -2476,12 +2551,12 @@ def _positional_live(
     from pyspark.sql import functions as F
 
     recover_compacting(spark, out_dir)
-    n_buckets = _postings_meta_buckets(spark, out_dir)
-    # None for a legacy pre-ledger store: serve append-only, no
-    # commit-point filter (ADVICE r11 — raising path-not-found here
-    # bricked stores persisted by the previous release)
-    hw = _ledger_hw(spark, out_dir)
-    buckets = _term_buckets(spark, sorted(set(terms)), n_buckets)
+    # ONE fused prologue job: bucket modulus + committed high-water
+    # mark + term bucket ids (hw None for a legacy pre-ledger store:
+    # serve append-only instead of raising — ADVICE r11)
+    n_buckets, hw, buckets = _serve_prologue(
+        spark, out_dir, terms, "batches", _LEDGER_SCHEMA, True
+    )
     p = (
         spark.read.schema(_POS_POSTINGS_SCHEMA)
         .parquet(f"{out_dir}/postings")
@@ -3313,18 +3388,22 @@ def bm25_from_postings(
     # rename — finish it before the meta read raises (same entry
     # protocol as refresh_ivf_index)
     recover_compacting(spark, out_dir)
-    n_buckets = _postings_meta_buckets(spark, out_dir)
-    # serve the COMMITTED state only (ADVICE r10): totals is every
-    # writer's LAST write, so max(totals batch_id)+1 is the committed
-    # high-water mark — a revision that crashed after its tombstone
-    # write but before its totals correction must stay invisible
-    # (its tombstones would otherwise drop the old rows while totals
-    # still count them) until its re-run lands the commit point.
-    hw = _next_postings_batch(spark, out_dir)
-    # bucket ids for the K query terms: one bounded K-row local job
-    # (Spark's xxhash64 has no public driver-side twin, so evaluate
-    # the SAME Catalyst expression the writer used)
-    buckets = _term_buckets(spark, list(terms), n_buckets)
+    # ONE fused prologue job (bucket modulus + committed high-water
+    # mark + term bucket ids). The hw serves the COMMITTED state
+    # only (ADVICE r10): totals is every writer's LAST write, so
+    # max(totals batch_id)+1 is the committed high-water mark — a
+    # revision that crashed after its tombstone write but before its
+    # totals correction must stay invisible (its tombstones would
+    # otherwise drop the old rows while totals still count them)
+    # until its re-run lands the commit point.
+    n_buckets, hw, buckets = _serve_prologue(
+        spark,
+        out_dir,
+        list(terms),
+        "totals",
+        _POSTINGS_TOTALS_SCHEMA,
+        False,
+    )
     p = (
         spark.read.schema(_POSTINGS_SCHEMA)
         .parquet(f"{out_dir}/postings")
