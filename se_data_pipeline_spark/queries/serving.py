@@ -1409,7 +1409,10 @@ def ivf_pq_funnel_served(
     if not head:  # empty-corpus sweep
         return spark.createDataFrame([], empty_schema)
     nonnull = emb.filter(F.col("embedding").isNotNull())
-    if nonnull.count() < _FPQ_K:
+    # bounded probe, not a full count (guide §1.2): the decision only
+    # needs "are there at least K non-null vectors" — limit(K) stops
+    # the scan at the K-th row instead of reading the whole table
+    if nonnull.select("vec_id").limit(_FPQ_K).count() < _FPQ_K:
         # degenerate sweep: not enough vectors to seed a codebook —
         # same empty-result convention as embedding_pq_codes
         return spark.createDataFrame([], empty_schema)

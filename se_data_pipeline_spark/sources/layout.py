@@ -891,24 +891,60 @@ def write_ivf_index(
             ).alias("centroid")
         )
     )
-    centroids.coalesce(1).write.mode("overwrite").parquet(
-        f"{out_path}/centroids"
-    )
-    if cb is not None:
-        _write_pq_tables(df.sparkSession, out_path, cb, pq_m, pq_sub)
-    (
-        rows.withColumn("batch_id", F.lit(-1))
-        .write.mode("overwrite")
-        .partitionBy("cell", "batch_id")
-        .parquet(f"{out_path}/cells")
-    )
+
+    # The centroid table, the pq tables and the cells store are
+    # INDEPENDENT paths with no ordering constraint between them —
+    # only the batches ledger (the commit point) must come last.
+    # Submit the two heavy writes from driver threads so the second
+    # job's tasks back-fill the first's stragglers (guide §2.6, the
+    # hybrid-store precedent); the tiny pq write rides the main
+    # thread alongside them.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_centroids() -> None:
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_path}/centroids"
+        )
+
+    def _write_cells() -> None:
+        (
+            rows.withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("cell", "batch_id")
+            .parquet(f"{out_path}/cells")
+        )
+
+    spark = df.sparkSession
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cent = pool.submit(_write_centroids)
+        f_cells = pool.submit(_write_cells)
+        if cb is not None:
+            _write_pq_tables(spark, out_path, cb, pq_m, pq_sub)
+        f_cent.result()
+        f_cells.result()
     # batches commit ledger LAST (r11, harmonizing the IVF store with
     # the postings/positional/shingle stores): readers derive the
     # committed high-water mark from it, so a crashed revision's
-    # partial replacement rows stay invisible until its re-run commits
+    # partial replacement rows stay invisible until its re-run commits.
+    # The doc count reads the cells rows JUST WRITTEN (column-pruned,
+    # explicit schema for the empty-store case) instead of re-running
+    # the whole scan/encode lineage a second time — same value, one
+    # input pass saved (r13; the compact_ivf_index count precedent).
+    fs_c, cells_p = _hadoop_path(spark, f"{out_path}/cells")
+    n_docs = (
+        spark.read.schema("vec_id bigint")
+        .parquet(f"{out_path}/cells")
+        .count()
+        if fs_c.exists(cells_p)
+        else 0  # zero-row build: the partitioned write of an empty
+        # frame may not materialize the directory at all
+    )
     (
-        rows.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .withColumn("batch_id", F.lit(-1))
+        spark.range(1)
+        .select(
+            F.lit(int(n_docs)).cast("long").alias("n_docs"),
+            F.lit(-1).cast("int").alias("batch_id"),
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .partitionBy("batch_id")
@@ -952,19 +988,139 @@ def _ivf_tombstones(
 _UNREAD = object()  # "not supplied — read it" sentinel (None is a
 # legitimate high-water value for legacy ledgerless stores)
 
+_IVF_CENTROIDS_SCHEMA = "cell int, centroid array<double>"
+
+
+def _ivf_prologue(
+    spark: SparkSession,
+    index_path: str,
+    need_pq: bool = False,
+    q_vec: list | None = None,
+) -> dict:
+    """Every bounded serve/revise-side read of an IVF store fused
+    into ONE Spark job (r13; the _serve_prologue precedent — each
+    separate collect costs a driver job round-trip, and an IVF
+    funnel paid 3-4 of them per call): the centroid table, the
+    committed high-water mark, the PQ meta + frozen codebook (when
+    ``need_pq``), and the query vector's packed sign code (when
+    ``q_vec`` is given — the SAME pack_sign_bits Catalyst expression
+    the writers use, riding a 1-row leg of this job instead of its
+    own collect). The legs are UNIONED under a `kind` tag, never
+    cross-joined, so an empty centroid table cannot annihilate the
+    scalar answers. No state is cached across calls — every call
+    reads the store's live commit point.
+
+    Returns {"cents": [(cell, [centroid...])...] sorted by cell,
+    "hw": int | None (None = legacy pre-ledger store, serve
+    append-only), "meta": (m, sub, k) | None, "cb": codebook rows
+    sorted by codeword id | None, "qcode": int | None}.
+    ``need_pq=True`` requires the pq tables to exist — callers gate
+    on the pq dir probe (_pq_store_meta's fs.exists contract)."""
+    from pyspark.sql import functions as F
+
+    nul_l = F.lit(None).cast("long")
+    nul_v = F.lit(None).cast("array<double>")
+
+    def _leg(kind, a=nul_l, b=nul_l, c=nul_l, vec=nul_v):
+        return [
+            F.lit(kind).alias("kind"),
+            a.cast("long").alias("a"),
+            b.cast("long").alias("b"),
+            c.cast("long").alias("c"),
+            vec.alias("vec"),
+        ]
+
+    legs = [
+        spark.read.schema(_IVF_CENTROIDS_SCHEMA)
+        .parquet(f"{index_path}/centroids")
+        .select(*_leg("cent", a=F.col("cell"), vec=F.col("centroid")))
+    ]
+    fs, p = _hadoop_path(spark, f"{index_path}/batches")
+    has_ledger = fs.exists(p)
+    if has_ledger:
+        legs.append(
+            spark.read.schema(_LEDGER_SCHEMA)
+            .parquet(f"{index_path}/batches")
+            .agg(F.max("batch_id").alias("mx"))
+            .select(*_leg("hw", a=F.col("mx")))
+        )
+    if need_pq:
+        legs.append(
+            spark.read.schema(_PQ_META_SCHEMA)
+            .parquet(f"{index_path}/pq/meta")
+            .select(
+                *_leg(
+                    "meta",
+                    a=F.col("m"),
+                    b=F.col("sub"),
+                    c=F.col("k"),
+                )
+            )
+        )
+        legs.append(
+            spark.read.schema(_PQ_CODEBOOK_SCHEMA)
+            .parquet(f"{index_path}/pq/codebook")
+            .select(*_leg("cb", a=F.col("k"), vec=F.col("e")))
+        )
+    if q_vec is not None:
+        from se_data_pipeline_spark.functions.vectors import (
+            pack_sign_bits,
+        )
+
+        qlit = F.array(*[F.lit(float(x)) for x in q_vec])
+        legs.append(
+            spark.range(1).select(
+                *_leg("qcode", a=pack_sign_bits(qlit))
+            )
+        )
+    probe = legs[0]
+    for leg in legs[1:]:
+        probe = probe.unionByName(leg)
+    rows = probe.collect()
+    by_kind: dict[str, list] = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    out: dict = {
+        "cents": sorted(
+            (int(r["a"]), [float(x) for x in r["vec"]])
+            for r in by_kind.get("cent", [])
+        ),
+        "hw": None,
+        "meta": None,
+        "cb": None,
+        "qcode": None,
+    }
+    if has_ledger:
+        mx = by_kind["hw"][0]["a"]
+        out["hw"] = max(0, (int(mx) if mx is not None else -1) + 1)
+    if need_pq:
+        mrow = by_kind.get("meta", [])
+        if not mrow:
+            raise ValueError(f"{index_path}/pq/meta is empty")
+        m = mrow[0]
+        out["meta"] = (int(m["a"]), int(m["b"]), int(m["c"]))
+        out["cb"] = [
+            [float(x) for x in r["vec"]]
+            for r in sorted(by_kind.get("cb", []), key=lambda r: r["a"])
+        ]
+    if q_vec is not None:
+        out["qcode"] = int(by_kind["qcode"][0]["a"])
+    return out
+
 
 def ivf_serve_state(spark: SparkSession, index_path: str) -> dict:
     """Pre-read serve-time state for SEVERAL probes of the same
     committed store inside one query body: crash-swap recovery, the
-    bounded centroid table, and the committed high-water mark. A
-    recall report probes the same store three times (brute +
-    nprobe=1,2); without this each ivf_candidates call re-ran the
-    recovery probe, the centroid collect, and the ledger read. The
-    state is a SNAPSHOT — never reuse it across writes to the
-    store."""
+    bounded centroid table, and the committed high-water mark — the
+    latter two in ONE fused job (_ivf_prologue, r13; previously a
+    collect each). A recall report probes the same store three times
+    (brute + nprobe=1,2); without this each ivf_candidates call
+    re-ran the recovery probe, the centroid collect, and the ledger
+    read. The state is a SNAPSHOT — never reuse it across writes to
+    the store."""
     recover_compacting(spark, index_path)
-    cents = spark.read.parquet(f"{index_path}/centroids").collect()
-    return {"cents": cents, "hw": _ivf_committed_hw(spark, index_path)}
+    pro = _ivf_prologue(spark, index_path)
+    return {"cents": pro["cents"], "hw": pro["hw"]}
 
 
 def _ivf_live(
@@ -1069,18 +1225,20 @@ def revise_ivf_vectors(
     from pyspark.sql import functions as F
 
     recover_compacting(spark, index_path)
-    cents = [
-        (r["cell"], list(r["centroid"]))
-        for r in spark.read.parquet(
-            f"{index_path}/centroids"
-        ).collect()
-    ]
+    # ONE fused prologue job (r13): centroids + committed high-water
+    # mark + (for a pq-carrying store) the frozen codebook and its
+    # meta — previously up to four separate bounded collects per
+    # revision, each a driver job round-trip
+    fs_pq, pq_p = _hadoop_path(spark, f"{index_path}/pq")
+    has_pq = fs_pq.exists(pq_p)
+    pro = _ivf_prologue(spark, index_path, need_pq=has_pq)
+    cents = pro["cents"]
     if not cents:
         raise ValueError(
             f"{index_path}/centroids is empty — build the index with "
             "write_ivf_index before revising"
         )
-    hw = _ivf_committed_hw(spark, index_path)
+    hw = pro["hw"]
     if hw is not None:
         next_b = hw
     else:
@@ -1127,13 +1285,12 @@ def revise_ivf_vectors(
     )
     # PQ-carrying store: encode the replacement rows under the FROZEN
     # codebook (same frozen-epoch rule as the coarse quantizer) so
-    # ivf_pq_funnel's ADC scan stays valid across revisions
-    pq_meta = _pq_store_meta(spark, index_path)
-    if pq_meta is not None:
-        m, sub, _k = pq_meta
-        cb = _pq_codebook(spark, index_path)
+    # ivf_pq_funnel's ADC scan stays valid across revisions — meta +
+    # codebook came with the fused prologue above
+    if has_pq:
+        m, sub, _k = pro["meta"]
         rows = rows.withColumn(
-            "pq_code", _pq_code_expr(cb, m, sub, "embedding")
+            "pq_code", _pq_code_expr(pro["cb"], m, sub, "embedding")
         )
     (
         rows.write.mode("overwrite")
@@ -1162,16 +1319,22 @@ def _probe_cells(
     """The nprobe nearest cells to the query, picked DRIVER-SIDE from
     the bounded (n_cells x dims) centroid table — (d2, cell)
     lexicographic order, the _nearest_cell_expr tie-break. Shared by
-    ivf_candidates and ivf_bq_funnel; ``cents`` may come from a
-    pre-read ivf_serve_state snapshot."""
+    ivf_candidates and the funnels; ``cents`` is the
+    [(cell, centroid)...] list from a pre-read _ivf_prologue /
+    ivf_serve_state snapshot."""
     if cents is None:
-        cents = spark.read.parquet(f"{index_path}/centroids").collect()
+        cents = [
+            (r["cell"], list(r["centroid"]))
+            for r in spark.read.schema(_IVF_CENTROIDS_SCHEMA)
+            .parquet(f"{index_path}/centroids")
+            .collect()
+        ]
     by_d2 = sorted(
         (
-            sum((c - q) ** 2 for c, q in zip(r["centroid"], q_vec)),
-            r["cell"],
+            sum((c - q) ** 2 for c, q in zip(cvec, q_vec)),
+            cell,
         )
-        for r in cents
+        for cell, cvec in cents
     )
     return [cell for _, cell in by_d2[:nprobe]]
 
@@ -1235,25 +1398,23 @@ def ivf_bq_funnel(
     kill rule applies to both stages (same live view).
 
     The query's code is evaluated with the SAME Catalyst expression
-    the writers use (a 1-row local job — the _tok_bucket_col
-    precedent: pack_sign_bits has no public driver-side twin)."""
+    the writers use (pack_sign_bits has no public driver-side twin)
+    — riding a 1-row leg of the fused prologue job (r13) instead of
+    its own collect, alongside the centroid table and the committed
+    high-water mark (previously three separate driver round-trips
+    per funnel call)."""
     from pyspark.sql import functions as F
 
-    from se_data_pipeline_spark.functions.vectors import (
-        hamming_codes,
-        pack_sign_bits,
-    )
+    from se_data_pipeline_spark.functions.vectors import hamming_codes
 
     recover_compacting(spark, index_path)
-    cells = _probe_cells(spark, index_path, q_vec, nprobe)
-    qlit = F.array(*[F.lit(float(x)) for x in q_vec])
-    q_code = int(
-        spark.range(1)
-        .select(pack_sign_bits(qlit).alias("c"))
-        .collect()[0]["c"]
+    pro = _ivf_prologue(spark, index_path, q_vec=q_vec)
+    cells = _probe_cells(
+        spark, index_path, q_vec, nprobe, cents=pro["cents"]
     )
+    q_code = pro["qcode"]
 
-    probed = _ivf_live(spark, index_path, cells)
+    probed = _ivf_live(spark, index_path, cells, hw=pro["hw"])
     # stage 1: the 8-byte cut — vec_id + code only (column pruning
     # keeps the embedding bytes on disk for every non-candidate)
     cand = (
@@ -1316,15 +1477,21 @@ def ivf_pq_funnel(
     from pyspark.sql import functions as F
 
     recover_compacting(spark, index_path)
-    meta = _pq_store_meta(spark, index_path)
-    if meta is None:
+    fs_pq, pq_p = _hadoop_path(spark, f"{index_path}/pq")
+    if not fs_pq.exists(pq_p):
         raise ValueError(
             f"IVF index at {index_path} carries no PQ codes — build "
             "it with write_ivf_index(pq=True) for the ADC funnel"
         )
-    m, sub, _k = meta
-    cb = _pq_codebook(spark, index_path)
-    cells = _probe_cells(spark, index_path, q_vec, nprobe)
+    # ONE fused prologue job (r13): pq meta + frozen codebook +
+    # centroids + committed high-water mark — previously four
+    # separate bounded collects per funnel call
+    pro = _ivf_prologue(spark, index_path, need_pq=True)
+    m, sub, _k = pro["meta"]
+    cb = pro["cb"]
+    cells = _probe_cells(
+        spark, index_path, q_vec, nprobe, cents=pro["cents"]
+    )
     # LUT[mi][ki] = ||q_sub[mi] - codeword[ki, mi]||^2, driver-side
     # over the bounded codebook; sequential fold over the sub dims —
     # the oracle's list_sum order
@@ -1344,7 +1511,7 @@ def ivf_pq_funnel(
             for row in lut
         ]
     )
-    probed = _ivf_live(spark, index_path, cells)
+    probed = _ivf_live(spark, index_path, cells, hw=pro["hw"])
     # stage 1: the ADC cut — vec_id + pq_code only (column pruning
     # keeps embedding AND the 8-byte sign code on disk)
     est = F.aggregate(

@@ -358,17 +358,20 @@ def maintain_ivf_index(
     cells rows (the filtered-ANN attributes, write_ivf_index's
     contract — pass the SAME columns the store was built with)."""
     from se_data_pipeline_spark.sources.layout import (
+        _hadoop_path,
+        _ivf_prologue,
         _nearest_cell_expr,
         _pq_code_expr,
-        _pq_codebook,
-        _pq_store_meta,
     )
 
     spark = vec_stream.sparkSession
-    cents = [
-        (r["cell"], list(r["centroid"]))
-        for r in spark.read.parquet(f"{index_path}/centroids").collect()
-    ]
+    # ONE fused job-start read (r13): centroids + (for a pq-carrying
+    # store) the frozen codebook and its meta — previously three
+    # separate bounded collects before the first micro-batch
+    fs_pq, pq_p = _hadoop_path(spark, f"{index_path}/pq")
+    has_pq = fs_pq.exists(pq_p)
+    pro = _ivf_prologue(spark, index_path, need_pq=has_pq)
+    cents = pro["cents"]
     if not cents:
         raise ValueError(
             f"{index_path}/centroids is empty — run write_ivf_index "
@@ -376,10 +379,8 @@ def maintain_ivf_index(
             "it does not train one)"
         )
     cell_of = _nearest_cell_expr(cents, vec_col)
-    pq_meta = _pq_store_meta(spark, index_path)
-    pq_cb = (
-        _pq_codebook(spark, index_path) if pq_meta is not None else None
-    )
+    pq_meta = pro["meta"]
+    pq_cb = pro["cb"]
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         from se_data_pipeline_spark.functions.vectors import (
