@@ -2089,6 +2089,20 @@ def _term_buckets(
     return sorted({r["b"] for r in rows})
 
 
+def _require_postings_meta(spark: SparkSession, out_dir: str) -> None:
+    """Raise the shared no-meta-table error when the store lacks its
+    meta dir — one copy of the existence check + message for
+    _serve_prologue and _postings_meta_buckets (ADVICE r12: the two
+    verbatim copies could drift)."""
+    fs, meta_p = _hadoop_path(spark, f"{out_dir}/meta")
+    if not fs.exists(meta_p):
+        raise ValueError(
+            f"posting-list store at {out_dir} has no meta table — "
+            "build it with write_posting_lists / "
+            "maintain_posting_lists"
+        )
+
+
 def _serve_prologue(
     spark: SparkSession,
     out_dir: str,
@@ -2120,14 +2134,16 @@ def _serve_prologue(
     did). Returns (n_buckets, hw, sorted bucket ids)."""
     from pyspark.sql import functions as F
 
-    fs, meta_p = _hadoop_path(spark, f"{out_dir}/meta")
-    if not fs.exists(meta_p):
-        raise ValueError(
-            f"posting-list store at {out_dir} has no meta table — "
-            "build it with write_posting_lists / "
-            "maintain_posting_lists"
-        )
+    _require_postings_meta(spark, out_dir)
     uniq = sorted({str(t) for t in terms})
+    if not uniq:
+        # explode of an empty term array yields zero rows and would
+        # annihilate the cross-joined meta/hw answers — the resulting
+        # "meta is empty" error names the wrong cause (ADVICE r12).
+        # No public caller can reach this (phrase/AND require >= 2
+        # terms, bm25's isin(*terms) fails earlier), but fail with
+        # the real reason for future internal callers.
+        raise ValueError("at least one query term required")
     probe = (
         spark.range(1)
         .select(
@@ -2219,11 +2235,7 @@ def _postings_meta_buckets(
     if not fs.exists(meta):
         if default is not None:
             return int(default)
-        raise ValueError(
-            f"posting-list store at {out_dir} has no meta table — "
-            "build it with write_posting_lists / "
-            "maintain_posting_lists"
-        )
+        _require_postings_meta(spark, out_dir)
     rows = (
         spark.read.schema(_POSTINGS_META_SCHEMA)
         .parquet(f"{out_dir}/meta")
@@ -2324,18 +2336,60 @@ def write_posting_lists(
     streaming/jobs.maintain_posting_lists appends (``batch_id>=0``
     deltas), so batch-built and stream-maintained stores serve
     through the same reader."""
-    tf, totals = _posting_frames(docs, -1, n_buckets)
+    tf, _ = _posting_frames(docs, -1, n_buckets)
     spark = docs.sparkSession
     tf.write.mode("overwrite").partitionBy(
         "batch_id", "tok_bucket"
     ).parquet(f"{out_dir}/postings")
-    totals.coalesce(1).write.mode("overwrite").partitionBy(
-        "batch_id"
-    ).parquet(f"{out_dir}/totals")
     _doclens_frame(docs, -1).write.mode("overwrite").partitionBy(
         "batch_id"
     ).parquet(f"{out_dir}/doclens")
+    # totals from the doclens ledger JUST WRITTEN (r13): n_docs is its
+    # row count and n_tokens the sum of its dl column — dl is the
+    # same size(split(text)) expression, so the values are identical
+    # to aggregating the corpus again, minus the third full tokenize
+    # pass the build paid (tf, totals, doclens each re-scanned docs).
+    _totals_from_doclens(spark, out_dir, -1).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").parquet(f"{out_dir}/totals")
     _write_postings_meta(spark, out_dir, n_buckets)
+
+
+def _totals_from_doclens(
+    spark: SparkSession, out_dir: str, batch_id: int
+) -> DataFrame:
+    """The (n_docs, n_tokens, batch_id) totals row for one batch,
+    aggregated from that batch's doclens partition instead of a
+    second tokenize pass over the input corpus (r13; the
+    compact-count readback precedent): the ledger carries one row
+    per document of the batch with dl = size(split(text)) — the
+    exact expression the totals aggregate used — so COUNT(*) and
+    SUM(dl) reproduce the old values bit-for-bit (integer sums are
+    order-independent; SUM skips the NULL dl a NULL-text document
+    writes, exactly as SUM(size(split(NULL))) did). Callers must
+    have written the batch's doclens partition first."""
+    from pyspark.sql import functions as F
+
+    fs, p = _hadoop_path(spark, f"{out_dir}/doclens")
+    if not fs.exists(p):
+        # zero-row build: the partitioned write of an empty frame may
+        # not materialize the directory — the old aggregate produced
+        # (0, NULL) for an empty corpus; reproduce it literally
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.lit(int(batch_id)).alias("batch_id"),
+        )
+    return (
+        spark.read.schema(_DOCLENS_SCHEMA)
+        .parquet(f"{out_dir}/doclens")
+        .filter(F.col("batch_id") == int(batch_id))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_tokens"),
+        )
+        .withColumn("batch_id", F.lit(int(batch_id)))
+    )
 
 
 def _next_postings_batch(spark: SparkSession, out_dir: str) -> int:
@@ -2456,10 +2510,7 @@ def revise_posting_lists(
         ],
     )
     ids = docs_v2.select("doc_id").distinct()
-    tf, totals_new = _posting_frames(docs_v2, next_b, nb)
-    totals_delta = _corrected_totals(
-        spark, out_dir, ids, next_b, totals_new
-    )
+    tf, _ = _posting_frames(docs_v2, next_b, nb)
     _dyn_overwrite(
         tf, ["batch_id", "tok_bucket"], f"{out_dir}/postings"
     )
@@ -2469,7 +2520,19 @@ def revise_posting_lists(
         f"{out_dir}/doclens",
     )
     _tombstone_write(ids, "doc_id", next_b, f"{out_dir}/tombstones")
-    # totals LAST — the commit point
+    # totals LAST — the commit point. The new-side counts read the
+    # doclens partition JUST WRITTEN (r13, _totals_from_doclens) —
+    # same values as re-aggregating docs_v2, one tokenize pass
+    # saved; the old-side fold still excludes this batch
+    # (before_batch=next_b), so a crashed re-run recomputes the
+    # identical correction.
+    totals_delta = _corrected_totals(
+        spark,
+        out_dir,
+        ids,
+        next_b,
+        _totals_from_doclens(spark, out_dir, next_b).drop("batch_id"),
+    )
     _dyn_overwrite(
         totals_delta.coalesce(1), ["batch_id"], f"{out_dir}/totals"
     )
