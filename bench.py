@@ -403,16 +403,44 @@ def _worker(spec_path: str) -> None:
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).toPandas()
 
     out: dict = {"queries": {}, "errors": {}, "samples": {}}
+    # Scaling observability (r13, VERDICT r12 #2): the driver's
+    # 8-vs-32-core probe reads ~1 for every query at sf0.1 and its
+    # suspect_cpus_ignored heuristic fired; record enough evidence in
+    # the artifact to attribute that to the per-query overhead floor
+    # instead of a serial operator: the session's defaultParallelism,
+    # a per-chunk CPU-throughput calibration (scales with cores), and
+    # each query's widest observed stage (max numTasks across its
+    # jobs' stages — if the widest stage is >= the core count, the
+    # operator parallelizes and a flat core ratio means the floor).
+    out["default_parallelism"] = spark.sparkContext.defaultParallelism
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(4_000_000_000).selectExpr(
+            "sum(id % 1000003 * 2654435761 % 1000003) AS s",
+            "count(1) AS n",
+        ).toPandas()
+        dt = round(time.perf_counter() - t0, 3)
+        best = dt if best is None or dt < best else best
+    out["chunk_calib_sec"] = best
+    out["max_stage_tasks"] = {}
+    out["n_jobs"] = {}
     if spec.get("calib") in ("pre", "both"):
         out["calib_pre"] = _calibrations(spark)
 
+    _grp_seq = [0]
+
     def timed(name: str) -> None:
+        sc = spark.sparkContext
+        _grp_seq[0] += 1
+        grp = f"bench_{_grp_seq[0]}_{name}"
         t0 = time.perf_counter()
         # Arrow-batched materialization (toPandas), not .collect():
         # collect() pickles rows one at a time and costs ~4x the
         # window compute itself on 150k-row results; Arrow is the
         # engine's serving path.
         try:
+            sc.setJobGroup(grp, name)
             qs[name](spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001 — one bad query must
             # never zero the whole benchmark (round-3 bench recorded
@@ -420,8 +448,37 @@ def _worker(spec_path: str) -> None:
             out["errors"][name] = f"{type(exc).__name__}: {exc}"[:500]
             out["queries"].pop(name, None)
             out["samples"].pop(name, None)
+            out["max_stage_tasks"].pop(name, None)
+            out["n_jobs"].pop(name, None)
             return
+        finally:
+            sc._jsc.clearJobGroup()
         dt = round(time.perf_counter() - t0, 3)
+        # widest stage + job count for THIS invocation's job group.
+        # Jobs submitted from other threads (streaming micro-batches,
+        # the overlapped store builds) carry their own thread-local
+        # group and are not counted — the figures cover driver-thread
+        # jobs, which is what the core-scaling question needs.
+        try:
+            st = spark.sparkContext.statusTracker()
+            width = 0
+            jids = st.getJobIdsForGroup(grp)
+            for jid in jids:
+                ji = st.getJobInfo(jid)
+                if ji is None:
+                    continue
+                for sid in ji.stageIds:
+                    si = st.getStageInfo(sid)
+                    if si is not None:
+                        width = max(width, si.numTasks)
+            out["max_stage_tasks"][name] = max(
+                out["max_stage_tasks"].get(name, 0), width
+            )
+            out["n_jobs"][name] = max(
+                out["n_jobs"].get(name, 0), len(jids)
+            )
+        except Exception:  # noqa: BLE001 — observability must never
+            pass  # fail a measurement
         out["samples"].setdefault(name, []).append(dt)
         if name not in out["queries"] or dt < out["queries"][name]:
             out["queries"][name] = dt
@@ -606,6 +663,10 @@ def main() -> None:
     spot: dict[str, float] = {}
     calib_pre: dict = {}
     calib_post: dict = {}
+    chunk_calibs: list = []
+    max_stage_tasks: dict[str, int] = {}
+    n_jobs: dict[str, int] = {}
+    default_parallelism: int | None = None
     deadline_hit = False
     with tempfile.TemporaryDirectory(prefix="bench_chunks_") as tmpdir:
         for i, names in enumerate(chunks):
@@ -628,6 +689,11 @@ def main() -> None:
             spot.update(res.get("spot", {}))
             for n, s in res.get("samples", {}).items():
                 samples.setdefault(n, []).extend(s)
+            chunk_calibs.append(res.get("chunk_calib_sec"))
+            max_stage_tasks.update(res.get("max_stage_tasks", {}))
+            n_jobs.update(res.get("n_jobs", {}))
+            if res.get("default_parallelism") is not None:
+                default_parallelism = res["default_parallelism"]
             if i == 0:
                 calib_pre = res.get("calib_pre", {})
             if i == len(chunks) - 1:
@@ -758,6 +824,16 @@ def main() -> None:
         "host_worst_drift": worst_drift,
         "retimed": retimed,
         "deadline_hit": deadline_hit,
+        # scaling observability (r13, VERDICT r12 #2): enough evidence
+        # to attribute flat core-count ratios to the per-query overhead
+        # floor vs a serial operator — the session's parallelism, a
+        # per-chunk CPU-bound calibration (MUST scale with the core
+        # count if $SPARK_GRAFT_CPUS took effect), and each query's
+        # widest observed stage + driver-thread job count
+        "default_parallelism": default_parallelism,
+        "chunk_calib_sec": chunk_calibs,
+        "max_stage_tasks": max_stage_tasks,
+        "n_jobs": n_jobs,
         "samples": samples,
         "positions": {n: i for i, n in enumerate(bench_names)},
         "n_chunks": len(chunks),
@@ -798,6 +874,7 @@ def main() -> None:
         "host_worst_drift": worst_drift,
         "n_retimed": len(retimed),
         "n_chunks": len(chunks),
+        "default_parallelism": default_parallelism,
         "spot_round": int(rnd),
         "spot_queries": spot,
         "sf": sf,
