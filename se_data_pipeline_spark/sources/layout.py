@@ -320,6 +320,31 @@ def _dyn_overwrite(df: DataFrame, cols: list, path: str) -> None:
     )
 
 
+def _overlap_writes(*thunks) -> None:
+    """Run independent NON-COMMIT store writes from driver threads so
+    concurrent jobs back-fill each other's stragglers and the driver
+    round-trips overlap (guide §2.6; the write_ivf_index precedent).
+    Callers must keep the commit-point write (ledger/totals) OUT of
+    the pool and issue it only after this returns — crash semantics
+    are then unchanged: any subset of these writes may exist without
+    the commit row, exactly as under the sequential order, and the
+    re-run's overwrite replaces them. SPARK_GRAFT_NO_OVERLAP=1 falls
+    back to sequential execution (the same-JVM A/B instrument — no
+    caching, no behavior change beyond scheduling)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_OVERLAP") == "1":
+        for t in thunks:
+            t()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def _ledger_row(
     spark: SparkSession, path: str, batch_id: int, n_docs: int = 0
 ) -> None:
@@ -2338,12 +2363,18 @@ def write_posting_lists(
     through the same reader."""
     tf, _ = _posting_frames(docs, -1, n_buckets)
     spark = docs.sparkSession
-    tf.write.mode("overwrite").partitionBy(
-        "batch_id", "tok_bucket"
-    ).parquet(f"{out_dir}/postings")
-    _doclens_frame(docs, -1).write.mode("overwrite").partitionBy(
-        "batch_id"
-    ).parquet(f"{out_dir}/doclens")
+    # postings and doclens are INDEPENDENT non-commit writes over the
+    # same input — overlap them (guide §2.6, _overlap_writes); totals
+    # (the effective commit point) and meta follow, ordered.
+    _overlap_writes(
+        lambda: tf.write.mode("overwrite")
+        .partitionBy("batch_id", "tok_bucket")
+        .parquet(f"{out_dir}/postings"),
+        lambda: _doclens_frame(docs, -1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{out_dir}/doclens"),
+    )
     # totals from the doclens ledger JUST WRITTEN (r13): n_docs is its
     # row count and n_tokens the sum of its dl column — dl is the
     # same size(split(text)) expression, so the values are identical
@@ -2482,11 +2513,12 @@ def revise_posting_lists(
        scanned), so n_docs/avgdl additively fold to exactly the
        rebuilt-corpus values.
 
-    Write order postings -> doclens -> tombstones -> totals makes
-    totals the COMMIT POINT: a crash anywhere earlier leaves the
-    batch uncommitted, prior-state reads exclude it
-    (before_batch=N), and a re-run reuses id N, overwriting the
-    partial partitions. Run while any maintenance stream on this
+    Postings/doclens/tombstones are independent deltas written
+    concurrently (guide §2.6); totals follows them and is the COMMIT
+    POINT: a crash before totals lands leaves the batch uncommitted
+    (whatever subset of the three deltas exists), prior-state reads
+    exclude it (before_batch=N), and a re-run reuses id N,
+    overwriting the partial partitions. Run while any maintenance stream on this
     store is stopped — the claimed id is FENCED
     (claim_offline_batch), so a stream resuming its old checkpoint
     afterwards fails loudly instead of clobbering this revision's
@@ -2511,15 +2543,24 @@ def revise_posting_lists(
     )
     ids = docs_v2.select("doc_id").distinct()
     tf, _ = _posting_frames(docs_v2, next_b, nb)
-    _dyn_overwrite(
-        tf, ["batch_id", "tok_bucket"], f"{out_dir}/postings"
+    # postings, doclens and tombstones are independent non-commit
+    # deltas BELOW the commit point (totals, last): overlap them
+    # (guide §2.6, _overlap_writes) — a crash inside any subset leaves
+    # the batch uncommitted exactly as the sequential order did, and
+    # the re-run's dynamic overwrite replaces all three partitions.
+    _overlap_writes(
+        lambda: _dyn_overwrite(
+            tf, ["batch_id", "tok_bucket"], f"{out_dir}/postings"
+        ),
+        lambda: _dyn_overwrite(
+            _doclens_frame(docs_v2, next_b),
+            ["batch_id"],
+            f"{out_dir}/doclens",
+        ),
+        lambda: _tombstone_write(
+            ids, "doc_id", next_b, f"{out_dir}/tombstones"
+        ),
     )
-    _dyn_overwrite(
-        _doclens_frame(docs_v2, next_b),
-        ["batch_id"],
-        f"{out_dir}/doclens",
-    )
-    _tombstone_write(ids, "doc_id", next_b, f"{out_dir}/tombstones")
     # totals LAST — the commit point. The new-side counts read the
     # doclens partition JUST WRITTEN (r13, _totals_from_doclens) —
     # same values as re-aggregating docs_v2, one tokenize pass
@@ -2645,10 +2686,18 @@ def write_positional_postings(
     store, without corpus statistics phrase scoring doesn't need."""
     rows, batches = _positional_frames(docs, -1, n_buckets)
     spark = docs.sparkSession
-    rows.write.mode("overwrite").partitionBy(
-        "batch_id", "tok_bucket"
-    ).parquet(f"{out_dir}/postings")
-    _write_postings_meta(spark, out_dir, n_buckets)
+    # rows and the 1-row meta are independent non-commit writes —
+    # overlap them (guide §2.6); the batches ledger (commit point)
+    # stays LAST. A crash can now leave meta without rows where the
+    # sequential order guaranteed rows-before-meta, but either way
+    # the store is uncommitted (no ledger) and the re-run's
+    # mode=overwrite build replaces both.
+    _overlap_writes(
+        lambda: rows.write.mode("overwrite")
+        .partitionBy("batch_id", "tok_bucket")
+        .parquet(f"{out_dir}/postings"),
+        lambda: _write_postings_meta(spark, out_dir, n_buckets),
+    )
     batches.coalesce(1).write.mode("overwrite").partitionBy(
         "batch_id"
     ).parquet(f"{out_dir}/batches")
