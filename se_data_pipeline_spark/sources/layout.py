@@ -2758,8 +2758,10 @@ def revise_positional_postings(
     the batch) writes fresh position rows AT batch N and a tombstone
     (doc_id, N) killing its rows from batches < N; no totals
     correction exists because phrase scoring consults no corpus
-    statistics. Write order postings -> tombstones -> batches(LAST)
-    makes the ledger row the commit point; the claimed id is FENCED
+    statistics. Postings and tombstones are written concurrently;
+    the batches ledger row follows them LAST as the commit point
+    (a crash before it leaves the batch uncommitted, whatever subset
+    of the two deltas exists); the claimed id is FENCED
     against a resumed maintenance stream (claim_offline_batch).
     Returns the batch id used."""
     from pyspark.sql import functions as F
@@ -2775,11 +2777,16 @@ def revise_positional_postings(
         [f"{out_dir}/postings", f"{out_dir}/tombstones"],
     )
     rows, batches = _positional_frames(docs_v2, next_b, nb)
-    _dyn_overwrite(
-        rows, ["batch_id", "tok_bucket"], f"{out_dir}/postings"
-    )
-    _tombstone_write(
-        docs_v2, "doc_id", next_b, f"{out_dir}/tombstones"
+    # rows and tombstones are independent non-commit deltas below the
+    # ledger commit point — overlap them (guide §2.6, _overlap_writes;
+    # readers only see tombstones below the committed high-water mark)
+    _overlap_writes(
+        lambda: _dyn_overwrite(
+            rows, ["batch_id", "tok_bucket"], f"{out_dir}/postings"
+        ),
+        lambda: _tombstone_write(
+            docs_v2, "doc_id", next_b, f"{out_dir}/tombstones"
+        ),
     )
     # ledger LAST — the commit point
     _dyn_overwrite(
@@ -3242,9 +3249,15 @@ def revise_shingle_docs(
         [f"{out_dir}/postings", f"{out_dir}/tombstones"],
     )
     rows, ledger = _shingle_frames(docs_v2, next_b)
-    _dyn_overwrite(rows, ["batch_id"], f"{out_dir}/postings")
-    _tombstone_write(
-        docs_v2, "doc_id", next_b, f"{out_dir}/tombstones"
+    # rows and tombstones overlap below the ledger commit point
+    # (guide §2.6, _overlap_writes — the revise_posting_lists argument)
+    _overlap_writes(
+        lambda: _dyn_overwrite(
+            rows, ["batch_id"], f"{out_dir}/postings"
+        ),
+        lambda: _tombstone_write(
+            docs_v2, "doc_id", next_b, f"{out_dir}/tombstones"
+        ),
     )
     # ledger LAST — the commit point
     _dyn_overwrite(
@@ -3453,10 +3466,17 @@ def revise_minhash_docs(
         [f"{out_dir}/postings", f"{out_dir}/tombstones"],
     )
     rows, ledger = _minhash_frames(docs_v2, next_b)
-    _dyn_overwrite(rows, ["batch_id"], f"{out_dir}/postings")
-    _tombstone_write(
-        docs_v2, "doc_id", next_b, f"{out_dir}/tombstones"
+    # rows and tombstones overlap below the ledger commit point
+    # (guide §2.6, _overlap_writes — the revise_posting_lists argument)
+    _overlap_writes(
+        lambda: _dyn_overwrite(
+            rows, ["batch_id"], f"{out_dir}/postings"
+        ),
+        lambda: _tombstone_write(
+            docs_v2, "doc_id", next_b, f"{out_dir}/tombstones"
+        ),
     )
+    # ledger LAST — the commit point (via the shared helper)
     _dyn_overwrite(
         ledger.coalesce(1), ["batch_id"], f"{out_dir}/batches"
     )

@@ -1259,6 +1259,7 @@ def maintain_posting_lists(
         _corrected_totals,
         _doclens_frame,
         _hadoop_path,
+        _overlap_writes,
         _posting_frames,
         _postings_meta_buckets,
         _write_postings_meta,
@@ -1267,6 +1268,11 @@ def maintain_posting_lists(
 
     postings_dir = os.path.join(out_dir, "postings")
     totals_dir = os.path.join(out_dir, "totals")
+    # the bucket modulus is immutable for the store's lifetime and
+    # offline ops are fenced out while this stream runs — resolve it
+    # on the first batch and reuse (one fewer bounded collect per
+    # micro-batch; per-RUN state only, re-read on every stream start)
+    nb_cache: list[int] = []
 
     def _dyn(df: DataFrame, cols: list, path: str) -> None:
         (
@@ -1291,13 +1297,19 @@ def maintain_posting_lists(
             batch_id,
             f"posting-list store at {out_dir}",
         )
-        nb = _postings_meta_buckets(
-            spark,
-            out_dir,
-            default=(
-                POSTINGS_TOK_BUCKETS if n_buckets is None else n_buckets
-            ),
-        )
+        if not nb_cache:
+            nb_cache.append(
+                _postings_meta_buckets(
+                    spark,
+                    out_dir,
+                    default=(
+                        POSTINGS_TOK_BUCKETS
+                        if n_buckets is None
+                        else n_buckets
+                    ),
+                )
+            )
+        nb = nb_cache[0]
         fs, dl_path = _hadoop_path(
             spark, os.path.join(out_dir, "doclens")
         )
@@ -1314,20 +1326,31 @@ def maintain_posting_lists(
                 batch_id,
                 totals,
             )
-        _dyn(tf, ["batch_id", "tok_bucket"], postings_dir)
-        _dyn(
-            _doclens_frame(batch, batch_id),
-            ["batch_id"],
-            os.path.join(out_dir, "doclens"),
-        )
-        if allow_revisions:
-            _dyn(
-                batch.select("doc_id")
-                .distinct()
-                .withColumn("batch_id", F.lit(batch_id)),
+        # postings/doclens/tombstones are independent non-commit
+        # deltas below the batch's commit point (totals, LAST) —
+        # overlap them (guide §2.6, layout._overlap_writes; the
+        # revise_posting_lists argument: readers only see tombstones
+        # below the committed high-water mark, and a replayed batch
+        # dynamic-overwrites its own partitions)
+        writes = [
+            lambda: _dyn(tf, ["batch_id", "tok_bucket"], postings_dir),
+            lambda: _dyn(
+                _doclens_frame(batch, batch_id),
                 ["batch_id"],
-                os.path.join(out_dir, "tombstones"),
+                os.path.join(out_dir, "doclens"),
+            ),
+        ]
+        if allow_revisions:
+            writes.append(
+                lambda: _dyn(
+                    batch.select("doc_id")
+                    .distinct()
+                    .withColumn("batch_id", F.lit(batch_id)),
+                    ["batch_id"],
+                    os.path.join(out_dir, "tombstones"),
+                )
             )
+        _overlap_writes(*writes)
         # meta is written ONCE, on the store-creating batch: the
         # modulus never changes, and a per-batch delete+write of the
         # one-row table opens a window where a concurrent
@@ -1385,11 +1408,16 @@ def maintain_positional_postings(
     from se_data_pipeline_spark.sources.layout import (
         POSTINGS_TOK_BUCKETS,
         _hadoop_path,
+        _overlap_writes,
         _positional_frames,
         _postings_meta_buckets,
         _write_postings_meta,
         guard_stream_batch,
     )
+
+    # modulus immutable mid-run (offline ops fenced while the stream
+    # runs): resolve once per stream start, reuse per batch
+    nb_cache: list[int] = []
 
     def _dyn(df: DataFrame, cols: list, path: str) -> None:
         (
@@ -1410,27 +1438,41 @@ def maintain_positional_postings(
             batch_id,
             f"positional posting store at {out_dir}",
         )
-        nb = _postings_meta_buckets(
-            spark,
-            out_dir,
-            default=(
-                POSTINGS_TOK_BUCKETS if n_buckets is None else n_buckets
-            ),
-        )
-        rows, batches = _positional_frames(batch, batch_id, nb)
-        _dyn(
-            rows,
-            ["batch_id", "tok_bucket"],
-            os.path.join(out_dir, "postings"),
-        )
-        if allow_revisions:
-            _dyn(
-                batch.select("doc_id")
-                .distinct()
-                .withColumn("batch_id", F.lit(batch_id)),
-                ["batch_id"],
-                os.path.join(out_dir, "tombstones"),
+        if not nb_cache:
+            nb_cache.append(
+                _postings_meta_buckets(
+                    spark,
+                    out_dir,
+                    default=(
+                        POSTINGS_TOK_BUCKETS
+                        if n_buckets is None
+                        else n_buckets
+                    ),
+                )
             )
+        nb = nb_cache[0]
+        rows, batches = _positional_frames(batch, batch_id, nb)
+        # rows and tombstones are independent non-commit deltas below
+        # the batch's commit point (the ledger row, LAST) — overlap
+        # them (guide §2.6, layout._overlap_writes)
+        writes = [
+            lambda: _dyn(
+                rows,
+                ["batch_id", "tok_bucket"],
+                os.path.join(out_dir, "postings"),
+            )
+        ]
+        if allow_revisions:
+            writes.append(
+                lambda: _dyn(
+                    batch.select("doc_id")
+                    .distinct()
+                    .withColumn("batch_id", F.lit(batch_id)),
+                    ["batch_id"],
+                    os.path.join(out_dir, "tombstones"),
+                )
+            )
+        _overlap_writes(*writes)
         fs_m, meta_p = _hadoop_path(spark, os.path.join(out_dir, "meta"))
         if not fs_m.exists(meta_p):
             _write_postings_meta(spark, out_dir, nb)
@@ -1476,6 +1518,7 @@ def maintain_shingle_index(
     from pyspark.sql import functions as F
 
     from se_data_pipeline_spark.sources.layout import (
+        _overlap_writes,
         _shingle_frames,
         guard_stream_batch,
     )
@@ -1500,14 +1543,21 @@ def maintain_shingle_index(
             f"shingle index at {out_dir}",
         )
         rows, ledger = _shingle_frames(batch, batch_id)
-        _dyn(rows, os.path.join(out_dir, "postings"))
+        # rows and tombstones overlap below the batch's commit point
+        # (the ledger row, LAST) — guide §2.6, layout._overlap_writes
+        writes = [
+            lambda: _dyn(rows, os.path.join(out_dir, "postings"))
+        ]
         if allow_revisions:
-            _dyn(
-                batch.select("doc_id")
-                .distinct()
-                .withColumn("batch_id", F.lit(batch_id)),
-                os.path.join(out_dir, "tombstones"),
+            writes.append(
+                lambda: _dyn(
+                    batch.select("doc_id")
+                    .distinct()
+                    .withColumn("batch_id", F.lit(batch_id)),
+                    os.path.join(out_dir, "tombstones"),
+                )
             )
+        _overlap_writes(*writes)
         # ledger row LAST — the batch's commit point
         _dyn(ledger.coalesce(1), os.path.join(out_dir, "batches"))
 
@@ -1542,6 +1592,7 @@ def maintain_minhash_index(
 
     from se_data_pipeline_spark.sources.layout import (
         _minhash_frames,
+        _overlap_writes,
         guard_stream_batch,
     )
 
@@ -1565,14 +1616,21 @@ def maintain_minhash_index(
             f"minhash band index at {out_dir}",
         )
         rows, ledger = _minhash_frames(batch, batch_id)
-        _dyn(rows, os.path.join(out_dir, "postings"))
+        # rows and tombstones overlap below the batch's commit point
+        # (the ledger row, LAST) — guide §2.6, layout._overlap_writes
+        writes = [
+            lambda: _dyn(rows, os.path.join(out_dir, "postings"))
+        ]
         if allow_revisions:
-            _dyn(
-                batch.select("doc_id")
-                .distinct()
-                .withColumn("batch_id", F.lit(batch_id)),
-                os.path.join(out_dir, "tombstones"),
+            writes.append(
+                lambda: _dyn(
+                    batch.select("doc_id")
+                    .distinct()
+                    .withColumn("batch_id", F.lit(batch_id)),
+                    os.path.join(out_dir, "tombstones"),
+                )
             )
+        _overlap_writes(*writes)
         # ledger row LAST — the batch's commit point
         _dyn(ledger.coalesce(1), os.path.join(out_dir, "batches"))
 
