@@ -434,8 +434,9 @@ def phrase_served_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacency recount: build from a perturbed corpus plus
     phrase-heavy ghost documents, revise the perturbed slice back to
     its true text (tombstones + replacement position rows), DELETE
-    the ghosts, then serve top-10. The serve path runs the tombstone
-    join (_positional_live) — a surviving stale position array adds
+    the ghosts, then serve top-10. The serve path applies the
+    tombstone kill rule inside the pivot (_pivot_live_positions) —
+    a surviving stale position array adds
     phantom hits, an undead ghost floods the top-10, an uncommitted
     batch leaking past the ledger high-water mark shifts counts; any
     of these fails the driver hash.

@@ -2821,39 +2821,6 @@ def delete_positional_docs(
     return next_b
 
 
-def _positional_live(
-    spark: SparkSession, out_dir: str, terms: list[str]
-) -> DataFrame:
-    """The pruned LIVE positional rows for `terms`: committed batches
-    only (high-water mark from the batches ledger), <=K bucket-dir
-    partition filter + in-bucket term cut, tombstone-dead rows
-    dropped (a never-revised store has no tombstones table — the
-    zero-cost append-only fast path). Shared by every positional
-    serve path (phrase / proximity / AND-ranked) so the lifecycle
-    semantics cannot drift between query classes. Rows are unique
-    per (doc, term) after the kill-rule filter: each batch writes one
-    row per (doc, term), and a tombstone at B kills all rows below B
-    while the replacement rows written AT B survive."""
-    from pyspark.sql import functions as F
-
-    recover_compacting(spark, out_dir)
-    # ONE fused prologue job: bucket modulus + committed high-water
-    # mark + term bucket ids (hw None for a legacy pre-ledger store:
-    # serve append-only instead of raising — ADVICE r11)
-    n_buckets, hw, buckets = _serve_prologue(
-        spark, out_dir, terms, "batches", _LEDGER_SCHEMA, True
-    )
-    p = (
-        spark.read.schema(_POS_POSTINGS_SCHEMA)
-        .parquet(f"{out_dir}/postings")
-        .filter(F.col("tok_bucket").isin(buckets))
-        .filter(F.col("tok").isin(sorted(set(terms))))
-    )
-    if hw is not None:
-        p = p.filter(F.col("batch_id") < hw)  # committed only
-    return _kill_tombstoned(spark, p, out_dir, "doc_id", hw)
-
-
 def _pivot_positions(p: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     """One row per doc with each term's position array in its own
     column (p0..pK-1) — ONE shuffle; rows are unique per (doc, term)
@@ -2875,6 +2842,110 @@ def _pivot_positions(p: DataFrame, terms: tuple[str, ...]) -> DataFrame:
     )
 
 
+def _pivot_live_positions(
+    spark: SparkSession, out_dir: str, terms: tuple[str, ...]
+) -> DataFrame:
+    """The LIVE pivoted view every positional serve path reads: one
+    row per doc with each term's committed, tombstone-live position
+    array in its own column (p0..pK-1) — shared by phrase / proximity
+    / ordered-near / AND-ranked so the lifecycle semantics cannot
+    drift between query classes. Committed batches only (high-water
+    mark from the batches ledger; hw None for a legacy pre-ledger
+    store serves append-only — ADVICE r11), <=K bucket-dir partition
+    filter + in-bucket term cut.
+
+    The tombstone kill rule is FUSED INTO the pivot (r13, guide §2.4
+    one-exchange-satisfies-both): the tombstone markers are unioned
+    with the pruned rows and the ONE groupBy(doc_id) takes, per term,
+    the newest committed row (max_by over batch_id — max_by skips
+    rows whose ordering expression is NULL, pinned by test) and nulls
+    it out when the doc's newest tombstone post-dates it. Previously
+    the kill rule was a separate aggregate + broadcast join of the
+    revised-id map BEFORE the pivot exchange — at 100 TB that map is
+    O(all revised ids), and broadcasting it was the unbounded piece;
+    now those markers ride the same single exchange as the data rows.
+
+    Equivalence with the old kill-join + first()-pivot: among rows of
+    one (doc, term), the kill rule keeps exactly those with batch_id
+    >= the doc's newest tombstone, and the store contract (each batch
+    writes one row per (doc, term); a tombstone at B kills rows below
+    B while replacement rows AT B survive) makes the survivor unique —
+    it is necessarily the NEWEST row, so max_by-then-null-check picks
+    the identical array. A doc whose every pivoted column nulls out
+    (deleted, or tombstoned with no replacement in these buckets)
+    yields an all-NULL row that every consumer already filters (NULL
+    start set / NULL window fold / has_all=false), exactly as its
+    absence did. A never-revised store (no tombstones dir) keeps the
+    identical no-union single-exchange fast-path plan."""
+    from pyspark.sql import functions as F
+
+    recover_compacting(spark, out_dir)
+    # ONE fused prologue job: bucket modulus + committed high-water
+    # mark + term bucket ids
+    n_buckets, hw, buckets = _serve_prologue(
+        spark, out_dir, list(terms), "batches", _LEDGER_SCHEMA, True
+    )
+    p = (
+        spark.read.schema(_POS_POSTINGS_SCHEMA)
+        .parquet(f"{out_dir}/postings")
+        .filter(F.col("tok_bucket").isin(buckets))
+        .filter(F.col("tok").isin(sorted(set(terms))))
+    )
+    if hw is not None:
+        p = p.filter(F.col("batch_id") < hw)  # committed only
+    fs, tp = _hadoop_path(spark, f"{out_dir}/tombstones")
+    if not fs.exists(tp):
+        # append-only fast path: the plain pivot, no union
+        return _pivot_positions(p, terms)
+    t = spark.read.schema("doc_id bigint, batch_id int").parquet(
+        f"{out_dir}/tombstones"
+    )
+    if hw is not None:
+        t = t.filter(F.col("batch_id") < hw)  # committed only
+    u = p.select(
+        "doc_id", "tok", "pos", "batch_id", F.lit(False).alias("tomb")
+    ).unionByName(
+        t.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("tok"),
+            F.lit(None).cast("array<int>").alias("pos"),
+            "batch_id",
+            F.lit(True).alias("tomb"),
+        )
+    )
+    agg = u.groupBy("doc_id").agg(
+        F.max(F.when(F.col("tomb"), F.col("batch_id"))).alias(
+            "tomb_b"
+        ),
+        *[
+            F.max_by(
+                F.struct(
+                    F.col("batch_id").alias("b"),
+                    F.col("pos").alias("v"),
+                ),
+                # NULL ordering for tombstone markers and other
+                # terms' rows — max_by skips those rows entirely
+                F.when(
+                    (~F.col("tomb")) & (F.col("tok") == term),
+                    F.col("batch_id"),
+                ),
+            ).alias(f"s{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    return agg.select(
+        "doc_id",
+        *[
+            F.when(
+                F.col("tomb_b").isNull()
+                | (F.col(f"s{i}.b") >= F.col("tomb_b")),
+                F.col(f"s{i}.v"),
+            ).alias(f"p{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+
 def phrase_from_postings(
     spark: SparkSession,
     out_dir: str,
@@ -2883,8 +2954,8 @@ def phrase_from_postings(
 ) -> DataFrame:
     """Exact-phrase search served from a write_positional_postings
     store: prune to the phrase terms' <=K bucket dirs (committed,
-    tombstone-live rows only — _positional_live), pivot the matching
-    rows to one row per doc, then fold the start set row-locally:
+    tombstone-live arrays only, pivoted in one exchange —
+    _pivot_live_positions), then fold the start set row-locally:
     after term i, `starts` holds every position s where tokens
     s..s+i match the phrase prefix, via
     array_intersect(starts, pos_i - i). The classic positional-index
@@ -2896,9 +2967,7 @@ def phrase_from_postings(
 
     if len(phrase) < 2:
         raise ValueError("a phrase needs at least two terms")
-    byd = _pivot_positions(
-        _positional_live(spark, out_dir, list(phrase)), phrase
-    )
+    byd = _pivot_live_positions(spark, out_dir, phrase)
     def _shifted(col_name: str, k: int):
         # NB: the lambda must stay SINGLE-argument — F.transform
         # dispatches on lambda arity, and a second parameter (even a
@@ -2941,9 +3010,7 @@ def phrase_matches_from_postings(
 
     if len(phrase) < 2:
         raise ValueError("a phrase needs at least two terms")
-    byd = _pivot_positions(
-        _positional_live(spark, out_dir, list(phrase)), phrase
-    )
+    byd = _pivot_live_positions(spark, out_dir, phrase)
 
     def _shifted(col_name: str, k: int):
         # single-argument lambda (the F.transform arity rule)
@@ -2990,9 +3057,7 @@ def proximity_from_postings(
         )
     if k < 1:
         raise ValueError("window k must be >= 1")
-    byd = _pivot_positions(
-        _positional_live(spark, out_dir, [t1, t2]), (t1, t2)
-    )
+    byd = _pivot_live_positions(spark, out_dir, (t1, t2))
     n_hits = F.aggregate(
         F.col("p0"),
         F.lit(0),
@@ -3041,9 +3106,7 @@ def ordered_near_from_postings(
         )
     if k < 1:
         raise ValueError("window k must be >= 1")
-    byd = _pivot_positions(
-        _positional_live(spark, out_dir, [t1, t2]), (t1, t2)
-    )
+    byd = _pivot_live_positions(spark, out_dir, (t1, t2))
     n_hits = F.aggregate(
         F.col("p0"),
         F.lit(0),
@@ -3086,9 +3149,7 @@ def and_ranked_from_postings(
         raise ValueError("an AND query needs at least two terms")
     if len(set(terms)) != len(terms):
         raise ValueError("AND query terms must be distinct")
-    byd = _pivot_positions(
-        _positional_live(spark, out_dir, list(terms)), terms
-    )
+    byd = _pivot_live_positions(spark, out_dir, terms)
     cols = [F.col(f"p{i}") for i in range(len(terms))]
     has_all = cols[0].isNotNull()
     for c in cols[1:]:
